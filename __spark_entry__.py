@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``    — flagship query (user_transaction_summary, SURVEY
+  §2.4 #26) on /root/testdata/sf0.001; smoke-checked for rows > 0.
+- ``queries()``       — every implemented operator from SURVEY.md §2 plus
+  the beyond-reference dedup/similarity/text surface; (spark, sf_dir) ->
+  DataFrame.
+- ``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query (omitted only
+  for approximate / non-SQL-expressible operators, which the driver checks
+  rows-only).
+
+Implementations live in construction_data_lake_et_data_warehouse_tp3_spark/
+(operators/*.py); this module is a thin registry view over them.
 """
 
 from __future__ import annotations
@@ -13,26 +19,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from construction_data_lake_et_data_warehouse_tp3_spark import operators
+from construction_data_lake_et_data_warehouse_tp3_spark.session import tune
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune(spark)
+    return operators.all_queries()["user_transaction_summary"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ M7 surface)."""
+    registry = operators.all_queries()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def with_tuning(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: with_tuning(fn) for name, fn in registry.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per queries() key (same column aliases both sides)."""
+    return operators.all_oracle()

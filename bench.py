@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style action (collect for top-k
+results, write.noop-free count otherwise) so the full plan executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from construction_data_lake_et_data_warehouse_tp3_spark import operators
+from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
+
+#: headline set: the reference aggregate surface + TPC-H shapes + one of
+#: each beyond-reference family (dedup / text / similarity).
+HEADLINE = (
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "user_transaction_summary",
+    "user_transaction_summary_eur",
+    "product_purchase_counts",
+    "payment_method_totals",
+    "star_schema_revenue",
+    "rollup_revenue",
+    "top_event_per_user",
+    "blacklist_filter",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "token_count",
+    "text_quality",
+    "cosine_topk",
+    "lsh_buckets",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tp3-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = operators.all_queries()
+
+    # warm the JVM + parquet footers once with the cheapest query
+    registry["payment_method_totals"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        start = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""TPC-H-style headline queries over the driver testdata star schema.
+
+These are the bench workload (bench.py) and the broadest correctness
+surface: multi-join + filter + aggregate + top-k plans whose shapes match
+the published TPC-H queries the testdata schema supports (q1, q3, q5, q6,
+q10 — adapted to the columns actually present, TESTDATA.md:13-16).
+
+Scale notes per query:
+- q1: single scan + hash aggregate on 2 low-cardinality keys; the shipdate
+  filter is pushed to the parquet scan. Perfectly partition-parallel.
+- q3/q10: fact-fact join (orders ⋈ lineitem) shuffles on orderkey once; the
+  customer dim enrichment broadcasts. Top-k via TakeOrderedAndProject, not
+  a global sort.
+- q5: customer-nation = supplier-nation equality becomes a join filter
+  after broadcast dims; the only big shuffle is orders⋈lineitem.
+- q6: pure scan + filter + scalar aggregate: pushdown makes this an
+  almost-I/O-only query at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import money_avg, money_avg_sql, money_sum, money_sum_sql, ratio_avg, ratio_avg_sql
+from ..sources.registry import load_table
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            ratio_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume per nation (TPC-H Q5 shape): revenue from
+    lineitems where the supplier and the customer share a nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .where(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): scan + tight filter +
+    scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting top-20 (TPC-H Q10 shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_returnflag") == "R")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("user_country"),
+        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10,
+}
+
+ORACLE = {
+    "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               {money_sum_sql('l_quantity')} AS sum_qty,
+               {money_sum_sql('l_extendedprice')} AS sum_base_price,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {money_avg_sql('l_quantity')} AS avg_qty,
+               {money_avg_sql('l_extendedprice')} AS avg_price,
+               {ratio_avg_sql('l_discount')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "tpch_q3": f"""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5": f"""
+        SELECT n_name AS nation,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'EUROPE'
+        GROUP BY 1
+    """,
+    "tpch_q6": f"""
+        SELECT {money_sum_sql('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q10": f"""
+        SELECT c_custkey AS user_id, c_name AS user_name, n_name AS user_country,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, user_id ASC
+        LIMIT 20
+    """,
+}

@@ -1,0 +1,109 @@
+"""Sorts / limits / top-k / window / rollup surface (SURVEY §2.6 #39-43,
+plus beyond-reference window + grouping-set operators Spark gives for free).
+
+Scale notes: top-k via orderBy().limit(k) compiles to TakeOrderedAndProject
+— per-partition heaps + a driver-side k-merge, no global sort. row_number
+windows shuffle once on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scalar import money_sum, money_sum_sql
+from ..sources.registry import load_table
+
+
+def top_orders_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#39/#40 ORDER BY + LIMIT: top-10 orders by amount (orderkey tiebreak
+    keeps the result set deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def latest_version_per_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#41/#42 max-version scan: the reference globs version=v* dirs and
+    takes max+1 (export_to_data_lake.py:235-245). Engine equivalent: window
+    row_number over a version-ish column — here, each user's latest event."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.col("ts").cast("date").alias("day"))
+    )
+
+
+def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group: each user's highest-value event."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal + grand-total rows — the
+    grouping-sets surface the reference's warehouse queries would use."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+
+
+QUERIES = {
+    "top_orders_limit": top_orders_limit,
+    "latest_version_per_feed": latest_version_per_feed,
+    "top_event_per_user": top_event_per_user,
+    "rollup_revenue": rollup_revenue,
+}
+
+ORACLE = {
+    "top_orders_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "latest_version_per_feed": """
+        SELECT user_id, event_id, event_type, CAST(ts AS DATE) AS day
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "top_event_per_user": """
+        SELECT user_id, event_id, event_type, value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "rollup_revenue": f"""
+        SELECT r_name AS region, n_name AS nation,
+               {money_sum_sql('o_totalprice')} AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+}

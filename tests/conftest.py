@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+import pytest
+
+from construction_data_lake_et_data_warehouse_tp3_spark.session import RUNTIME_CONF
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_001 = "/root/testdata/sf0.001"
+SF_DIR_01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("tp3-tests")
+        .master("local[8]")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.sql.shuffle.partitions", "8")
+    session = builder.getOrCreate()
+    yield session
+    session.stop()

@@ -1,0 +1,98 @@
+"""Differential tests mirroring the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet, then compare row count, column names, and order-insensitive
+values (SURVEY §5 item 1). Any failure here would fail CORRECTNESS_r{N}."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck_connection():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    return con
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # tolerate last-ulp noise between engines beyond our explicit rounding
+        return round(value, 6)
+    if isinstance(value, datetime.datetime):
+        return value.isoformat()
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    try:  # Decimal → float
+        import decimal
+
+        if isinstance(value, decimal.Decimal):
+            return round(float(value), 6)
+    except ImportError:
+        pass
+    return value
+
+
+def _row_set(rows, columns):
+    return sorted(
+        tuple(_normalize(v) for v in row) for row in rows
+    ), list(columns)
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only check (approximate operators)
+        return
+
+    con = _duck_connection()
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    # compare values with columns aligned by sorted name (driver semantics)
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_set, _ = _row_set([[r[i] for i in s_idx] for r in spark_rows], sorted(spark_cols))
+    d_set, _ = _row_set([[r[i] for i in d_idx] for r in duck_rows], sorted(duck_cols))
+    assert len(s_set) == len(d_set), (
+        f"{name}: row count spark={len(s_set)} duck={len(d_set)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
