@@ -1,0 +1,8 @@
+from .ingest import (  # noqa: F401
+    ingest_stream_to_lake,
+    json_feed_schema,
+    parse_kafka_json,
+    streaming_user_totals,
+    windowed_user_totals,
+)
+from .warehouse_sink import stream_to_warehouse  # noqa: F401

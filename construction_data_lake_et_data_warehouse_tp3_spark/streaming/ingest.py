@@ -1,0 +1,157 @@
+"""Structured Streaming ingest (SURVEY §2.1 #4, #10; §2.9 #59-66).
+
+Reference control flow — infinite consumer loop, per-topic buffers,
+flush every batch_size messages, manual shutdown flush
+(/root/reference/kafka_consumer_datalake.py:33-76) — maps onto
+checkpointed micro-batches:
+
+- continuous consumption  → streaming query with a processing-time trigger
+- count-based flush       → trigger interval / maxOffsetsPerTrigger
+  (count triggers don't exist; documented divergence, SURVEY §4)
+- shutdown flush          → checkpoint + exactly-once file sink commit
+  protocol (strict upgrade over at-least-once, SURVEY §2.9 #62)
+- offset replay           → option("startingOffsets", "earliest")
+
+The Kafka leg needs a broker; this module keeps the Kafka wiring behind
+`kafka_source()` (exercised only when a broker is configured) and tests
+the same pipeline through file/rate sources, which share every operator
+downstream of the source node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: per-topic JSON schemas (FIXTURES.md §1, kafka_producer.py:26-75).
+FEED_SCHEMAS: dict[str, T.StructType] = {
+    "transaction_stream": T.StructType(
+        [
+            T.StructField("transaction_id", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("currency", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]
+    ),
+    "transaction_flattened": T.StructType(
+        [
+            T.StructField("transaction_id", T.StringType()),
+            T.StructField("user_country", T.StringType()),
+            T.StructField("payment_method", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    ),
+    "transaction_stream_anonymized": T.StructType(
+        [
+            T.StructField("hash_user", T.StringType()),
+            T.StructField("amount_bucket", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    ),
+    "transaction_stream_blacklisted": T.StructType(
+        [
+            T.StructField("transaction_id", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("reason", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    ),
+}
+
+
+def json_feed_schema(topic: str) -> T.StructType:
+    if topic not in FEED_SCHEMAS:
+        raise KeyError(f"no schema registered for topic {topic!r}")
+    return FEED_SCHEMAS[topic]
+
+
+def kafka_source(
+    spark: SparkSession, topics: str, bootstrap_servers: str = "localhost:9092"
+) -> DataFrame:
+    """#4 Kafka source with earliest replay (kafka_consumer_datalake.py:21-30).
+    Requires the spark-sql-kafka package + a broker at runtime."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def parse_kafka_json(raw: DataFrame, topic: str) -> DataFrame:
+    """#3/#56: value bytes → typed columns via from_json (replaces the
+    per-message json.loads at kafka_consumer_datalake.py:26)."""
+    schema = json_feed_schema(topic)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("payload")
+    ).select("payload.*")
+
+
+def with_processing_date(df: DataFrame) -> DataFrame:
+    """Processing-time partition columns (kafka_consumer_datalake.py:35-38;
+    SURVEY §7 risk 3: ingest date, not event time, is the default)."""
+    today = F.current_date()
+    return (
+        df.withColumn("year", F.year(today))
+        .withColumn("month", F.month(today))
+        .withColumn("day", F.dayofmonth(today))
+    )
+
+
+def ingest_stream_to_lake(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+):
+    """#10 partitioned streaming file sink with exactly-once checkpointing
+    (kafka_consumer_datalake.py:33-46 buffering → micro-batches)."""
+    writer = (
+        with_processing_date(stream)
+        .writeStream.format("parquet")
+        .partitionBy("year", "month", "day")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def streaming_user_totals(stream: DataFrame) -> DataFrame:
+    """#66 unwindowed running aggregate in update mode — the exact
+    semantics of the reference's ksqlDB tables (continuous GROUP BY,
+    no window, no watermark)."""
+    return stream.groupBy("user_id").agg(
+        F.sum("amount").alias("total_amount"),
+        F.count("*").alias("transaction_count"),
+        F.avg("amount").alias("avg_amount"),
+    )
+
+
+def windowed_user_totals(
+    stream: DataFrame,
+    event_time_col: str = "event_time",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """#66 beyond-reference extension: event-time tumbling window +
+    watermark for bounded state at scale (flagged as beyond-reference in
+    SURVEY §2.9 — the reference never windows)."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration), F.col("user_id"))
+        .agg(
+            F.sum("amount").alias("total_amount"),
+            F.count("*").alias("transaction_count"),
+        )
+    )

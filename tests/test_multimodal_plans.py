@@ -1,0 +1,61 @@
+"""Multimodal plumbing (stubbed decode, real Spark dataflow) and
+physical-plan assertions (SURVEY §4 checklist: pushdown, pruning,
+broadcast, codegen)."""
+
+from __future__ import annotations
+
+import pytest
+
+from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+    multimodal,
+    tpch,
+    joins,
+)
+from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+    wholestage_codegen_spans,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        feats = multimodal.extract_features(media, batch_partitions=4).collect()
+        assert len(feats) == 30
+        assert all(len(r["feature"]) == 8 for r in feats)
+        assert all(abs(sum(r["feature"]) - 1.0) < 1e-6 for r in feats)
+        assert all(r["n_bytes"] == 16 for r in feats)  # md5 = 16 bytes
+
+    def test_strict_decode_raises(self):
+        with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+            multimodal.decode_image_stub(b"\x00\x01", strict=True)
+
+    def test_frame_sample_plan_fanout(self, spark):
+        media = multimodal.synthetic_media(spark, 9)  # 3 videos
+        frames = multimodal.frame_sample_plan(media, every_ms=250)
+        rows = frames.collect()
+        n_videos = media.where("kind = 'video'").count()
+        assert len(rows) == n_videos * 5  # 0..1000 step 250 → 5 frames
+        assert {"media_id", "frame_ms"} <= set(frames.columns)
+
+
+class TestPlans:
+    def test_q6_filter_pushdown_and_pruning(self, spark):
+        df = tpch.tpch_q6(spark, SF_DIR)
+        filters = pushed_filters(df)
+        assert any("l_discount" in f or "l_quantity" in f for f in filters), filters
+        schemas = scan_read_schema(df)
+        # column pruning: only the 4 referenced columns reach the scan
+        assert all("l_returnflag" not in s for s in schemas), schemas
+
+    def test_star_join_broadcasts_dims(self, spark):
+        df = joins.star_schema_revenue(spark, SF_DIR)
+        assert has_broadcast_join(df)
+
+    def test_q1_codegen(self, spark):
+        df = tpch.tpch_q1(spark, SF_DIR)
+        assert wholestage_codegen_spans(df) >= 1
