@@ -38,8 +38,13 @@ N_PLANES = 8
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors with their norm precomputed ONCE per vector — inside the
+    pair loop only the dot-product fold remains (computing norms per pair
+    tripled the fold work and the generated code size)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "label", F.expr(_TO_DOUBLE).alias("v"))
+    return emb.select("vec_id", "label", F.expr(_TO_DOUBLE).alias("v")).withColumn(
+        "norm", F.expr(_NORM.format(a="v"))
+    )
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,14 +55,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vec = _vectors(spark, sf_dir)
     q = vec.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    c = vec.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    c = vec.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
     pairs = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
     cosine = F.round(
-        F.expr(_DOT.format(a="qv", b="cv"))
-        / (F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="cv"))),
-        4,
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
     )
     scored = pairs.select("query_id", "cand_id", cosine.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -73,12 +76,10 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup dedup). Quadratic baseline — scale path runs this inside LSH
     buckets."""
     vec = _vectors(spark, sf_dir)
-    a = vec.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = vec.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    a = vec.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = vec.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     cosine = F.round(
-        F.expr(_DOT.format(a="va", b="vb"))
-        / (F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))),
-        4,
+        F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4
     )
     return (
         a.crossJoin(b)
@@ -97,15 +98,29 @@ _PLANE = (
 )
 
 
+def plane_components(j: int, dim: int = 64) -> list[float]:
+    """Hyperplane j's components, computed once driver-side with hashlib —
+    byte-identical to the md5 SQL the oracle evaluates per row (DuckDB
+    recomputes them; Spark gets them folded in as literals, so the hot
+    loop is a pure arithmetic fold with zero hashing)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        digest = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+        out.append(float(int(digest[0], 16)) - 7.5)
+    return out
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 sign bits per vector → bucket histogram.
     (The ANN query path: restrict cosine search to same-bucket candidates.)"""
     vec = _vectors(spark, sf_dir)
     bits = []
     for j in range(1, N_PLANES + 1):
-        plane_component = _PLANE.format(j=j)
+        plane = ", ".join(f"{c}D" for c in plane_components(j))
         dot = (
-            f"aggregate(zip_with(v, sequence(0, {63}), (x, d) -> x * ({plane_component})),"
+            f"aggregate(zip_with(v, array({plane}), (x, p) -> x * p),"
             f" cast(0 as double), (acc, x) -> acc + x)"
         )
         bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .dedup import CHAR_SHINGLES_DUCK as _CHAR_SHINGLES_DUCK
 
 TOKENS = "split(trim(text), '\\\\s+')"
 TOKENS_DUCK = "string_split_regex(trim(text), '\\s+')"
@@ -97,7 +98,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch fingerprint: the 4 lexicographically-smallest
-    char-5-gram hashes, joined — a compact, order-invariant content id
+    char-shingle hashes, joined — a compact, order-invariant content id
     (rolling-hash winnowing analog, portable to the oracle)."""
     from .dedup import CHAR_SHINGLES
 
@@ -158,12 +159,10 @@ ORACLE = {
                     ELSE 'es' END AS predicted_lang
         FROM t
     """,
-    "doc_fingerprint": """
+    "doc_fingerprint": f"""
         SELECT doc_id,
                array_to_string(
-                   list_sort([md5(s) for s in
-                       list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text) - 4, 1) + 1)])
-                   ])[1:4], '|') AS fingerprint
+                   list_sort([md5(s) for s in {_CHAR_SHINGLES_DUCK}])[1:4], '|') AS fingerprint
         FROM documents
     """,
 }
