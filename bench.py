@@ -34,6 +34,9 @@ HEADLINE = (
     "rollup_revenue",
     "top_event_per_user",
     "blacklist_filter",
+    "asof_latest_order",
+    "event_sessions",
+    "daily_event_stats",
     "dedup_exact",
     "minhash_lsh_candidates",
     "token_count",

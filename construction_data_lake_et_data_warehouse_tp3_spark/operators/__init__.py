@@ -21,6 +21,7 @@ _MODULES = (
     "joins",
     "windows",
     "tpch",
+    "temporal",
     "dedup",
     "similarity",
     "text",

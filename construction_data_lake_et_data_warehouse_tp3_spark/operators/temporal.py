@@ -1,0 +1,253 @@
+"""Temporal / JSON / window-composition operators.
+
+Rounds out the SURVEY §2 surface with the operator shapes the reference
+delegates to its engines but never names: JSON field extraction (#56 —
+the only JSON op it performs is serialize/deserialize), date arithmetic
+(#51-53), and the beyond-reference temporal set every analytics engine
+needs — running totals, sessionization, as-of joins, percentiles.
+
+Scale notes:
+- running totals / sessionization: one shuffle on the partition key, then
+  a sorted window pass. State per key is O(1) (lag / cumulative sum).
+- as-of join: expressed as equi-join on the entity + event-time filter +
+  top-1 window. Catalyst turns the window into a per-key sort; at 100 TB
+  you pre-bucket both sides by the entity key so the join co-locates.
+- percentiles: exact percentile for oracle parity; at scale swap in
+  approx_percentile (t-digest) — provided as the _approx variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scalar import money_sum, money_sum_sql
+from ..sources.registry import load_table
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56 JSON extraction: pull the numeric `k` out of the props JSON
+    string, bucket it, aggregate. get_json_object is JVM-side (Jackson)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_mod10"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+def scalar_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#48-53 scalar date/time surface in one projection: component
+    extraction, date arithmetic, formatting, epoch distance."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_format(d, "yyyy-MM").alias("month_tag"),
+        F.date_sub(d.cast("date"), 30).alias("minus_30d"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type aggregates + running cumulative count per type —
+    aggregation composed with a frame window (the batch view of the
+    reference's continuous per-day tables)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("day_total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("running_events", F.sum("n_events").over(w))
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + cumulative
+    sum of session-start flags), then per-user session stats."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1, 0).over(by_user)
+            > SESSION_GAP_MINUTES * 60,
+            1,
+        ).otherwise(F.when(F.lag("ts", 1).over(by_user).isNull(), 1).otherwise(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(by_user))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("longest_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event date (equi-join + time filter + top-1 window; the
+    operator Spark lacks as a primitive, SURVEY brief)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("event_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    joined = events.join(
+        orders,
+        (events.user_id == orders.o_custkey)
+        & (orders.order_date <= events.event_date),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("order_date"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", F.col("o_orderkey").alias("latest_orderkey"), "order_date")
+    )
+
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order status (oracle-checked);
+    the 100 TB variant is median_order_value_approx below."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_value"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_value"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def median_order_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (single-pass sketch) — the at-scale swap-in;
+    rows-only checked (approximate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5)").alias("median_value_approx"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+QUERIES = {
+    "events_json_props": events_json_props,
+    "scalar_datetime_ops": scalar_datetime_ops,
+    "daily_event_stats": daily_event_stats,
+    "event_sessions": event_sessions,
+    "asof_latest_order": asof_latest_order,
+    "median_order_value": median_order_value,
+    "median_order_value_approx": median_order_value_approx,
+}
+
+ORACLE = {
+    "events_json_props": f"""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+               count(*) AS n_events,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               {money_sum_sql('value')} AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    "scalar_datetime_ops": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS m,
+               day(o_orderdate) AS d,
+               strftime(o_orderdate, '%Y-%m') AS month_tag,
+               CAST(o_orderdate AS DATE) - 30 AS minus_30d,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+        FROM orders
+    """,
+    "daily_event_stats": f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   {money_sum_sql('value')} AS day_total
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT day, event_type, n_events, day_total,
+               CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_events
+        FROM daily
+    """,
+    "event_sessions": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                        WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60} THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM sessions GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS longest_session_events,
+               CAST(sum(n_events) AS BIGINT) AS total_events
+        FROM per_session GROUP BY 1
+    """,
+    "asof_latest_order": """
+        SELECT event_id, user_id, latest_orderkey, order_date FROM (
+            SELECT e.event_id, e.user_id,
+                   o.o_orderkey AS latest_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                      ORDER BY CAST(o.o_orderdate AS DATE) DESC, o.o_orderkey DESC) AS rn
+            FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events) e
+            JOIN orders o ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS DATE) <= e.event_date
+        ) WHERE rn = 1
+    """,
+    "median_order_value": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_value,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90_value,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    """,
+}
