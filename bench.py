@@ -64,6 +64,8 @@ def main() -> None:
         timings[name] = round(time.monotonic() - start, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    streaming_rate = _streaming_ingest_rate(spark)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -74,10 +76,46 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "streaming_ingest_rows_per_sec": streaming_rate,
             }
         )
     )
     spark.stop()
+
+
+def _streaming_ingest_rate(spark, n_rows: int = 100_000) -> float:
+    """Sustained-ingest proxy (BASELINE.md: ≥2,000 msg/s): JSON micro-batches
+    → checkpointed date-partitioned parquet sink, end to end."""
+    import shutil
+    import tempfile
+
+    from construction_data_lake_et_data_warehouse_tp3_spark.sources.generator import (
+        transaction_batch,
+    )
+    from construction_data_lake_et_data_warehouse_tp3_spark.streaming import (
+        ingest_stream_to_lake,
+        json_feed_schema,
+    )
+
+    root = tempfile.mkdtemp(prefix="tp3_stream_bench_")
+    try:
+        topic = f"{root}/topic"
+        transaction_batch(spark, n_rows).coalesce(8).write.mode("overwrite").json(topic)
+        stream = (
+            spark.readStream.schema(json_feed_schema("transaction_stream"))
+            .option("maxFilesPerTrigger", 2)
+            .json(topic)
+        )
+        start = time.monotonic()
+        query = ingest_stream_to_lake(stream, f"{root}/lake", f"{root}/ckpt")
+        query.awaitTermination(300)
+        elapsed = time.monotonic() - start
+        ingested = spark.read.parquet(f"{root}/lake").count()
+        rate = round(ingested / elapsed, 1)
+        print(f"# streaming ingest: {ingested} rows in {elapsed:.2f}s = {rate} rows/s", file=sys.stderr)
+        return rate
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "text",
+    "pipelines",
 )
 
 

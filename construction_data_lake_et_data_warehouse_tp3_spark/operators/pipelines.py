@@ -1,0 +1,286 @@
+"""Composed scale-path pipelines — the shapes you actually run at 100 TB,
+wired end-to-end as single declarative plans and still oracle-checkable.
+
+Each pairs a cheap candidate-generation stage with an exact verification
+stage, so the quadratic work only touches candidates:
+
+- minhash_verified_dups: LSH candidates → exact word-3-gram Jaccard on
+  candidates only → verified near-duplicates. (The standalone
+  ngram_jaccard_pairs computes Jaccard for every co-shingled pair; here
+  the join is bounded by the candidate set.)
+- simhash_hamming_pairs: simhash signatures → prefix-bucket join (first
+  16 bits equal) → exact Hamming distance on the tail. Prefix bucketing
+  is the banding trick for Hamming space: distance ≤ 3 pairs must agree
+  on at least one 16-bit half; checking both halves as buckets would be
+  exhaustive — one half is the demo here.
+- ann_ivf_topk: LSH bucket as coarse quantizer (IVF-style): query
+  vectors probe only their own bucket's candidates, then exact cosine
+  top-k inside the bucket.
+- word_freq_topk: corpus-level token frequencies, global top-20 —
+  explode + two-level aggregation; the canonical vocabulary-building
+  pass over a text corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table
+from .dedup import (
+    CHAR_SHINGLES_DUCK,
+    MINHASH_K,
+    MINHASH_ROWS_PER_BAND,
+    WORD_SHINGLES,
+    WORD_SHINGLES_DUCK,
+    _band_signatures,
+    minhash_lsh_candidates,
+)
+from .similarity import _DOT, _NORM, _TO_DOUBLE, plane_components
+
+JACCARD_THRESHOLD = 0.35
+HAMMING_MAX = 3
+IVF_TOP_K = 3
+
+
+def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact Jaccard (word 3-grams) ≥ τ. The verify join
+    touches only candidate pairs — the whole point of LSH at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = minhash_lsh_candidates(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs: bucket on the first 16 signature bits, then
+    exact Hamming ≤ HAMMING_MAX within buckets."""
+    from .dedup import simhash_signatures
+
+    sigs = simhash_signatures(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        F.substring("simhash", 1, 16).alias("prefix"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        F.substring("simhash", 1, 16).alias("prefix"),
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sig_a", i, 1) != F.substring("sig_b", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, 33)
+    )
+    return (
+        a.join(b, "prefix")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: LSH signature as the coarse cell; each query probes
+    only its own cell, exact cosine re-ranks inside. Recall trades against
+    the brute-force cosine_topk baseline (compare the two queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select("vec_id", F.expr(_TO_DOUBLE).alias("v")).withColumn(
+        "norm", F.expr(_NORM.format(a="v"))
+    )
+    bits = []
+    for j in range(1, 5):  # 4 planes → 16 cells: coarse, like IVF nlist
+        plane = ", ".join(f"{c}D" for c in plane_components(j))
+        dot = (
+            f"aggregate(zip_with(v, array({plane}), (x, p) -> x * p),"
+            f" cast(0 as double), (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    cell = F.expr("concat(" + ", ".join(bits) + ")")
+    cells = vec.withColumn("cell", cell)
+    q = cells.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"), "cell",
+    )
+    c = cells.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cn"), "cell",
+    )
+    pairs = q.join(c, "cell").where(F.col("query_id") != F.col("cand_id"))
+    cosine = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+    )
+
+
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global top-20 tokens by document+total frequency
+    (ties broken lexicographically — deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("token")
+    )
+    counts = tokens.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(20)
+
+
+QUERIES = {
+    "minhash_verified_dups": minhash_verified_dups,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
+    "word_freq_topk": word_freq_topk,
+}
+
+
+def _duck_minhash_candidates() -> str:
+    """CTE body reproducing minhash_lsh_candidates in DuckDB."""
+    mh_defs = ", ".join(f"min(h1 + {j} * h2) AS mh_{j}" for j in range(1, MINHASH_K + 1))
+    n_bands = MINHASH_K // MINHASH_ROWS_PER_BAND
+    sig_defs = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"mh_{j}::VARCHAR"
+            for j in range(b * MINHASH_ROWS_PER_BAND + 1, (b + 1) * MINHASH_ROWS_PER_BAND + 1)
+        ) + f") AS s{b}"
+        for b in range(n_bands)
+    )
+    sig_or = " OR ".join(f"x.s{b} = y.s{b}" for b in range(n_bands))
+    return f"""
+        msh AS (SELECT doc_id, unnest({CHAR_SHINGLES_DUCK}) AS s FROM documents),
+        mhashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+            FROM msh
+        ),
+        mmh AS (SELECT doc_id, {mh_defs} FROM mhashed GROUP BY 1),
+        msigs AS (SELECT doc_id, {sig_defs} FROM mmh),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM msigs x JOIN msigs y ON x.doc_id < y.doc_id AND ({sig_or})
+        )
+    """
+
+
+_HAMMING_DUCK = " + ".join(
+    f"CASE WHEN substr(a.simhash, {i}, 1) != substr(b.simhash, {i}, 1) THEN 1 ELSE 0 END"
+    for i in range(1, 33)
+)
+
+
+def _duck_ivf_bits() -> str:
+    def plane_sql(j: int) -> str:
+        comps = ", ".join(str(c) for c in plane_components(j))
+        return (
+            f"CASE WHEN (SELECT sum(v[d + 1] * p[d + 1]) "
+            f"FROM (SELECT [{comps}]::DOUBLE[] AS p), range(0, 64) AS r(d)) >= 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+
+    return ", ".join(plane_sql(j) for j in range(1, 5))
+
+
+ORACLE = {
+    "minhash_verified_dups": f"""
+        WITH {_duck_minhash_candidates()},
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        wsh AS (
+            SELECT doc_id, unnest({WORD_SHINGLES_DUCK}) AS s FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM wsh GROUP BY 1),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN wsh a ON a.doc_id = c.doc_a
+            JOIN wsh b ON b.doc_id = c.doc_b AND b.s = a.s
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "simhash_hamming_pairs": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, b,
+                   CASE WHEN sum(CASE WHEN strpos('0123456789abcdef', md5(t)[b:b]) - 1 >= 8
+                                      THEN 1 ELSE -1 END) >= 0
+                        THEN '1' ELSE '0' END AS bit
+            FROM tok, range(1, 33) AS r(b)
+            GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash FROM bits GROUP BY 1
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({_HAMMING_DUCK} AS INT) AS hamming
+        FROM sigs a JOIN sigs b
+          ON substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+         AND a.doc_id < b.doc_id
+        WHERE {_HAMMING_DUCK} <= {HAMMING_MAX}
+    """,
+    "ann_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cells AS (
+            SELECT vec_id, v, concat({_duck_ivf_bits()}) AS cell,
+                   sqrt(list_dot_product(v, v)) AS norm
+            FROM e
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cosine
+            FROM cells q JOIN cells c ON q.cell = c.cell
+            WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= {IVF_TOP_K}
+    """,
+    "word_freq_topk": """
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+        GROUP BY 1
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 20
+    """,
+}
