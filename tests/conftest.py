@@ -13,11 +13,15 @@ SF_DIR_01 = "/root/testdata/sf0.01"
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     builder = (
         SparkSession.builder.appName("tp3-tests")
         .master("local[8]")
         .config("spark.driver.memory", "6g")
         .config("spark.ui.enabled", "false")
+        # static conf: bucketed-table tests need a writable catalog dir
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="tp3_test_wh_"))
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
