@@ -20,6 +20,7 @@ _MODULES = (
     "transforms",
     "joins",
     "windows",
+    "analytics",
     "tpch",
     "temporal",
     "dedup",

@@ -1,0 +1,120 @@
+"""Remaining relational surface: scalar subqueries, conditional
+aggregation, CUBE grouping sets, string-function projection.
+
+These round out the SQL shapes a warehouse user expects beyond the
+reference's literal operator list (all Catalyst built-ins; no custom
+execution)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import money_round, money_round_sql, money_sum, money_sum_sql
+from ..sources.registry import load_table
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above 1.5× the global average value
+    (decorrelated by Catalyst into a broadcast of the 1-row aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_row = orders.agg((F.avg("o_totalprice") * 1.5).alias("threshold"))
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .where(F.col("o_totalprice") > F.col("threshold"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def order_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-style): per priority, counts and
+    revenue split by order status via sum(CASE WHEN …)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    def rev(status: str):
+        return money_sum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0)
+        )
+
+    return orders.groupBy("o_orderpriority").agg(
+        n("O").alias("n_open"),
+        n("F").alias("n_fulfilled"),
+        n("P").alias("n_pending"),
+        rev("O").alias("rev_open"),
+        rev("F").alias("rev_fulfilled"),
+    )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface in one projection: case folding, trim/pad, substring
+    arithmetic, replace, concatenation, length — all portable built-ins."""
+    customer = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.replace(name, F.lit("#"), F.lit("-")).alias("dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat(F.lit("cust:"), name).alias("tagged"),
+        F.reverse(name).alias("reversed"),
+    )
+
+
+QUERIES = {
+    "above_avg_orders": above_avg_orders,
+    "order_status_matrix": order_status_matrix,
+    "cube_revenue": cube_revenue,
+    "string_functions_showcase": string_functions_showcase,
+}
+
+ORACLE = {
+    "above_avg_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+    "order_status_matrix": f"""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+               {money_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS rev_open,
+               {money_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS rev_fulfilled
+        FROM orders
+        GROUP BY 1
+    """,
+    "cube_revenue": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {money_sum_sql('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "string_functions_showcase": """
+        SELECT c_custkey,
+               upper(c_name) AS upper_name,
+               lower(c_name) AS lower_name,
+               length(c_name) AS name_len,
+               substr(c_name, 1, 8) AS prefix8,
+               replace(c_name, '#', '-') AS dashed,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               'cust:' || c_name AS tagged,
+               reverse(c_name) AS reversed
+        FROM customer
+    """,
+}
