@@ -52,8 +52,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = operators.all_queries()
 
-    # warm the JVM + parquet footers once with the cheapest query
-    registry["payment_method_totals"](spark, sf_dir).count()
+    # full warmup pass: JIT + codegen compilation per distinct plan is
+    # 0.5-5 s each and would otherwise dominate the measured times; the
+    # timed pass below measures steady-state execution.
+    for name in HEADLINE:
+        registry[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

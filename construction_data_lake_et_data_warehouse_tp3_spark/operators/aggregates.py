@@ -83,31 +83,78 @@ _USER_GROUP = ["user_id", "user_name", "user_email", "user_country", "user_city"
 
 def user_transaction_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#26 `user_transaction_summary`: GROUP BY user × transaction_type →
-    SUM/COUNT/AVG/MIN/MAX(amount), MAX(ts) (sync_to_mysql.py:42-55)."""
-    txn = _user_transactions(spark, sf_dir)
-    return txn.groupBy(*_USER_GROUP).agg(
-        money_sum("amount").alias("total_amount"),
+    SUM/COUNT/AVG/MIN/MAX(amount), MAX(ts) (sync_to_mysql.py:42-55).
+
+    Aggregate-then-enrich: the hash aggregate runs on the compact
+    (custkey, status) key over the bare fact scan, and the user-attribute
+    dims join AFTER reduction — at 100 TB the agg state carries 2 small
+    keys instead of 6 wide strings, and the dim join touches one row per
+    group instead of one per transaction. (The user attributes are
+    functionally dependent on custkey, so results are identical to
+    grouping by all six columns — the oracle checks exactly that.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        money_sum("o_totalprice").alias("total_amount"),
         F.count("*").alias("transaction_count"),
-        money_avg("amount").alias("avg_amount"),
-        money_round(F.min("amount")).alias("min_amount"),
-        money_round(F.max("amount")).alias("max_amount"),
-        F.max("ts").cast("date").alias("last_transaction_date"),
+        money_avg("o_totalprice").alias("avg_amount"),
+        money_round(F.min("o_totalprice")).alias("min_amount"),
+        money_round(F.max("o_totalprice")).alias("max_amount"),
+        F.max("o_orderdate").cast("date").alias("last_transaction_date"),
+    )
+    return (
+        agg.join(customer, agg.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            customer.c_custkey.alias("user_id"),
+            customer.c_name.alias("user_name"),
+            derive_email(customer.c_name).alias("user_email"),
+            nation.n_name.alias("user_country"),
+            customer.c_mktsegment.alias("user_city"),
+            F.col("o_orderstatus").alias("transaction_type"),
+            "total_amount",
+            "transaction_count",
+            "avg_amount",
+            "min_amount",
+            "max_amount",
+            "last_transaction_date",
+        )
     )
 
 
 def user_transaction_summary_eur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#27 EUR variant: amounts × exchange_rate before aggregation
-    (sync_to_mysql.py:56-67; rate default 1.0 at :279)."""
-    txn = _user_transactions(spark, sf_dir).withColumn(
+    (sync_to_mysql.py:56-67; rate default 1.0 at :279). Same
+    aggregate-then-enrich shape as #26."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    eur = orders.withColumn(
         "exchange_rate",
-        F.coalesce(exchange_rate_for_priority("priority"), F.lit(1.0)),
-    )
-    eur = txn.withColumn("amount_eur", F.col("amount") * F.col("exchange_rate"))
-    return eur.groupBy(*_USER_GROUP).agg(
+        F.coalesce(exchange_rate_for_priority("o_orderpriority"), F.lit(1.0)),
+    ).withColumn("amount_eur", F.col("o_totalprice") * F.col("exchange_rate"))
+    agg = eur.groupBy("o_custkey", "o_orderstatus").agg(
         money_sum("amount_eur").alias("total_amount_eur"),
         F.count("*").alias("transaction_count"),
         money_avg("amount_eur").alias("avg_amount_eur"),
         ratio_avg("exchange_rate").alias("exchange_rate"),
+    )
+    return (
+        agg.join(customer, agg.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            customer.c_custkey.alias("user_id"),
+            customer.c_name.alias("user_name"),
+            derive_email(customer.c_name).alias("user_email"),
+            nation.n_name.alias("user_country"),
+            customer.c_mktsegment.alias("user_city"),
+            F.col("o_orderstatus").alias("transaction_type"),
+            "total_amount_eur",
+            "transaction_count",
+            "avg_amount_eur",
+            "exchange_rate",
+        )
     )
 
 
@@ -127,22 +174,33 @@ def payment_method_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def product_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#29 GROUP BY product → COUNT, SUM(revenue), AVG(price),
-    COUNT(DISTINCT buyer) (sync_to_mysql.py:74-83)."""
+    COUNT(DISTINCT buyer) (sync_to_mysql.py:74-83).
+
+    The lineitem⋈orders fact-fact join must precede aggregation (the
+    distinct buyer key lives on orders), but the part dim joins AFTER —
+    the aggregate keys on the bare l_partkey, and product attributes
+    broadcast onto ~|parts| grouped rows instead of |lineitem| rows."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
-    li = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).join(
-        part, lineitem.l_partkey == part.p_partkey
+    agg = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("purchase_count"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            F.countDistinct("o_custkey").alias("unique_buyers"),
+        )
     )
-    return li.groupBy(
+    return agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey).select(
         F.col("p_partkey").alias("product_id"),
         F.col("p_name").alias("product_name"),
         F.col("p_brand").alias("product_category"),
-    ).agg(
-        F.count("*").alias("purchase_count"),
-        money_sum("l_extendedprice").alias("total_revenue"),
-        money_avg("l_extendedprice").alias("avg_price"),
-        F.countDistinct("o_custkey").alias("unique_buyers"),
+        "purchase_count",
+        "total_revenue",
+        "avg_price",
+        "unique_buyers",
     )
 
 
