@@ -27,6 +27,7 @@ _MODULES = (
     "similarity",
     "text",
     "pipelines",
+    "python_udfs",
 )
 
 

@@ -1,0 +1,141 @@
+"""Python-UDF surface (SURVEY §2.10: scalar pandas_udf, grouped-agg
+pandas UDF, applyInPandas, mapInPandas) — exposed as checked queries.
+
+UDFs are the slow path by policy (everything else in this engine is
+JVM-side), so each demo here is the shape you reach for ONLY when
+built-ins can't express the logic. All are Arrow-batched (vectorized
+transfer); none is row-at-a-time Python.
+
+Oracle discipline: aggregating UDFs compute in 64-bit fixed point inside
+pandas (int64 `.sum()` is exact and order-free), so DuckDB reproduces the
+values exactly; the scalar UDF is a pure string map with an exact SQL
+twin. The mapInPandas feature extractor is rows-only (its byte-histogram
+kernel is the stubbed multimodal decode)."""
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.registry import load_table
+
+
+def pandas_scalar_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: vectorized text normalization (lower + trim +
+    whitespace collapse). SQL twin: lower(trim(regexp_replace(...)))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def normalize(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize("text").alias("norm_text"))
+
+
+def pandas_udaf_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): per event_type, fixed-point
+    total of value (int64 sum inside pandas — exact, order-free)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def total_cents(values: pd.Series) -> int:
+        return int((values * 100).round().astype("int64").sum())
+
+    @pandas_udf(T.LongType())
+    def n_rows(values: pd.Series) -> int:
+        return int(len(values))
+
+    events = load_table(spark, sf_dir, "events")
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — both aggregates are pandas UDAFs here.
+    return events.groupBy(F.col("event_type").alias("payment_method")).agg(
+        total_cents("value").alias("total_cents"),
+        n_rows("value").alias("n_events"),
+    )
+
+
+GROUP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("min_cents", T.LongType()),
+        T.StructField("max_cents", T.LongType()),
+    ]
+)
+
+
+def apply_in_pandas_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (UDTF-ish, §2.10 #68): arbitrary per-group pandas
+    logic; here fixed-point group stats with an exact SQL twin."""
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_cents": [int(cents.sum())],
+                "min_cents": [int(cents.min())],
+                "max_cents": [int(cents.max())],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").applyInPandas(stats, GROUP_STATS_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas over binary media columns (stubbed decode — see
+    operators.multimodal): documents doubling as deterministic fake media
+    blobs. rows-only checked (the kernel is the multimodal stub)."""
+    from .multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(F.md5("text")).alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
+
+
+QUERIES = {
+    "pandas_scalar_norm": pandas_scalar_norm,
+    "pandas_udaf_value_stats": pandas_udaf_value_stats,
+    "apply_in_pandas_group_stats": apply_in_pandas_group_stats,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE = {
+    "pandas_scalar_norm": """
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+        FROM documents
+    """,
+    "pandas_udaf_value_stats": """
+        SELECT event_type AS payment_method,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    "apply_in_pandas_group_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        FROM events
+        GROUP BY 1
+    """,
+}
