@@ -21,6 +21,7 @@ _MODULES = (
     "joins",
     "windows",
     "analytics",
+    "setops",
     "tpch",
     "temporal",
     "dedup",
