@@ -49,23 +49,38 @@ class DataLakeWriter:
     # ---- streams: date-partitioned append (#8) -------------------------
 
     def export_stream(
-        self, df: DataFrame, config: FeedConfig, partition_date: date | None = None
+        self,
+        df: DataFrame,
+        config: FeedConfig,
+        partition_date: date | None = None,
+        event_time_col: str | None = None,
     ) -> dict:
-        """Append df under year=/month=/day= of the feed dir. Partition
-        date defaults to *processing time* (kafka_consumer_datalake.py:35 —
-        SURVEY §7 risk 3 keeps this default; pass an event-date column via
-        partition_date=None and pre-derived columns for event time)."""
+        """Append df under year=/month=/day= of the feed dir.
+
+        Partition date defaults to *processing time* — the reference's
+        behavior (kafka_consumer_datalake.py:35; SURVEY §7 risk 3 keeps
+        this default). Pass ``event_time_col`` to opt into event-time
+        partitioning: partition columns derive from that column per row,
+        so one batch may fan out to many day-partitions."""
         if not config.enabled:  # #19 enabled-feed predicate
             return {"skipped": "disabled"}
         if df.isEmpty():  # #20 empty-input guard
             return {"skipped": "empty"}
+        path = self.catalog.feed_data_path(config)
+        if event_time_col is not None:
+            out = (
+                df.withColumn("year", F.year(event_time_col))
+                .withColumn("month", F.month(event_time_col))
+                .withColumn("day", F.dayofmonth(event_time_col))
+            )
+            out.write.mode("append").partitionBy("year", "month", "day").parquet(path)
+            return self._update_metadata(config, "event-time multi-partition", df)
         when = partition_date or datetime.now(timezone.utc).date()
         out = (
             df.withColumn("year", F.lit(when.year))
             .withColumn("month", F.lit(when.month))
             .withColumn("day", F.lit(when.day))
         )
-        path = self.catalog.feed_data_path(config)
         out.write.mode("append").partitionBy("year", "month", "day").parquet(path)
         return self._update_metadata(
             config, f"year={when.year}/month={when.month}/day={when.day}", df
@@ -117,6 +132,34 @@ class DataLakeWriter:
         base = self.catalog.feed_data_path(config)
         n = version if version is not None else self.next_version(config) - 1
         return self.spark.read.parquet(os.path.join(base, f"version=v{n}"))
+
+    def read_table_as_of(self, config: FeedConfig, as_of_iso: str) -> DataFrame:
+        """Time travel: latest snapshot exported at or before `as_of_iso`
+        (ISO timestamp) — the Delta `VERSION AS OF`/`TIMESTAMP AS OF`
+        equivalent over explicit version=vN partitions, resolved from the
+        feed's export metadata (surviving retention pruning)."""
+        path = self._metadata_path(config)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no export metadata for {config.feed_name}")
+        with open(path) as fh:
+            meta = json.load(fh)
+        candidates = [
+            int(p["path"].replace("version=v", ""))
+            for p in meta["partitions"]
+            if p["path"].startswith("version=v") and p["exported_at"] <= as_of_iso
+        ]
+        live = {n for n, _ in self._live_versions(config)}
+        candidates = [n for n in candidates if n in live]
+        if not candidates:
+            raise LookupError(
+                f"no live version of {config.feed_name} at or before {as_of_iso}"
+            )
+        return self.read_table_feed(config, version=max(candidates))
+
+    def _live_versions(self, config: FeedConfig):
+        from .retention import list_versions
+
+        return list_versions(self.catalog.feed_data_path(config))
 
     # ---- metadata (#30, export_to_data_lake.py:277-328) -----------------
 

@@ -37,31 +37,10 @@ from ..functions.scalar import (
 )
 from ..sources.registry import load_table
 
-# Shared enriched-transaction input: orders + user attributes.
-# Reference equivalent: the ksqlDB join feeding user_transaction_summary
-# (implied by output schema sync_to_mysql.py:42-55).
-
-
-def _user_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .select(
-            customer.c_custkey.alias("user_id"),
-            customer.c_name.alias("user_name"),
-            derive_email(customer.c_name).alias("user_email"),
-            nation.n_name.alias("user_country"),
-            customer.c_mktsegment.alias("user_city"),
-            orders.o_orderstatus.alias("transaction_type"),
-            orders.o_totalprice.alias("amount"),
-            orders.o_orderdate.alias("ts"),
-            orders.o_orderpriority.alias("priority"),
-        )
-    )
-
+# The oracle SQL for the user summaries still joins first and groups by all
+# six user columns (the reference's literal shape, sync_to_mysql.py:42-55);
+# the Spark implementations aggregate on compact keys then enrich — the
+# parity check proves the two shapes equivalent.
 
 _USER_TXN_SQL = """
     SELECT c_custkey AS user_id,
@@ -78,7 +57,6 @@ _USER_TXN_SQL = """
     JOIN nation ON c_nationkey = n_nationkey
 """
 
-_USER_GROUP = ["user_id", "user_name", "user_email", "user_country", "user_city", "transaction_type"]
 
 
 def user_transaction_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,6 +138,17 @@ def streaming_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_user_totals_distinct(stream: DataFrame) -> DataFrame:
+    """#66 + SURVEY §7 risk 5: exact COUNT(DISTINCT) is unsupported in
+    streaming aggregation — approx_count_distinct (HLL, mergeable state)
+    is the streaming-legal form; the batch path keeps the exact count."""
+    return stream.groupBy("currency").agg(
+        F.sum("amount").alias("total_amount"),
+        F.count("*").alias("transaction_count"),
+        F.approx_count_distinct("user_id").alias("approx_unique_users"),
+    )
+
+
 def windowed_user_totals(
     stream: DataFrame,
     event_time_col: str = "event_time",

@@ -82,6 +82,13 @@ def dedupe_updates(
     )
 
 
+class SchemaMismatchError(ValueError):
+    """Raised when updates are missing columns the target table carries —
+    the explicit failure the reference lacks (its positional rename guard
+    silently leaves integer column names on drift, sync_to_mysql.py:112;
+    SURVEY §1.3 requires enforcement at the warehouse boundary)."""
+
+
 def merge_into(
     table: ParquetTable,
     updates: DataFrame,
@@ -92,13 +99,27 @@ def merge_into(
     """MERGE updates into table on keys; returns number of upserted rows.
 
     Equivalent to `INSERT … ON DUPLICATE KEY UPDATE <all non-key cols>,
-    updated_at = CURRENT_TIMESTAMP` (sync_to_mysql.py:137-142)."""
+    updated_at = CURRENT_TIMESTAMP` (sync_to_mysql.py:137-142).
+
+    Schema policy: updates may ADD columns (target backfills null) but may
+    not DROP columns the target has — that's schema drift and raises."""
+    missing_keys = [k for k in keys if k not in updates.columns]
+    if missing_keys:
+        raise SchemaMismatchError(f"updates missing merge key columns {missing_keys}")
     updates = dedupe_updates(updates, keys, order_by)
     if stamp_updated_at:
         updates = updates.withColumn("updated_at", F.current_timestamp())
 
     if table.exists():
         target = table.read()
+        dropped = [
+            c for c in target.columns if c not in updates.columns and c != "updated_at"
+        ]
+        if dropped:
+            raise SchemaMismatchError(
+                f"updates missing target columns {dropped}; explicit schema "
+                f"evolution only (add columns, never silently drop)"
+            )
         for col in updates.columns:  # schema evolution: add new columns as null
             if col not in target.columns:
                 target = target.withColumn(col, F.lit(None).cast(updates.schema[col].dataType))
