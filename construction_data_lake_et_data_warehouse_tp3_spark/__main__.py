@@ -1,0 +1,211 @@
+"""Engine CLI — the operational surface of the reference's scripts,
+unified (`python -m construction_data_lake_et_data_warehouse_tp3_spark <cmd>`):
+
+  feeds list|add|archive|restore|disable|enable   ≙ manage_feeds.py
+  export stream|table                             ≙ export_to_data_lake.py
+  retention streams|versions [--dry-run]          ≙ data_retention.py
+  sync-warehouse [--version N]                    ≙ sync_to_mysql.py
+  permissions grant|list                          ≙ permissions_manager.py
+  generate --topic --messages                     ≙ kafka_producer.py
+  bench                                           (bench.py passthrough)
+
+One SparkSession per invocation; feeds live under --lake-root (default
+$SPARK_GRAFT_LAKE or /tmp/tp3_lake). The reference's subprocess-based
+orchestrator (beam_orchestrator.py:32-59) becomes direct function calls —
+an external scheduler (cron) invokes these subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _lake_root(args) -> str:
+    return args.lake_root or os.environ.get("SPARK_GRAFT_LAKE", "/tmp/tp3_lake")
+
+
+def _spark():
+    from .session import get_spark
+
+    spark = get_spark("tp3-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_feeds(args) -> int:
+    from .lake import FeedCatalog, FeedConfig
+
+    if args.action != "list" and not args.name:
+        print(f"error: feeds {args.action} requires a feed name", file=sys.stderr)
+        return 2
+    catalog = FeedCatalog(_lake_root(args))
+    if args.action == "list":
+        for archived in (False, True):
+            for cfg in catalog.list(archived=archived):
+                tag = "ARCHIVED" if archived else ("enabled" if cfg.enabled else "disabled")
+                print(f"{cfg.feed_name:32s} {cfg.feed_type.value:7s} {tag:9s} {cfg.description}")
+    elif args.action == "add":
+        cfg = catalog.add(
+            FeedConfig(
+                feed_name=args.name,
+                feed_type=args.type,
+                source=args.source or args.name,
+                partitioning="date" if args.type == "stream" else "version",
+                storage_mode="append" if args.type == "stream" else "overwrite",
+            )
+        )
+        print(f"created feed {cfg.feed_name}")
+    elif args.action in ("archive", "restore", "disable", "enable"):
+        getattr(catalog, args.action)(args.name)
+        print(f"{args.action}d {args.name}")
+    elif args.action == "delete":
+        catalog.delete(args.name, confirm=args.confirm)
+        print(f"deleted feed config {args.name} (data retained)")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .lake import DataLakeWriter, FeedCatalog
+    from .sources.registry import load_table
+
+    spark = _spark()
+    catalog = FeedCatalog(_lake_root(args))
+    writer = DataLakeWriter(spark, catalog)
+    config = catalog.get(args.feed)
+    df = load_table(spark, args.sf_dir, args.table)
+    if args.kind == "stream":
+        result = writer.export_stream(df, config, event_time_col=args.event_time_col)
+    else:
+        result = writer.export_table(df, config)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_retention(args) -> int:
+    from .lake import FeedCatalog, apply_stream_retention, apply_version_retention
+    from .lake.catalog import FeedType
+
+    catalog = FeedCatalog(_lake_root(args))
+    for cfg in catalog.list():
+        path = catalog.feed_data_path(cfg)
+        if args.kind == "streams" and cfg.feed_type is FeedType.STREAM:
+            victims = apply_stream_retention(
+                path, args.days or cfg.retention_days or 365, dry_run=args.dry_run
+            )
+        elif args.kind == "versions" and cfg.feed_type is FeedType.TABLE:
+            victims = apply_version_retention(
+                path, args.keep or cfg.keep_versions or 7, dry_run=args.dry_run
+            )
+        else:
+            continue
+        verb = "would delete" if args.dry_run else "deleted"
+        print(f"{cfg.feed_name}: {verb} {len(victims)} partitions")
+    return 0
+
+
+def cmd_sync_warehouse(args) -> int:
+    from .warehouse import sync_warehouse
+
+    spark = _spark()
+    counts = sync_warehouse(
+        spark, args.sf_dir, args.warehouse_root, snapshot_version=args.version
+    )
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_permissions(args) -> int:
+    from .lake.permissions import PermissionsManager
+
+    spark = _spark()
+    pm = PermissionsManager(spark, os.path.join(_lake_root(args), "permissions"))
+    if args.action == "grant":
+        pm.grant(args.email, args.folder, args.mode, granted_by=args.granted_by)
+        print(f"granted {args.mode} on {args.folder} to {args.email}")
+    elif args.action == "list":
+        for row in pm.list().collect():
+            state = "active" if row["is_active"] else "revoked"
+            print(f"{row['user_email']:30s} {row['permission_type']:6s} {row['folder_path']} [{state}]")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from .sources import generator
+
+    spark = _spark()
+    builders = {
+        "transaction_stream": generator.transaction_batch,
+        "transaction_flattened": generator.flattened_batch,
+        "transaction_stream_anonymized": generator.anonymized_batch,
+        "transaction_stream_blacklisted": generator.blacklisted_batch,
+    }
+    df = builders[args.topic](spark, args.messages)
+    if args.out:
+        df.write.mode("append").json(args.out)
+        print(f"wrote {args.messages} {args.topic} messages to {args.out}")
+    else:
+        df.show(10, truncate=False)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="tp3-spark")
+    parser.add_argument("--lake-root", default=None)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    feeds = sub.add_parser("feeds")
+    feeds.add_argument("action", choices=["list", "add", "archive", "restore", "disable", "enable", "delete"])
+    feeds.add_argument("name", nargs="?")
+    feeds.add_argument("--type", choices=["stream", "table"], default="stream")
+    feeds.add_argument("--source")
+    feeds.add_argument("--confirm", action="store_true")
+    feeds.set_defaults(fn=cmd_feeds)
+
+    export = sub.add_parser("export")
+    export.add_argument("kind", choices=["stream", "table"])
+    export.add_argument("feed")
+    export.add_argument("--table", required=True, help="testdata table to export")
+    export.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    export.add_argument("--event-time-col")
+    export.set_defaults(fn=cmd_export)
+
+    retention = sub.add_parser("retention")
+    retention.add_argument("kind", choices=["streams", "versions"])
+    retention.add_argument("--days", type=int)
+    retention.add_argument("--keep", type=int)
+    retention.add_argument("--dry-run", action="store_true")
+    retention.set_defaults(fn=cmd_retention)
+
+    sync = sub.add_parser("sync-warehouse")
+    sync.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    sync.add_argument("--warehouse-root", default="/tmp/tp3_warehouse")
+    sync.add_argument("--version", type=int, default=1)
+    sync.set_defaults(fn=cmd_sync_warehouse)
+
+    perms = sub.add_parser("permissions")
+    perms.add_argument("action", choices=["grant", "list"])
+    perms.add_argument("--email")
+    perms.add_argument("--folder")
+    perms.add_argument("--mode", choices=["read", "write", "admin"], default="read")
+    perms.add_argument("--granted-by", default="cli")
+    perms.set_defaults(fn=cmd_permissions)
+
+    gen = sub.add_parser("generate")
+    gen.add_argument("--topic", default="transaction_stream")
+    gen.add_argument("--messages", type=int, default=100)
+    gen.add_argument("--out")
+    gen.set_defaults(fn=cmd_generate)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,31 @@
+"""CLI regression tests (main() invoked in-process; the CLI mirrors the
+reference's script entry points — manage_feeds / export / retention /
+permissions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from construction_data_lake_et_data_warehouse_tp3_spark.__main__ import main
+
+
+class TestCli:
+    def test_feeds_lifecycle(self, tmp_path, capsys):
+        root = str(tmp_path / "lake")
+        assert main(["--lake-root", root, "feeds", "add", "s1", "--type", "stream"]) == 0
+        assert main(["--lake-root", root, "feeds", "add", "t1", "--type", "table"]) == 0
+        assert main(["--lake-root", root, "feeds", "list"]) == 0
+        out = capsys.readouterr().out
+        assert "s1" in out and "t1" in out
+        assert main(["--lake-root", root, "feeds", "archive", "s1"]) == 0
+        assert main(["--lake-root", root, "feeds", "restore", "s1"]) == 0
+        assert main(["--lake-root", root, "feeds", "delete", "t1", "--confirm"]) == 0
+
+    def test_missing_name_is_clean_error(self, tmp_path):
+        assert main(["--lake-root", str(tmp_path), "feeds", "add"]) == 2
+
+    def test_retention_dry_run(self, tmp_path, capsys):
+        root = str(tmp_path / "lake")
+        main(["--lake-root", root, "feeds", "add", "s1", "--type", "stream"])
+        assert main(["--lake-root", root, "retention", "streams", "--dry-run"]) == 0
+        assert "would delete" in capsys.readouterr().out
