@@ -59,3 +59,26 @@ class TestPlans:
     def test_q1_codegen(self, spark):
         df = tpch.tpch_q1(spark, SF_DIR)
         assert wholestage_codegen_spans(df) >= 1
+
+    def test_q10_filters_reach_both_scans(self, spark):
+        df = tpch.tpch_q10(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "o_orderdate" in filters  # date range → orders scan
+        assert "l_returnflag" in filters  # flag filter → lineitem scan
+
+    def test_blacklist_filter_is_broadcast_semi(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import transforms
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
+
+        df = transforms.blacklist_filter(spark, SF_DIR)
+        plan = explain_str(df, "simple")
+        assert "LeftSemi" in plan and "Broadcast" in plan
+
+    def test_product_counts_scan_pruned(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import aggregates
+
+        df = aggregates.product_purchase_counts(spark, SF_DIR)
+        schemas = scan_read_schema(df)
+        # the lineitem scan must NOT read unused wide columns
+        lineitem_scans = [s for s in schemas if "l_partkey" in s]
+        assert lineitem_scans and all("l_returnflag" not in s for s in lineitem_scans)
