@@ -22,6 +22,7 @@ _MODULES = (
     "windows",
     "analytics",
     "setops",
+    "relational_extras",
     "tpch",
     "temporal",
     "dedup",
