@@ -23,6 +23,7 @@ _MODULES = (
     "analytics",
     "setops",
     "relational_extras",
+    "arrays",
     "tpch",
     "temporal",
     "dedup",
