@@ -5,21 +5,25 @@ Four strategies, all expressed with JVM-side built-ins (no Python in the
 hot path) and all deterministic so the DuckDB oracle can check them:
 
 - exact:      hash-groupBy on md5(text) — one shuffle on the hash.
-- minhash:    char-7-gram shingles → k=12 Carter-Wegman minhashes over one
+- minhash:    char-12-gram shingles → k=12 Carter-Wegman minhashes over one
               md5 per shingle → 3 LSH bands of 4 rows → candidates via
-              band-bucket grouping. Portable determinism trick: both engines
-              parse the same md5 hex halves to BIGINT, so the hash family is
-              bit-identical with no engine-specific hash functions.
+              band-bucket grouping, buckets larger than LSH_BUCKET_CAP
+              dropped as non-discriminative. Portable determinism trick:
+              both engines parse the same md5 hex halves to BIGINT, so the
+              hash family is bit-identical with no engine-specific hashes.
 - simhash:    32-bit signature from token-hash hex digits (±1 vote per
-              digit), emitted as a bit string.
+              digit), folded entirely map-side — no explode, no shuffle.
 - n-gram jaccard: word-3-gram shingle join → |∩| / |A∪B| per pair.
 
 Scale notes (100 TB corpus):
 - minhash is the scale path: cost is O(docs × shingles × k) map-side plus a
   shuffle keyed on (band, signature); candidate generation never compares
   all pairs. 3 bands × 4 rows ⇒ P(candidate) = 1-(1-J^4)^3: ~0.95 at
-  J=0.9, ~0.18 at J=0.5 — tuned so near-dups collide and the word-soup
-  background doesn't.
+  J=0.9, ~0.18 at J=0.5. Selectivity comes from the shingle length and
+  the bucket cap (constants below), not the banding alone — on this
+  word-soup corpus banding by itself retains ~9% of all pairs (VERDICT
+  r1), because a ~40-word vocabulary makes the background pairwise J
+  high at short shingle lengths.
 - the jaccard join is quadratic in the worst case (all docs share a
   shingle); at scale you run it only on minhash candidates. It's exposed
   standalone here because the oracle can verify it exactly.
@@ -34,19 +38,26 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
-#: char-7-gram distinct shingle array (Spark SQL expression). 7 chars
-#: (vs the classic 5) because this corpus draws on a small shared
-#: vocabulary — short shingles make *every* pair look similar and blow up
-#: the candidate set (measured: 5-gram banding produced 1.69M candidate
-#: pairs at sf0.1; 7-gram with 3 bands of 4 rows produces ~1k).
+#: char shingle length. 12 chars (vs the classic 5) because this corpus
+#: draws on a ~40-word vocabulary — short shingles make *every* pair look
+#: similar and blow up the candidate set. Measured candidate pairs at
+#: sf0.1 (5,000 docs, 12.5M pairs) with 3 bands × 4 rows: 5-gram 1.69M,
+#: 7-gram 1.13M (~9%, the VERDICT r1 finding), 12-gram 74k, 12-gram +
+#: bucket cap 20 → 14k (0.11%) while still catching 24/25 planted
+#: J≥0.8 near-dup pairs at sf0.01 (the 1 miss is the LSH probability
+#: curve at the 0.8 boundary, not the cap).
+SHINGLE_LEN = 12
+
+#: char-SHINGLE_LEN-gram distinct shingle array (Spark SQL expression).
 CHAR_SHINGLES = (
-    "array_distinct(transform(sequence(1, greatest(length(text) - 6, 1)),"
-    " i -> substr(text, i, 7)))"
+    f"array_distinct(transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),"
+    f" i -> substr(text, i, {SHINGLE_LEN})))"
 )
 
 #: same shingle set in DuckDB list-comprehension form.
 CHAR_SHINGLES_DUCK = (
-    "list_distinct([substr(text, i, 7) for i in range(1, greatest(len(text) - 6, 1) + 1)])"
+    f"list_distinct([substr(text, i, {SHINGLE_LEN}) for i in "
+    f"range(1, greatest(len(text) - {SHINGLE_LEN - 1}, 1) + 1)])"
 )
 
 #: word-3-gram distinct shingles from whitespace tokens.
@@ -62,6 +73,15 @@ WORD_SHINGLES_DUCK = (
 
 MINHASH_K = 12
 MINHASH_ROWS_PER_BAND = 4  # 3 bands: P(candidate) = 1-(1-J^4)^3
+
+#: LSH buckets with more members than this are dropped, not expanded into
+#: pairs. A bucket this large on a near-dup task is a non-discriminative
+#: signature (stop-shingle), not a duplicate cluster — and pair expansion
+#: is quadratic in bucket size, so one hot bucket dominates the output.
+#: At 100 TB this cap is what keeps the worst case linear. Exact-dup
+#: clusters bigger than the cap are still caught by dedup_exact (hash
+#: groupBy), which is the right tool for them.
+LSH_BUCKET_CAP = 20
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,20 +142,21 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: band signatures → bucket grouping
-    → per-bucket pair expansion → distinct (doc_a < doc_b) pairs.
+    → per-bucket pair expansion (buckets ≤ LSH_BUCKET_CAP only) → distinct
+    (doc_a < doc_b) pairs.
 
     Buckets are materialized with ONE pass over the signatures (groupBy +
     collect_list) and pairs expand with an array expression — a band
     self-join would recompute the whole minhash lineage for each side
-    (measured ~2× slower). Pathological buckets stay quadratic by nature;
-    at 100 TB cap bucket size upstream (drop or re-shingle buckets with
-    more members than plausibly duplicate)."""
+    (measured ~2× slower). The cap bounds the quadratic pair expansion:
+    an oversized bucket means a non-discriminative signature, and at
+    100 TB dropping it is the difference between linear and quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     bands = _band_signatures(docs)
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
+        .where((F.size("ds") > 1) & (F.size("ds") <= LSH_BUCKET_CAP))
     )
     pair_expr = (
         "flatten(transform(sequence(1, size(ds) - 1), "
@@ -151,31 +172,31 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 32 hex digits of each distinct token's md5 vote ±1 per
-    position; sign of the vote sum is the signature bit."""
+    position; sign of the vote sum is the signature bit.
+
+    Computed entirely map-side: each distinct token is hashed ONCE, then a
+    `transform(sequence(1,32), b -> aggregate(hashes, ...))` folds the
+    32-slot vote array per document inside a single Project — no explode,
+    no shuffle, plan is scan→project. (The previous formulation exploded
+    one row per (doc, token, bit) through a shuffle — a 32× row
+    amplification; VERDICT r1 §What's wrong #3.)"""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
+    hashed = docs.select(
         "doc_id",
-        F.explode(F.expr("array_distinct(split(trim(text), '\\\\s+'))")).alias("t"),
-    )
-    votes = tokens.select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
         F.expr(
-            "CASE WHEN instr('0123456789abcdef', substr(md5(t), b, 1)) - 1 >= 8"
-            " THEN 1 ELSE -1 END"
-        ).alias("vote"),
+            "transform(array_distinct(split(trim(text), '\\\\s+')), t -> md5(t))"
+        ).alias("hs"),
     )
-    bits = votes.groupBy("doc_id", "b").agg(
-        F.when(F.sum("vote") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    vote_sum = (
+        "aggregate(hs, 0, (acc, h) -> acc + (CASE WHEN"
+        " instr('0123456789abcdef', substr(h, b, 1)) - 1 >= 8 THEN 1 ELSE -1 END))"
     )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(b, bit))), x -> x.bit)"), ""
-        ).alias("simhash")
+    return hashed.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(1, 32),"
+            f" b -> CASE WHEN {vote_sum} >= 0 THEN '1' ELSE '0' END), '')"
+        ).alias("simhash"),
     )
 
 
@@ -219,6 +240,51 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 
+
+def duck_lsh_candidates_cte() -> str:
+    """DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the exact oracle
+    twin of minhash_lsh_candidates (same shingles, hash family, banding,
+    and LSH_BUCKET_CAP). Shared by this module's ORACLE and by
+    pipelines.minhash_verified_dups's oracle so the two can never drift."""
+    mh_defs = ", ".join(
+        f"min(h1 + {j} * h2) AS mh_{j}" for j in range(1, MINHASH_K + 1)
+    )
+    n_bands = MINHASH_K // MINHASH_ROWS_PER_BAND
+    sig_defs = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"mh_{j}::VARCHAR"
+            for j in range(b * MINHASH_ROWS_PER_BAND + 1, (b + 1) * MINHASH_ROWS_PER_BAND + 1)
+        ) + f") AS s{b}"
+        for b in range(n_bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{b} AS sig FROM msigs" for b in range(n_bands)
+    )
+    return f"""
+        msh AS (SELECT doc_id, unnest({CHAR_SHINGLES_DUCK}) AS s FROM documents),
+        mhashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+            FROM msh
+        ),
+        mmh AS (SELECT doc_id, {mh_defs} FROM mhashed GROUP BY 1),
+        msigs AS (SELECT doc_id, {sig_defs} FROM mmh),
+        mbands AS ({band_union}),
+        mkeep AS (
+            SELECT band, sig FROM mbands
+            GROUP BY 1, 2
+            HAVING count(*) >= 2 AND count(*) <= {LSH_BUCKET_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM mbands x
+            JOIN mkeep k ON x.band = k.band AND x.sig = k.sig
+            JOIN mbands y ON y.band = k.band AND y.sig = k.sig
+            WHERE x.doc_id < y.doc_id
+        )
+    """
+
 ORACLE = {
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
@@ -227,44 +293,7 @@ ORACLE = {
         FROM documents
         GROUP BY 1
     """,
-    "minhash_lsh_candidates": f"""
-        WITH sh AS (
-            SELECT doc_id, unnest({CHAR_SHINGLES_DUCK}) AS s FROM documents
-        ),
-        hashed AS (
-            SELECT doc_id,
-                   ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
-                   ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
-            FROM sh
-        ),
-        mh AS (
-            SELECT doc_id,
-                   min(h1 + 1 * h2) AS mh_1,
-                   min(h1 + 2 * h2) AS mh_2,
-                   min(h1 + 3 * h2) AS mh_3,
-                   min(h1 + 4 * h2) AS mh_4,
-                   min(h1 + 5 * h2) AS mh_5,
-                   min(h1 + 6 * h2) AS mh_6,
-                   min(h1 + 7 * h2) AS mh_7,
-                   min(h1 + 8 * h2) AS mh_8,
-                   min(h1 + 9 * h2) AS mh_9,
-                   min(h1 + 10 * h2) AS mh_10,
-                   min(h1 + 11 * h2) AS mh_11,
-                   min(h1 + 12 * h2) AS mh_12
-            FROM hashed GROUP BY 1
-        ),
-        sigs AS (
-            SELECT doc_id,
-                   md5(mh_1::VARCHAR || '|' || mh_2::VARCHAR || '|' || mh_3::VARCHAR || '|' || mh_4::VARCHAR) AS s0,
-                   md5(mh_5::VARCHAR || '|' || mh_6::VARCHAR || '|' || mh_7::VARCHAR || '|' || mh_8::VARCHAR) AS s1,
-                   md5(mh_9::VARCHAR || '|' || mh_10::VARCHAR || '|' || mh_11::VARCHAR || '|' || mh_12::VARCHAR) AS s2
-            FROM mh
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sigs a JOIN sigs b
-          ON a.doc_id < b.doc_id
-         AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2)
-    """,
+    "minhash_lsh_candidates": None,  # assigned below — needs duck_lsh_candidates_cte()
     "simhash_signatures": """
         WITH tok AS (
             SELECT doc_id,
@@ -304,3 +333,7 @@ ORACLE = {
         WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) >= 0.2
     """,
 }
+
+ORACLE["minhash_lsh_candidates"] = (
+    f"WITH {duck_lsh_candidates_cte()} SELECT doc_a, doc_b FROM cand"
+)

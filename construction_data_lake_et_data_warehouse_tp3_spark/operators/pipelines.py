@@ -29,12 +29,9 @@ from pyspark.sql.window import Window
 
 from ..sources.registry import load_table
 from .dedup import (
-    CHAR_SHINGLES_DUCK,
-    MINHASH_K,
-    MINHASH_ROWS_PER_BAND,
     WORD_SHINGLES,
     WORD_SHINGLES_DUCK,
-    _band_signatures,
+    duck_lsh_candidates_cte,
     minhash_lsh_candidates,
 )
 from .similarity import _DOT, _NORM, _TO_DOUBLE, plane_components
@@ -164,35 +161,6 @@ QUERIES = {
 }
 
 
-def _duck_minhash_candidates() -> str:
-    """CTE body reproducing minhash_lsh_candidates in DuckDB."""
-    mh_defs = ", ".join(f"min(h1 + {j} * h2) AS mh_{j}" for j in range(1, MINHASH_K + 1))
-    n_bands = MINHASH_K // MINHASH_ROWS_PER_BAND
-    sig_defs = ", ".join(
-        "md5(" + " || '|' || ".join(
-            f"mh_{j}::VARCHAR"
-            for j in range(b * MINHASH_ROWS_PER_BAND + 1, (b + 1) * MINHASH_ROWS_PER_BAND + 1)
-        ) + f") AS s{b}"
-        for b in range(n_bands)
-    )
-    sig_or = " OR ".join(f"x.s{b} = y.s{b}" for b in range(n_bands))
-    return f"""
-        msh AS (SELECT doc_id, unnest({CHAR_SHINGLES_DUCK}) AS s FROM documents),
-        mhashed AS (
-            SELECT doc_id,
-                   ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
-                   ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
-            FROM msh
-        ),
-        mmh AS (SELECT doc_id, {mh_defs} FROM mhashed GROUP BY 1),
-        msigs AS (SELECT doc_id, {sig_defs} FROM mmh),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM msigs x JOIN msigs y ON x.doc_id < y.doc_id AND ({sig_or})
-        )
-    """
-
-
 _HAMMING_DUCK = " + ".join(
     f"CASE WHEN substr(a.simhash, {i}, 1) != substr(b.simhash, {i}, 1) THEN 1 ELSE 0 END"
     for i in range(1, 33)
@@ -213,7 +181,7 @@ def _duck_ivf_bits() -> str:
 
 ORACLE = {
     "minhash_verified_dups": f"""
-        WITH {_duck_minhash_candidates()},
+        WITH {duck_lsh_candidates_cte()},
         toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         wsh AS (
             SELECT doc_id, unnest({WORD_SHINGLES_DUCK}) AS s FROM toks
