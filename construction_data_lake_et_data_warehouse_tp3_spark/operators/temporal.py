@@ -116,26 +116,56 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the user's most recent order at or
-    before the event date (equi-join + time filter + top-1 window; the
-    operator Spark lacks as a primitive, SURVEY brief)."""
+    before the event date (the operator Spark lacks as a primitive,
+    SURVEY brief).
+
+    Scale-safe shape (VERDICT r1 §What's wrong #4): union events+orders
+    tagged, ONE shuffle on user_id, sorted window pass carrying the last
+    order seen forward (`last(..., ignorenulls)`). The previous equi-join
+    on user × all-earlier-orders materialized |events_u|×|orders_u| rows
+    per user before its top-1 window — with a power-law user that
+    intermediate is quadratic in the hot key; this shape's state per key
+    is O(1) and the row count is |events|+|orders| throughout.
+
+    Ordering (d, is_event, o_orderkey): orders sort before events on the
+    same date (order_date <= event_date includes equality), and ascending
+    o_orderkey makes the carried struct end at the max orderkey of the
+    latest qualifying date — the same tiebreak as the oracle's
+    ROW_NUMBER ... ORDER BY order_date DESC, o_orderkey DESC."""
     events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("ts").cast("date").alias("event_date")
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
     )
-    joined = events.join(
-        orders,
-        (events.user_id == orders.o_custkey)
-        & (orders.order_date <= events.event_date),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("order_date"), F.desc("o_orderkey")
+    carried = events.unionByName(orders).withColumn(
+        "last_order",
+        F.last(
+            F.when(F.col("is_event") == 0, F.struct("d", "o_orderkey")),
+            ignorenulls=True,
+        ).over(w),
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "user_id", F.col("o_orderkey").alias("latest_orderkey"), "order_date")
+        carried.where((F.col("is_event") == 1) & F.col("last_order").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last_order.o_orderkey").alias("latest_orderkey"),
+            F.col("last_order.d").alias("order_date"),
+        )
     )
 
 
