@@ -36,6 +36,21 @@ N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 5
 N_PLANES = 8
 
+#: near-dup cosine threshold shared by the brute-force and bucketed
+#: variants (so the bucketed result is provably ⊆ the brute-force one).
+#: This corpus tops out around cosine 0.6, so both return 0 rows on the
+#: test tables — recall/selectivity of the bucketed path is exercised on
+#: planted near-dup vectors in tests/test_similarity_bucketed.py instead.
+DUP_TAU = 0.8
+
+#: LSH tables for the bucketed dup scan: band 0 is EXACTLY the
+#: lsh_buckets signature (planes 1-8); band 1 uses planes 9-16. With
+#: p = 1 - θ/π per plane, pair recall is 1-(1-p^8)^2: ~0.90 at
+#: cosine 0.99, ~0.49 at 0.9, ~0.29 at 0.8 — the single-table/8-bit
+#: curve doubled. At 100 TB you raise N_BANDS (more tables) for recall;
+#: candidates stay ~N_BANDS × N²/256, never all pairs.
+N_BANDS = 2
+
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectors with their norm precomputed ONCE per vector — inside the
@@ -72,9 +87,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: all pairs with cosine ≥ 0.8 (embedding-cosine
-    near-dup dedup). Quadratic baseline — scale path runs this inside LSH
-    buckets."""
+    """Near-duplicate vectors: all pairs with cosine ≥ DUP_TAU
+    (embedding-cosine near-dup dedup). Quadratic baseline kept as the
+    exactness cross-check; the scale path is
+    embedding_dup_pairs_bucketed below."""
     vec = _vectors(spark, sf_dir)
     a = vec.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = vec.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
@@ -85,7 +101,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .where(F.col("cosine") >= 0.8)
+        .where(F.col("cosine") >= DUP_TAU)
     )
 
 
@@ -112,29 +128,82 @@ def plane_components(j: int, dim: int = 64) -> list[float]:
     return out
 
 
+def _sig_sql(first_plane: int, vec_col: str = "v") -> str:
+    """Spark SQL for the 8-bit hyperplane signature over planes
+    [first_plane, first_plane + N_PLANES). Plane components fold in as
+    literals, so the hot loop is a pure arithmetic fold — zero hashing."""
+    bits = []
+    for j in range(first_plane, first_plane + N_PLANES):
+        plane = ", ".join(f"{c}D" for c in plane_components(j))
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({plane}), (x, p) -> x * p),"
+            f" cast(0 as double), (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 sign bits per vector → bucket histogram.
     (The ANN query path: restrict cosine search to same-bucket candidates.)"""
     vec = _vectors(spark, sf_dir)
-    bits = []
-    for j in range(1, N_PLANES + 1):
-        plane = ", ".join(f"{c}D" for c in plane_components(j))
-        dot = (
-            f"aggregate(zip_with(v, array({plane}), (x, p) -> x * p),"
-            f" cast(0 as double), (acc, x) -> acc + x)"
-        )
-        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    signature = F.expr("concat(" + ", ".join(bits) + ")")
     return (
-        vec.select(signature.alias("bucket"))
+        vec.select(F.expr(_sig_sql(1)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def _banded_vectors(vec: DataFrame) -> DataFrame:
+    """(band, sig, vec_id, v, norm): each vector keyed by its signature in
+    every band — the N_BANDS LSH hash tables stacked as rows. The stack is
+    built with one inline-array explode, not a union, so the source scans
+    once."""
+    bands = ", ".join(
+        f"struct({b} AS band, {_sig_sql(b * N_PLANES + 1)} AS sig)"
+        for b in range(N_BANDS)
+    )
+    return vec.select(
+        "vec_id", "v", "norm", F.explode(F.expr(f"array({bands})")).alias("bs")
+    ).select("vec_id", "v", "norm", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def embedding_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors, scale path: cosine ≥ DUP_TAU computed only
+    for pairs sharing an LSH bucket in at least one of N_BANDS hyperplane
+    tables (VERDICT r1 §What's wrong #2 — the brute-force crossJoin twin
+    `embedding_dup_pairs` stays as the oracle-exact cross-check).
+
+    Cost: signatures are one map-side fold per vector; the self-join
+    shuffles on (band, sig), so only same-bucket pairs ever reach the
+    cosine fold — ~N_BANDS × N²/2^k candidates instead of N²/2. A pair
+    colliding in both bands is deduplicated by the final distinct, which
+    operates on the (vec_a, vec_b, cosine) output rows, not the vectors."""
+    sigs = _banded_vectors(_vectors(spark, sf_dir))
+    a = sigs.select(
+        "band", "sig", F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = sigs.select(
+        "band", "sig", F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    cosine = F.round(
+        F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= DUP_TAU)
+        .distinct()
     )
 
 
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_dup_pairs_bucketed": embedding_dup_pairs_bucketed,
     "lsh_buckets": lsh_buckets,
 }
 
@@ -153,6 +222,28 @@ _DUCK_BITS = ", ".join(
     for j in range(1, N_PLANES + 1)
 )
 
+def _duck_sig(first_plane: int) -> str:
+    """DuckDB twin of _sig_sql: same plane_components (driver-side
+    hashlib = byte-identical to the md5 SQL), folded in as list literals."""
+    bits = []
+    for j in range(first_plane, first_plane + N_PLANES):
+        lits = ", ".join(str(c) for c in plane_components(j))
+        bits.append(
+            f"CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _duck_band_sigs() -> str:
+    return ", ".join(f"{_duck_sig(b * N_PLANES + 1)} AS s{b}" for b in range(N_BANDS))
+
+
+def _duck_band_union() -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, s{b} AS sig FROM sigs" for b in range(N_BANDS)
+    )
+
+
 ORACLE = {
     "cosine_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -167,14 +258,26 @@ ORACLE = {
             FROM p
         ) WHERE rank <= {TOP_K}
     """,
-    "embedding_dup_pairs": """
+    "embedding_dup_pairs": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.8
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {DUP_TAU}
+    """,
+    "embedding_dup_pairs_bucketed": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (SELECT vec_id, v, {_duck_band_sigs()} FROM e),
+        bands AS ({_duck_band_union()})
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {DUP_TAU}
     """,
     "lsh_buckets": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
