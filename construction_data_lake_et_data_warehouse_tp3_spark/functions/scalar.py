@@ -37,7 +37,10 @@ def money(col: Column | str, scale: int = 2) -> Column:
 # construction:
 #   s = Σ round(x·10^in_scale)                    (exact BIGINT; round of
 #       identical doubles matches — both round ties away from zero)
-#   units = (2s + D) div (2D), D = n·10^(in_scale-scale)  (half-up, x ≥ 0)
+#   units = sign(s) · ((2|s| + D) div (2D)), D = n·10^(in_scale-scale)
+#       (half-away-from-zero for either sign: the div operand is
+#       non-negative, where Spark's truncating % and DuckDB's flooring //
+#       agree — negative sums routed through raw div would diverge)
 #   result = units / 10^scale                     (same double both sides)
 # Valid while intermediate integers stay < 2^53 (≈ Σ|x| < 4.5e11 at 4dp
 # ingestion) — far beyond any per-group money sum in this workload; raise
@@ -52,9 +55,11 @@ def money_sum(col: Column | str, scale: int = 2) -> Column:
     outm = 10**scale
     dpu = mult // outm
     s = F.sum(F.round(c * mult).cast("bigint"))
-    units = (s * 2 + dpu).cast("bigint")
+    units = (F.abs(s) * 2 + dpu).cast("bigint")
     denom = F.lit(2 * dpu).cast("bigint")
-    return ((units - units % denom) / denom).cast("bigint").cast("double") / outm
+    sign = F.when(s < 0, F.lit(-1)).otherwise(F.lit(1))
+    q = ((units - units % denom) / denom).cast("bigint")
+    return (sign * q).cast("double") / outm
 
 
 def money_sum_sql(expr: str, scale: int = 2) -> str:
@@ -62,7 +67,10 @@ def money_sum_sql(expr: str, scale: int = 2) -> str:
     outm = 10**scale
     dpu = mult // outm
     s = f"sum(CAST(round(({expr}) * {mult}) AS BIGINT))"
-    return f"CAST((2 * {s} + {dpu}) // (2 * {dpu}) AS DOUBLE) / {outm}"
+    return (
+        f"CAST(CAST(CASE WHEN {s} < 0 THEN -1 ELSE 1 END AS BIGINT)"
+        f" * ((2 * abs({s}) + {dpu}) // (2 * {dpu})) AS DOUBLE) / {outm}"
+    )
 
 
 def money_avg(col: Column | str, scale: int = 2) -> Column:
@@ -72,9 +80,11 @@ def money_avg(col: Column | str, scale: int = 2) -> Column:
     dpu = mult // outm
     s = F.sum(F.round(c * mult).cast("bigint"))
     n = F.count(F.lit(1))
-    units = (s * 2 + n * dpu).cast("bigint")
+    units = (F.abs(s) * 2 + n * dpu).cast("bigint")
     denom = (n * (2 * dpu)).cast("bigint")
-    return ((units - units % denom) / denom).cast("bigint").cast("double") / outm
+    sign = F.when(s < 0, F.lit(-1)).otherwise(F.lit(1))
+    q = ((units - units % denom) / denom).cast("bigint")
+    return (sign * q).cast("double") / outm
 
 
 def money_avg_sql(expr: str, scale: int = 2) -> str:
@@ -83,8 +93,9 @@ def money_avg_sql(expr: str, scale: int = 2) -> str:
     dpu = mult // outm
     s = f"sum(CAST(round(({expr}) * {mult}) AS BIGINT))"
     return (
-        f"CAST((2 * {s} + count(*) * {dpu}) // (2 * count(*) * {dpu}) AS DOUBLE)"
-        f" / {outm}"
+        f"CAST(CAST(CASE WHEN {s} < 0 THEN -1 ELSE 1 END AS BIGINT)"
+        f" * ((2 * abs({s}) + count(*) * {dpu}) // (2 * count(*) * {dpu}))"
+        f" AS DOUBLE) / {outm}"
     )
 
 

@@ -90,9 +90,19 @@ class PermissionsManager:
         )
         if direct.limit(1).count() > 0:
             return True
+        # parent admin grants match on a path-separator boundary: a grant
+        # on '/lake/a' covers '/lake/a' and '/lake/a/...' but NOT the
+        # sibling '/lake/ab' (a raw prefix match would).
         parents = grants.where(
             (F.col("permission_type") == "admin")
-            & F.lit(folder_path).startswith(F.col("folder_path"))
+            & (
+                (F.col("folder_path") == folder_path)
+                | F.lit(folder_path).startswith(
+                    F.concat(
+                        F.regexp_replace(F.col("folder_path"), "/+$", ""), F.lit("/")
+                    )
+                )
+            )
         )
         return parents.limit(1).count() > 0
 

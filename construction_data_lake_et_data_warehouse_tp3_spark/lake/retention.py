@@ -16,7 +16,7 @@ import glob
 import os
 import re
 import shutil
-from datetime import date, datetime, timedelta
+from datetime import date, datetime, timedelta, timezone
 
 _DATE_PART = re.compile(r"year=(\d+)/month=(\d+)/day=(\d+)$")
 
@@ -45,7 +45,10 @@ def apply_stream_retention(
     """Delete day-partitions older than the cutoff; returns deleted (or
     would-delete) partition paths. Prunes empty parent dirs like
     data_retention.py:44-51."""
-    cutoff = ((now or datetime.now()) - timedelta(days=retention_days)).date()
+    # UTC, matching DataLakeWriter.export_stream's partitioning clock — a
+    # naive local-time cutoff can delete/retain a day-partition off by one
+    # near midnight on a non-UTC host (ADVICE r1)
+    cutoff = ((now or datetime.now(timezone.utc)) - timedelta(days=retention_days)).date()
     victims = [path for when, path in list_day_partitions(feed_path) if when < cutoff]
     if not dry_run:
         for path in victims:

@@ -35,8 +35,12 @@ def _tx_id(i) -> F.Column:
 
 
 def _amount(i, seed: int = 42) -> F.Column:
-    """#45 uniform 1.0..500.0 rounded to 2dp (kafka_producer.py:33)."""
-    return F.round(F.rand(seed) * 499.0 + 1.0, 2)
+    """#45 uniform 1.00..500.00 in cents (kafka_producer.py:33). Derived
+    from the row index like every other generated column — F.rand's
+    per-row values depend on partition layout, so seeded batches would
+    only reproduce at a fixed parallelism (ADVICE r1)."""
+    cents = F.pmod(F.xxhash64(i, F.lit(seed ^ 0x5EED)), F.lit(49_901))
+    return (cents.cast("double") / 100.0) + 1.0
 
 
 def transaction_batch(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:

@@ -123,6 +123,14 @@ def merge_into(
         for col in updates.columns:  # schema evolution: add new columns as null
             if col not in target.columns:
                 target = target.withColumn(col, F.lit(None).cast(updates.schema[col].dataType))
+        if "updated_at" in target.columns and "updated_at" not in updates.columns:
+            # stamp_updated_at=False on a previously-stamped target: keep
+            # the existing stamps on untouched rows (dropping the column
+            # would violate the never-silently-drop policy above); the
+            # merged rows get null — their stamp is unknown, not "now"
+            updates = updates.withColumn(
+                "updated_at", F.lit(None).cast(target.schema["updated_at"].dataType)
+            )
         # no broadcast hint: micro-batch updates auto-broadcast under the
         # session threshold, backfill-sized updates fall back to shuffle
         kept = target.select(*updates.columns).join(

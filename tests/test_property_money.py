@@ -20,13 +20,16 @@ from construction_data_lake_et_data_warehouse_tp3_spark.functions.scalar import 
     money_sum_sql,
 )
 
-# money-like doubles: magnitudes from cents to ~500k, plus exact midpoints
-_money = st.one_of(
+# money-like doubles: magnitudes from cents to ~500k, plus exact midpoints,
+# plus NEGATIVE amounts (refunds/credits) — the sign-aware half-up formula
+# must agree across engines on negative group sums too (ADVICE r1)
+_money_pos = st.one_of(
     st.floats(min_value=0.01, max_value=500_000, allow_nan=False, allow_infinity=False),
     st.integers(min_value=1, max_value=50_000_000).map(lambda n: n / 100.0),
     st.integers(min_value=0, max_value=5_000_000).map(lambda n: n / 100.0 + 0.005),
     st.integers(min_value=0, max_value=5_000_000).map(lambda n: n / 100.0 + 0.0050000000001),
 )
+_money = st.one_of(_money_pos, _money_pos.map(lambda v: -v))
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
