@@ -87,31 +87,104 @@ class DataLakeWriter:
         )
 
     # ---- tables: version-partitioned overwrite (#9, #41) ---------------
+    #
+    # Concurrent-writer safety (VERDICT r1 §What's missing #3): version
+    # numbers are allocated through a tiny Delta-style commit log under
+    # <feed>/_commit_log/ (underscore-prefixed, so Spark's file index
+    # ignores it). A writer CLAIMS vN by atomically creating vN.claim
+    # (open 'x' — O_EXCL); losers observe the claim and move to N+1, so
+    # two concurrent export_table calls can never write the same
+    # directory. After the parquet write succeeds the writer promotes the
+    # claim to vN.commit via write-temp + os.rename (atomic), and readers
+    # treat only committed versions as visible — a crashed or in-flight
+    # write is never exposed as "latest". Tables written before the log
+    # existed fall back to the directory listing.
 
-    def next_version(self, config: FeedConfig) -> int:
-        """max(existing versions) + 1 (export_to_data_lake.py:235-245)."""
+    def _commit_log_dir(self, config: FeedConfig) -> str:
+        return os.path.join(self.catalog.feed_data_path(config), "_commit_log")
+
+    def _logged_versions(self, config: FeedConfig, suffix: str) -> set[int]:
+        entries = glob.glob(os.path.join(self._commit_log_dir(config), f"v*.{suffix}"))
+        out = set()
+        for path in entries:
+            stem = os.path.basename(path).removeprefix("v").removesuffix(f".{suffix}")
+            if stem.isdigit():
+                out.add(int(stem))
+        return out
+
+    def _dir_versions(self, config: FeedConfig) -> set[int]:
         path = self.catalog.feed_data_path(config)
-        versions = [
+        return {
             int(os.path.basename(d).replace("version=v", ""))
             for d in glob.glob(os.path.join(path, "version=v*"))
             if os.path.basename(d).replace("version=v", "").isdigit()
-        ]
-        return max(versions, default=0) + 1
+        }
+
+    def committed_versions(self, config: FeedConfig) -> set[int]:
+        """Versions safe to read: committed in the log (intersected with
+        the directories that survived retention), plus pre-log legacy
+        directories."""
+        dirs = self._dir_versions(config)
+        commits = self._logged_versions(config, "commit")
+        claims = self._logged_versions(config, "claim")
+        legacy = dirs - commits - claims  # written before the log existed
+        return (commits & dirs) | legacy
+
+    def next_version(self, config: FeedConfig) -> int:
+        """max(claimed ∪ committed ∪ on-disk versions) + 1
+        (export_to_data_lake.py:235-245). Advisory — export_table uses
+        claim_version for the race-free allocation."""
+        taken = (
+            self._dir_versions(config)
+            | self._logged_versions(config, "claim")
+            | self._logged_versions(config, "commit")
+        )
+        return max(taken, default=0) + 1
+
+    def claim_version(self, config: FeedConfig) -> int:
+        """Atomically allocate the next version number: first writer to
+        create vN.claim owns N; anyone losing the O_EXCL race probes
+        upward."""
+        log_dir = self._commit_log_dir(config)
+        os.makedirs(log_dir, exist_ok=True)
+        n = self.next_version(config)
+        while True:
+            try:
+                with open(os.path.join(log_dir, f"v{n}.claim"), "x") as fh:
+                    fh.write(datetime.now(timezone.utc).isoformat())
+                return n
+            except FileExistsError:
+                n += 1
+
+    def _commit_version(self, config: FeedConfig, n: int, records: int) -> None:
+        log_dir = self._commit_log_dir(config)
+        tmp = os.path.join(log_dir, f".v{n}.commit.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": n,
+                    "records": records,
+                    "committed_at": datetime.now(timezone.utc).isoformat(),
+                },
+                fh,
+            )
+        os.rename(tmp, os.path.join(log_dir, f"v{n}.commit"))  # atomic publish
 
     def export_table(
         self, df: DataFrame, config: FeedConfig, version: int | None = None
     ) -> dict:
-        """Write a full snapshot under version=v<N> (auto-incremented),
-        then purge versions beyond keep_versions (export post-export
-        cleanup, export_to_data_lake.py:204-206)."""
+        """Write a full snapshot under version=v<N> (claimed through the
+        commit log), then purge versions beyond keep_versions (export
+        post-export cleanup, export_to_data_lake.py:204-206)."""
         if not config.enabled:
             return {"skipped": "disabled"}
         if df.isEmpty():
             return {"skipped": "empty"}
-        n = version if version is not None else self.next_version(config)
+        n = version if version is not None else self.claim_version(config)
         path = os.path.join(self.catalog.feed_data_path(config), f"version=v{n}")
         df.write.mode("overwrite").parquet(path)
         meta = self._update_metadata(config, f"version=v{n}", df)
+        self._commit_version(config, n, meta["records"])
         if config.keep_versions:
             from .retention import apply_version_retention
 
@@ -130,8 +203,12 @@ class DataLakeWriter:
 
     def read_table_feed(self, config: FeedConfig, version: int | None = None) -> DataFrame:
         base = self.catalog.feed_data_path(config)
-        n = version if version is not None else self.next_version(config) - 1
-        return self.spark.read.parquet(os.path.join(base, f"version=v{n}"))
+        if version is None:
+            live = self.committed_versions(config)
+            if not live:
+                raise LookupError(f"no committed version of {config.feed_name}")
+            version = max(live)  # never an in-flight claim
+        return self.spark.read.parquet(os.path.join(base, f"version=v{version}"))
 
     def read_table_as_of(self, config: FeedConfig, as_of_iso: str) -> DataFrame:
         """Time travel: latest snapshot exported at or before `as_of_iso`
@@ -148,18 +225,12 @@ class DataLakeWriter:
             for p in meta["partitions"]
             if p["path"].startswith("version=v") and p["exported_at"] <= as_of_iso
         ]
-        live = {n for n, _ in self._live_versions(config)}
-        candidates = [n for n in candidates if n in live]
+        candidates = [n for n in candidates if n in self.committed_versions(config)]
         if not candidates:
             raise LookupError(
                 f"no live version of {config.feed_name} at or before {as_of_iso}"
             )
         return self.read_table_feed(config, version=max(candidates))
-
-    def _live_versions(self, config: FeedConfig):
-        from .retention import list_versions
-
-        return list_versions(self.catalog.feed_data_path(config))
 
     # ---- metadata (#30, export_to_data_lake.py:277-328) -----------------
 
@@ -171,6 +242,37 @@ class DataLakeWriter:
         return os.path.join(meta_dir, f"{config.feed_name}_metadata.json")
 
     def _update_metadata(self, config: FeedConfig, partition: str, df: DataFrame) -> dict:
+        """Read-modify-write of the feed's stats sidecar, serialized by an
+        O_EXCL lock file so concurrent exporters (now legal, see commit
+        log above) can't lose each other's partition entries. Locks older
+        than 60 s are presumed crashed and stolen."""
+        import time
+
+        lock = self._metadata_path(config) + ".lock"
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                time.sleep(0.01)
+        try:
+            return self._update_metadata_locked(config, partition, df)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def _update_metadata_locked(
+        self, config: FeedConfig, partition: str, df: DataFrame
+    ) -> dict:
         path = self._metadata_path(config)
         meta = {
             "source": config.source,
