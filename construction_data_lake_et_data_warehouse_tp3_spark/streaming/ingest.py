@@ -69,11 +69,31 @@ def json_feed_schema(topic: str) -> T.StructType:
     return FEED_SCHEMAS[topic]
 
 
+#: The exact record schema Spark's Kafka source emits (spark-sql-kafka-0-10,
+#: documented in the Structured Streaming + Kafka integration guide).
+#: Shared by kafka_source at runtime and kafka_wire_twin in tests, so a
+#: graph built on the twin is column-for-column the graph kafka_source
+#: feeds — the first projection downstream can't tell them apart.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
 def kafka_source(
     spark: SparkSession, topics: str, bootstrap_servers: str = "localhost:9092"
 ) -> DataFrame:
     """#4 Kafka source with earliest replay (kafka_consumer_datalake.py:21-30).
-    Requires the spark-sql-kafka package + a broker at runtime."""
+    Requires the spark-sql-kafka package + a broker at runtime; option
+    wiring is pinned by tests/test_kafka_wire.py against a recorder, and
+    the downstream graph runs end-to-end on kafka_wire_twin."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -81,6 +101,45 @@ def kafka_source(
         .option("startingOffsets", "earliest")
         .load()
     )
+
+
+def encode_wire_records(
+    df: DataFrame, topic: str, key_col: str | None = None
+) -> DataFrame:
+    """Serialize a payload DataFrame to Kafka wire records — the bytes the
+    reference producer puts on the wire (kafka_producer.py:78-103:
+    value = JSON-encoded payload, key = stringified id): value/key as
+    binary, per-partition monotone offsets. The inverse of
+    parse_kafka_json, used to record protocol fixtures for the twin."""
+    from pyspark.sql.window import Window
+
+    key = (
+        F.col(key_col).cast("string").cast("binary")
+        if key_col
+        else F.lit(None).cast("binary")
+    )
+    part = F.lit(0).cast("int")
+    offset = (
+        F.row_number().over(Window.partitionBy(part).orderBy(F.monotonically_increasing_id()))
+        - 1
+    ).cast("long")
+    return df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*df.columns)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        offset.alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def kafka_wire_twin(spark: SparkSession, records_dir: str) -> DataFrame:
+    """Streaming source with KAFKA_WIRE_SCHEMA fed from recorded wire
+    records (parquet dir) — the in-container stand-in for a broker: same
+    schema, same bytes, same downstream graph
+    (parse_kafka_json → ingest_stream_to_lake)."""
+    return spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(records_dir)
 
 
 def parse_kafka_json(raw: DataFrame, topic: str) -> DataFrame:
