@@ -4,5 +4,6 @@ from .analysis import (  # noqa: F401
     has_partition_filters,
     pushed_filters,
     scan_read_schema,
+    shuffle_exchange_count,
     wholestage_codegen_spans,
 )

@@ -42,6 +42,14 @@ def has_partition_filters(df: DataFrame) -> bool:
     return bool(match and match.group(1).strip())
 
 
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of distinct shuffle Exchange nodes in the physical plan
+    (BroadcastExchange excluded — broadcasts are the cheap kind). Counted
+    from the formatted detail section so each node counts once."""
+    text = explain_str(df)
+    return len(set(re.findall(r"\((\d+)\) Exchange\b", text)))
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen stages (wider = fewer = better).
 

@@ -66,6 +66,40 @@ class TestPlans:
         assert "o_orderdate" in filters  # date range → orders scan
         assert "l_returnflag" in filters  # flag filter → lineitem scan
 
+    def test_q3_filters_reach_all_three_scans(self, spark):
+        """Locks the r1 plan win: each side is filtered BEFORE the join —
+        the mktsegment/date predicates must reach the parquet scans."""
+        df = tpch.tpch_q3(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "c_mktsegment" in filters
+        assert "o_orderdate" in filters
+        assert "l_shipdate" in filters
+
+    def test_q3_single_shuffle(self, spark):
+        """At sf0.001 the filtered customer/orders sides broadcast, so the
+        only shuffle Exchange left is the final aggregation — one shuffle
+        feeds the fact join chain. A regression (lost broadcast, lost
+        pushdown forcing a wider shuffle) adds Exchanges."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        assert shuffle_exchange_count(tpch.tpch_q3(spark, SF_DIR)) == 1
+
+    def test_q5_region_filter_pushed_and_single_shuffle(self, spark):
+        """Selectivity-first q5: the EUROPE predicate reaches the region
+        scan (everything downstream joins pre-filtered sides), dims go
+        broadcast, and only the aggregation shuffles."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q5(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "EqualTo(r_name,EUROPE)" in filters
+        assert has_broadcast_join(df)
+        assert shuffle_exchange_count(df) == 1
+
     def test_blacklist_filter_is_broadcast_semi(self, spark):
         from construction_data_lake_et_data_warehouse_tp3_spark.operators import transforms
         from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
