@@ -39,10 +39,12 @@ HEADLINE = (
     "daily_event_stats",
     "dedup_exact",
     "minhash_lsh_candidates",
+    "simhash_signatures",
     "token_count",
     "text_quality",
     "cosine_topk",
     "lsh_buckets",
+    "embedding_dup_pairs_bucketed",
 )
 
 
@@ -59,12 +61,14 @@ def main() -> None:
         registry[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = registry[name]
         start = time.monotonic()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.monotonic() - start, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     streaming_rate = _streaming_ingest_rate(spark)
@@ -78,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": rows,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "streaming_ingest_rows_per_sec": streaming_rate,
             }
