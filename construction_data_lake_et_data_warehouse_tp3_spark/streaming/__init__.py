@@ -5,4 +5,5 @@ from .ingest import (  # noqa: F401
     streaming_user_totals,
     windowed_user_totals,
 )
+from .stateful import sessionize_stream  # noqa: F401
 from .warehouse_sink import stream_to_warehouse  # noqa: F401

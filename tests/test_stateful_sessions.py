@@ -1,0 +1,111 @@
+"""Stateful streaming sessionization tests (applyInPandasWithState).
+
+The streaming half runs the operator on a real file stream across TWO
+restarts of the same checkpoint, proving state survives: a session left
+open by batch 1 is closed by a gap event arriving in batch 2. The
+timeout path (no new events ever arrive) is deterministic only at the
+unit level, so it drives _sessionize_group with a fake GroupState."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from construction_data_lake_et_data_warehouse_tp3_spark.streaming.stateful import (
+    SESSION_SCHEMA,
+    _sessionize_group,
+    sessionize_stream,
+)
+
+GAP = 30.0
+
+
+def _write_batch(d, name, rows):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as fh:
+        for user_id, epoch in rows:
+            fh.write(json.dumps({"user_id": user_id, "epoch": epoch}) + "\n")
+
+
+def _run_stream(spark, src, ckpt):
+    """One availableNow pass; foreachBatch sink (memory sink can't resume
+    from a checkpoint, which the restart half of the test depends on)."""
+    stream = spark.readStream.schema("user_id long, epoch double").json(src)
+    rows = []
+    q = (
+        # huge idle timeout: the streaming test asserts gap-closures only;
+        # a wall-clock timeout firing mid-test would be nondeterministic
+        sessionize_stream(stream, gap_seconds=GAP, idle_timeout_seconds=86_400)
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_state_survives_restart_and_gap_closes_sessions(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # batch 1: user 1 closes one session in-batch (gap 10->100) and leaves
+    # [100,110] open; user 2 leaves [5] open
+    _write_batch(src, "b1.json", [(1, 0.0), (1, 10.0), (1, 100.0), (1, 110.0), (2, 5.0)])
+    out1 = _run_stream(spark, src, ckpt)
+    assert [(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by) for r in out1] == [
+        (1, 0.0, 10.0, 2, "gap")
+    ]
+
+    # batch 2 (same checkpoint -> state restored): user 1's event at 500
+    # closes the session batch 1 left open; user 2's event extends theirs
+    _write_batch(src, "b2.json", [(1, 500.0), (2, 20.0)])
+    out2 = _run_stream(spark, src, ckpt)
+    assert [(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by) for r in out2] == [
+        (1, 100.0, 110.0, 2, "gap")
+    ]
+
+
+class _FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_timeout_flushes_open_session():
+    state = _FakeState(value=(100.0, 110.0, 2), timed_out=True)
+    out = list(_sessionize_group((7,), [], state, GAP, GAP * 2))
+    assert len(out) == 1
+    assert out[0].values.tolist() == [[7, 100.0, 110.0, 2, "timeout"]]
+    assert state.removed
+
+
+def test_unit_gap_logic_and_state_update():
+    state = _FakeState()
+    batch = [pd.DataFrame({"epoch": [0.0, 10.0, 100.0]})]
+    out = list(_sessionize_group((3,), batch, state, GAP, GAP * 2))
+    assert out[0].values.tolist() == [[3, 0.0, 10.0, 2, "gap"]]
+    assert state.get == (100.0, 100.0, 1)  # open session retained
+    assert state.timeout_ms == int(GAP * 2 * 1000)
+    assert list(out[0].columns) == SESSION_SCHEMA.names
