@@ -1,0 +1,87 @@
+"""Z-order (Morton curve) file layout for multi-dimensional data skipping.
+
+Parquet readers skip whole files/row-groups whose min/max stats exclude a
+predicate. A layout sorted on ONE column gives tight stats on that column
+and useless (full-range) stats on every other; interleaving the bits of
+two or more columns into a Morton key and range-partitioning + sorting on
+it gives *moderately* tight stats on ALL participating columns — the
+standard lakehouse trick (Delta OPTIMIZE ZORDER BY) reproduced on plain
+parquet with pure DataFrame ops.
+
+At 100 TB this is the difference between a point-ish query on a
+secondary dimension scanning every file vs a few percent of them:
+skipping needs no index, just stats the writer already produces. Cost is
+one range shuffle at write time.
+
+Everything is JVM-side expression code: the two-pass bounds scan (one
+tiny agg) folds the mins/ranges in as literals, the interleave is 16
+shiftleft/or terms per column — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # per-column resolution: 2^16 buckets each
+
+
+def _normalize(col: str, lo: float, hi: float) -> Column:
+    """Map col into [0, 2^Z_BITS - 1] as a long (clamped for safety)."""
+    span = (hi - lo) or 1.0
+    scaled = (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * ((1 << Z_BITS) - 1)
+    return F.least(
+        F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+        F.lit((1 << Z_BITS) - 1),
+    )
+
+
+def zorder_key(normalized: list[Column]) -> Column:
+    """Morton interleave: bit b of column c lands at position
+    b * n_cols + c. For n_cols=2, Z_BITS=16 that is a 32-bit key."""
+    n = len(normalized)
+    terms = []
+    for c, col in enumerate(normalized):
+        for b in range(Z_BITS):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * n + c))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 16
+) -> None:
+    """Write df as n_files parquet files laid out along the Morton curve
+    of `cols`: bounds pass (one small agg) → literal-folded normalize →
+    repartitionByRange(zkey) + sortWithinPartitions(zkey). Stats land
+    tight on every z-ordered column in every file."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).first()
+    key = zorder_key(
+        [_normalize(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in cols]
+    )
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(spark, path: str, predicate: str) -> int:
+    """How many distinct files hold rows matching predicate — the files a
+    stats-pruning reader must scan (all others skip on min/max)."""
+    return (
+        spark.read.parquet(path)
+        .where(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )

@@ -1,0 +1,65 @@
+"""Z-order layout tests: the Morton-curve layout must give file-level
+skipping on BOTH dimensions, where a single-column sort gives it on one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from construction_data_lake_et_data_warehouse_tp3_spark.lake.layout import (
+    files_touched,
+    write_zordered,
+    zorder_key,
+)
+from construction_data_lake_et_data_warehouse_tp3_spark.sources.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+N_FILES = 16
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    key = df.select(zorder_key([F.col("x"), F.col("y")]).alias("z")).first().z
+    # x=0b011 -> even positions, y=0b101 -> odd positions:
+    # z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 | y2<<5 = 1+2+4+0+0+32
+    assert key == 0b100111
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("layout")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z_path, lin_path = str(root / "zorder"), str(root / "linear")
+    write_zordered(orders, z_path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    return z_path, lin_path
+
+
+def test_zorder_preserves_rows(spark, layouts):
+    z_path, _ = layouts
+    orders = load_table(spark, SF_DIR, "orders")
+    assert spark.read.parquet(z_path).count() == orders.count()
+
+
+def test_zorder_skips_on_both_dimensions(spark, layouts):
+    z_path, lin_path = layouts
+    cust_pred = "o_custkey BETWEEN 100 AND 200"
+    price_pred = "o_totalprice BETWEEN 1000 AND 11000"
+
+    # primary dim: both layouts skip well
+    assert files_touched(spark, lin_path, cust_pred) <= 2
+    assert files_touched(spark, z_path, cust_pred) <= N_FILES // 2
+
+    # secondary dim: the custkey-sorted layout degrades to a full scan,
+    # z-order keeps real skipping
+    lin_price = files_touched(spark, lin_path, price_pred)
+    z_price = files_touched(spark, z_path, price_pred)
+    assert lin_price == N_FILES  # every file holds rows in the price band
+    assert z_price <= N_FILES // 2, f"z-order touched {z_price}/{N_FILES} files"
