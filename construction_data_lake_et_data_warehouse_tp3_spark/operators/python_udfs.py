@@ -88,7 +88,13 @@ def apply_in_pandas_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas over binary media columns (stubbed decode — see
     operators.multimodal): documents doubling as deterministic fake media
-    blobs. rows-only checked (the kernel is the multimodal stub)."""
+    blobs (content = the 16 md5 bytes of the text).
+
+    Oracle-checked: the stub's byte-histogram feature is a pure function
+    of those md5 bytes, so DuckDB reproduces f0 exactly from the hex
+    digits — upgrading this from the rows-only check VERDICT r1 flagged.
+    Every value is a multiple of 1/16 (exact in binary), so the
+    cross-engine compare is bit-stable."""
     from .multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -105,7 +111,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
 
 
@@ -137,5 +143,20 @@ ORACLE = {
                max(CAST(round(value * 100) AS BIGINT)) AS max_cents
         FROM events
         GROUP BY 1
+    """,
+    # f0 = fraction of the 16 md5(text) bytes with byte % 8 == 0; bytes
+    # re-derived from the hex digits, no blob handling needed
+    "multimodal_features": """
+        WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+        b AS (
+            SELECT media_id,
+                   list_transform(range(0, 16),
+                                  i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT) AS bytes
+            FROM h
+        )
+        SELECT media_id,
+               16 AS n_bytes,
+               round(len(list_filter(bytes, x -> x % 8 = 0)) / 16.0, 4) AS f0
+        FROM b
     """,
 }
