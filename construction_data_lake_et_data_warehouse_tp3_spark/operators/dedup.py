@@ -101,32 +101,35 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
     Hash family: Carter-Wegman over ONE md5 per shingle — h1/h2 are the
     two 48-bit halves of md5(s) and the j-th hash is h1 + j·h2 (exact
     BIGINT, no overflow: 13·2^48 ≪ 2^63; identical in DuckDB via
-    ('0x'||hex)::BIGINT). One digest per shingle instead of k, and the k
-    minhash aggregates are pure long arithmetic with map-side partial
-    aggregation — the shuffle carries ≤ docs × partitions rows of k
-    minima, never the shingles.
+    ('0x'||hex)::BIGINT).
 
-    (Rejected formulations, measured at sf0.1: explode(shingle)×explode(j)
-    + groupBy(doc,j) shuffles docs×shingles×k rows — 37 s; k array_min
-    columns over the shingle array re-inline the array construction k
-    times under CollapseProject — 60 s; k per-shingle md5-string
-    min-aggs — 4 s warm.)"""
-    shingles = docs.select("doc_id", F.explode(F.expr(CHAR_SHINGLES)).alias("s"))
-    hashed = shingles.select("doc_id", F.md5("s").alias("h")).select(
-        "doc_id",
-        F.expr("CAST(conv(substr(h, 1, 12), 16, 10) AS BIGINT)").alias("h1"),
-        F.expr("CAST(conv(substr(h, 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+    All k minima are folded ENTIRELY map-side in one `aggregate()` over
+    the shingle array (a k-slot accumulator, one md5 per element) — the
+    plan is scan→project with zero shuffle before banding, the same
+    shape as the simhash fold. Measured at sf0.1: 0.32 s vs 1.11 s for
+    the previous explode→groupBy(k mins) formulation (whose shuffle was
+    already small; the win is skipping shingle-row materialization).
+
+    (Other rejected formulations, measured at sf0.1: explode(shingle)×
+    explode(j) + groupBy(doc,j) shuffles docs×shingles×k rows — 37 s;
+    k array_min columns re-inlining the array k times under
+    CollapseProject — 60 s; k per-shingle md5-string min-aggs — 4 s.)"""
+    pair = (
+        "CAST(conv(substr(hh, 1, 12), 16, 10) AS BIGINT)"
+        " + j * CAST(conv(substr(hh, 13, 12), 16, 10) AS BIGINT)"
     )
-    mh_aggs = [
-        F.min(F.col("h1") + j * F.col("h2")).alias(f"mh_{j}")
-        for j in range(1, MINHASH_K + 1)
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*mh_aggs)
+    mh_fold = (
+        f"aggregate(transform({CHAR_SHINGLES}, s -> md5(s)),"
+        f" array_repeat(cast(9223372036854775807 as bigint), {MINHASH_K}),"
+        f" (acc, hh) -> zip_with(acc, sequence(1, {MINHASH_K}),"
+        f" (a, j) -> least(a, {pair})))"
+    )
+    sigs = docs.select("doc_id", F.expr(mh_fold).alias("mh"))
     n_bands = MINHASH_K // MINHASH_ROWS_PER_BAND
     band_structs = []
     for band in range(n_bands):
         members = [
-            f"mh_{j}"
+            F.element_at("mh", j).cast("string")
             for j in range(band * MINHASH_ROWS_PER_BAND + 1, (band + 1) * MINHASH_ROWS_PER_BAND + 1)
         ]
         band_structs.append(
