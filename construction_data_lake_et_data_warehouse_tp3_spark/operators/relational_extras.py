@@ -12,8 +12,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import money_round, money_round_sql
+from ..functions.scalar import money_round, money_round_sql, money_sum, money_sum_sql
 from ..sources.registry import load_table
+
+#: price tiers for the range join: [lo, hi) half-open bands.
+PRICE_BANDS = (
+    (0.0, 100_000.0, "T1"),
+    (100_000.0, 200_000.0, "T2"),
+    (200_000.0, 300_000.0, "T3"),
+    (300_000.0, 400_000.0, "T4"),
+    (400_000.0, 600_000.0, "T5"),
+)
 
 
 def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,15 +114,50 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: orders against a tier table on
+    lo <= o_totalprice < hi — the interval-join operator shape (SURVEY
+    brief names range joins alongside as-of). Tiny band side ⇒ Spark
+    plans BroadcastNestedLoopJoin, the right physical op for a non-equi
+    join against a broadcastable dim: each order row tests 5 intervals
+    map-side, no shuffle. Were the band side large, the scale move is
+    equi-bucketing (floor(price / width) candidate keys) to restore a
+    hash join; with 5 rows that would only add cost."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(list(PRICE_BANDS), "lo double, hi double, band string")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "customer_order_counts_left": customer_order_counts_left,
+    "price_band_range_join": price_band_range_join,
     "order_event_days_full": order_event_days_full,
     "exists_high_qty_orders": exists_high_qty_orders,
     "tfidf_top_terms": tfidf_top_terms,
     "deterministic_sample": deterministic_sample,
 }
 
+_BANDS_VALUES = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in PRICE_BANDS)
+
 ORACLE = {
+    "price_band_range_join": f"""
+        WITH bands(lo, hi, band) AS (VALUES {_BANDS_VALUES})
+        SELECT band,
+               count(*) AS n_orders,
+               {money_sum_sql('o_totalprice')} AS total_value
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY 1
+    """,
     "customer_order_counts_left": """
         SELECT c_custkey AS user_id,
                CAST(coalesce(n, 0) AS BIGINT) AS n_orders

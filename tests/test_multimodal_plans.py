@@ -100,6 +100,17 @@ class TestPlans:
         assert has_broadcast_join(df)
         assert shuffle_exchange_count(df) == 1
 
+    def test_range_join_is_broadcast_nested_loop(self, spark):
+        """Non-equi join against a 5-row band table must broadcast the
+        bands (map-side interval tests), never shuffle orders."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+            relational_extras,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
+
+        df = relational_extras.price_band_range_join(spark, SF_DIR)
+        assert "BroadcastNestedLoopJoin" in explain_str(df, "simple")
+
     def test_blacklist_filter_is_broadcast_semi(self, spark):
         from construction_data_lake_et_data_warehouse_tp3_spark.operators import transforms
         from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
