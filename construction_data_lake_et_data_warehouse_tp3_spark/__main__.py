@@ -111,9 +111,34 @@ def cmd_sync_warehouse(args) -> int:
 
     spark = _spark()
     counts = sync_warehouse(
-        spark, args.sf_dir, args.warehouse_root, snapshot_version=args.version
+        spark,
+        args.sf_dir,
+        args.warehouse_root,
+        snapshot_version=args.version,
+        mode="jdbc" if args.jdbc_url else "parquet",
+        jdbc_url=args.jdbc_url,
     )
     print(json.dumps(counts))
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    from .lake.layout import write_zordered
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    write_zordered(df, args.output, args.columns.split(","), n_files=args.files)
+    print(f"z-ordered {args.input} by ({args.columns}) into {args.files} files at {args.output}")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from .plans.cbo import analyze_tables, register_stats_tables, table_row_count_stat
+
+    spark = _spark()
+    mapping = register_stats_tables(spark, args.sf_dir, tuple(args.tables.split(",")))
+    analyze_tables(spark, list(mapping.values()))
+    print(json.dumps({n: table_row_count_stat(spark, c) for n, c in mapping.items()}))
     return 0
 
 
@@ -183,7 +208,20 @@ def build_parser() -> argparse.ArgumentParser:
     sync.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     sync.add_argument("--warehouse-root", default="/tmp/tp3_warehouse")
     sync.add_argument("--version", type=int, default=1)
+    sync.add_argument("--jdbc-url", default=None, help="sync into an existing JDBC warehouse instead of parquet")
     sync.set_defaults(fn=cmd_sync_warehouse)
+
+    zorder = sub.add_parser("zorder", help="rewrite a parquet dir along a multi-column Morton curve")
+    zorder.add_argument("--input", required=True)
+    zorder.add_argument("--output", required=True)
+    zorder.add_argument("--columns", required=True, help="comma-separated z-order columns")
+    zorder.add_argument("--files", type=int, default=16)
+    zorder.set_defaults(fn=cmd_zorder)
+
+    analyze = sub.add_parser("analyze", help="ANALYZE TABLE stats for CBO over testdata tables")
+    analyze.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    analyze.add_argument("--tables", default="customer,orders,nation")
+    analyze.set_defaults(fn=cmd_analyze)
 
     perms = sub.add_parser("permissions")
     perms.add_argument("action", choices=["grant", "list"])

@@ -75,10 +75,44 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup (SURVEY brief names
+    'hypertable rollup' with as-of/range joins): events aggregated at
+    hour grain, then ROLLUP collapses the hierarchy to (day, hour),
+    (day), and grand-total rows in ONE pass — the batch equivalent of a
+    TimescaleDB continuous aggregate with hourly + daily materializations.
+
+    Scale shape: one shuffle on the grouping sets; partial aggregation
+    runs map-side per set, and at 100 TB the day partition columns prune
+    the scan to the refresh window."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    hour = F.hour("ts").alias("hour")
+    rolled = (
+        events.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value").alias("total_value"),
+            F.grouping_id().alias("grain"),  # 0=hourly 1=daily 3=total
+        )
+    )
+    # collapsed grouping levels surface as sentinels, not NULLs: mixed
+    # NULL/value columns don't total-order for the cross-engine compare
+    return rolled.select(
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        F.coalesce("hour", F.lit(-1)).alias("hour"),
+        "n_events",
+        "total_value",
+        "grain",
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "order_status_matrix": order_status_matrix,
     "cube_revenue": cube_revenue,
+    "time_bucket_rollup": time_bucket_rollup,
     "string_functions_showcase": string_functions_showcase,
 }
 
@@ -104,6 +138,15 @@ ORACLE = {
                {money_sum_sql('o_totalprice')} AS revenue
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "time_bucket_rollup": f"""
+        SELECT coalesce(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+               CAST(coalesce(hour(ts), -1) AS INT) AS hour,
+               count(*) AS n_events,
+               {money_sum_sql('value')} AS total_value,
+               CAST(GROUPING(hour(ts)) + 2 * GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS grain
+        FROM events
+        GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), hour(ts))
     """,
     "string_functions_showcase": """
         SELECT c_custkey,

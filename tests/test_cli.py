@@ -29,3 +29,21 @@ class TestCli:
         main(["--lake-root", root, "feeds", "add", "s1", "--type", "stream"])
         assert main(["--lake-root", root, "retention", "streams", "--dry-run"]) == 0
         assert "would delete" in capsys.readouterr().out
+
+    def test_zorder_verb(self, tmp_path, capsys):
+        out_dir = str(tmp_path / "z")
+        assert main([
+            "zorder",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--output", out_dir,
+            "--columns", "o_custkey,o_totalprice",
+            "--files", "4",
+        ]) == 0
+        assert "z-ordered" in capsys.readouterr().out
+
+    def test_analyze_verb(self, capsys):
+        import json as _json
+
+        assert main(["analyze", "--sf-dir", "/root/testdata/sf0.001", "--tables", "nation"]) == 0
+        stats = _json.loads(capsys.readouterr().out)
+        assert stats["nation"] == 25
