@@ -132,6 +132,17 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .lake.maintenance import compact_partition
+
+    spark = _spark()
+    stats = compact_partition(
+        spark, args.path, target_file_mb=args.target_mb, min_files_to_compact=args.min_files
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     from .plans.cbo import analyze_tables, register_stats_tables, table_row_count_stat
 
@@ -217,6 +228,12 @@ def build_parser() -> argparse.ArgumentParser:
     zorder.add_argument("--columns", required=True, help="comma-separated z-order columns")
     zorder.add_argument("--files", type=int, default=16)
     zorder.set_defaults(fn=cmd_zorder)
+
+    compact = sub.add_parser("compact", help="compact a partition's small files")
+    compact.add_argument("--path", required=True)
+    compact.add_argument("--target-mb", type=int, default=128)
+    compact.add_argument("--min-files", type=int, default=4)
+    compact.set_defaults(fn=cmd_compact)
 
     analyze = sub.add_parser("analyze", help="ANALYZE TABLE stats for CBO over testdata tables")
     analyze.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -109,3 +109,23 @@ def test_unit_gap_logic_and_state_update():
     assert state.get == (100.0, 100.0, 1)  # open session retained
     assert state.timeout_ms == int(GAP * 2 * 1000)
     assert list(out[0].columns) == SESSION_SCHEMA.names
+
+
+def test_sessionize_on_rocksdb_state_store(spark, tmp_path):
+    """The production state backend (RocksDB provider, bounded memory +
+    changelog at scale) must drive the same operator unmodified."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        _write_batch(src, "b1.json", [(1, 0.0), (1, 10.0), (1, 100.0)])
+        out = _run_stream(spark, src, ckpt)
+        assert [(r.user_id, r.session_start, r.session_end, r.n_events) for r in out] == [
+            (1, 0.0, 10.0, 2)
+        ]
+    finally:
+        spark.conf.set(key, saved)
