@@ -1,0 +1,40 @@
+"""Recall lock for the MinHash→verify pipeline: the banded-LSH candidate
+set (post bucket-cap) must still surface the corpus's real near-dup
+pairs. Ground truth is the exact word-3-gram Jaccard scan
+(ngram_jaccard_pairs, quadratic, oracle-checked) — the pipeline result
+must recover ≥90% of the high-similarity pairs the exact scan finds.
+
+This pins the selectivity/recall trade the bucket cap and 12-gram
+shingles made (VERDICT r1 §What's wrong #1): any retune that silently
+sacrifices recall for candidate count fails here."""
+
+from __future__ import annotations
+
+from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+)
+from construction_data_lake_et_data_warehouse_tp3_spark.operators.pipelines import (
+    minhash_verified_dups,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+HIGH_J = 0.8
+
+
+def test_lsh_pipeline_recovers_exact_high_jaccard_pairs(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r.jaccard >= HIGH_J
+    }
+    assert len(exact) >= 10, "corpus should contain planted near-dups"
+    piped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_verified_dups(spark, SF_DIR).collect()
+        if r.jaccard >= HIGH_J
+    }
+    missed = exact - piped
+    recall = 1 - len(missed) / len(exact)
+    assert recall >= 0.9, f"LSH pipeline recall {recall:.2f}; missed {sorted(missed)}"
+    # and verified pairs are sound: every piped pair exists in the exact scan
+    assert piped <= exact
