@@ -119,6 +119,34 @@ class TestPlans:
         plan = explain_str(df, "simple")
         assert "LeftSemi" in plan and "Broadcast" in plan
 
+    def test_lake_day_partitions_prune(self, spark, tmp_path):
+        """A day-filtered read of a date-partitioned feed must prune at
+        the partition level (PartitionFilters, zero data files listed for
+        other days) — the property every retention job and time-ranged
+        scan relies on at 100 TB."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.lake import (
+            DataLakeWriter,
+            FeedCatalog,
+            FeedConfig,
+            FeedType,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            has_partition_filters,
+        )
+
+        catalog = FeedCatalog(str(tmp_path / "lake"))
+        cfg = catalog.add(FeedConfig(feed_name="s", feed_type=FeedType.STREAM, source="x"))
+        writer = DataLakeWriter(spark, catalog)
+        for day in (1, 2, 3):
+            writer.export_stream(
+                spark.range(10), cfg, partition_date=datetime.date(2024, 1, day)
+            )
+        df = writer.read_stream_feed(cfg).where("year = 2024 AND month = 1 AND day = 2")
+        assert has_partition_filters(df)
+        assert df.count() == 10
+
     def test_product_counts_scan_pruned(self, spark):
         from construction_data_lake_et_data_warehouse_tp3_spark.operators import aggregates
 
