@@ -68,11 +68,60 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
 
 
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing 7-day revenue per order day — value
+    ranges (6 PRECEDING on the day index), not row counts, so gap days
+    shrink the frame. The window sums integer cents (exact, order-free)
+    and divides once at the end, keeping the cross-engine compare
+    bit-stable.
+
+    The global (unpartitioned) window is a deliberate single-partition
+    sort here because the frame spans the whole calendar; the 100 TB
+    shape partitions by a coarse time unit (month) with a 6-day overlap
+    band replicated to the successor partition — same results, shuffle
+    bounded per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )
+    idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = Window.orderBy(idx).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        (F.col("cents").cast("double") / 100).alias("day_revenue"),
+        (F.sum("cents").over(w).cast("double") / 100).alias("rolling_7d_revenue"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-set sibling of ROLLUP/CUBE:
+    per-status totals and per-priority totals in one pass (no crossed
+    cells, which CUBE would add). Collapsed keys surface as 'ALL'
+    sentinels so the cross-engine compare total-orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    gs = orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "revenue",
+    )
+
+
 QUERIES = {
     "top_orders_limit": top_orders_limit,
     "latest_version_per_feed": latest_version_per_feed,
     "top_event_per_user": top_event_per_user,
     "rollup_revenue": rollup_revenue,
+    "rolling_7d_revenue": rolling_7d_revenue,
+    "grouping_sets_revenue": grouping_sets_revenue,
 }
 
 ORACLE = {
@@ -105,5 +154,28 @@ ORACLE = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "rolling_7d_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT day, n_orders,
+               CAST(cents AS DOUBLE) / 100 AS day_revenue,
+               CAST(sum(cents) OVER (
+                   ORDER BY date_diff('day', DATE '1995-01-01', day)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100 AS rolling_7d_revenue
+        FROM daily
+    """,
+    "grouping_sets_revenue": f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               {money_sum_sql('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
 }
