@@ -50,8 +50,13 @@ def _normalize(value):
 
 
 def _row_set(rows, columns):
+    # None-safe total order: rollup/cube/outer-join results mix NULLs and
+    # values in one column, and tuple sort would TypeError when a tie
+    # reaches the NULL — the sort key only affects ordering, equality of
+    # the sorted lists is unchanged
     return sorted(
-        tuple(_normalize(v) for v in row) for row in rows
+        (tuple(_normalize(v) for v in row) for row in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
     ), list(columns)
 
 
