@@ -31,13 +31,37 @@ LANG_MARKERS = {
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting (the BPE-ish regex variant would swap the
-    delimiter pattern; plumbing identical)."""
+    """Whitespace token counting (bpe_token_count below is the
+    subword-regex sibling)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.expr(f"size({TOKENS})").alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
+    )
+
+
+#: GPT-2-ish pre-tokenizer approximation: letter runs, digit runs, single
+#: punctuation marks. Identical regex syntax in Spark and DuckDB.
+_BPE_PIECES = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the brief's second counting mode): split
+    into pre-tokenizer pieces, then estimate subword tokens as
+    ceil(len/4) per piece (~4 chars/token, the common BPE density). All
+    map-side expression work — at 100 TB this is the cheap budget pass
+    that decides what even reaches a real tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = f"regexp_extract_all(text, '{_BPE_PIECES}', 0)"
+    est = (
+        f"aggregate({pieces}, cast(0 as bigint),"
+        " (acc, p) -> acc + CAST(ceil(length(p) / 4.0) AS BIGINT))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({pieces})").alias("n_pieces"),
+        F.expr(est).alias("est_bpe_tokens"),
     )
 
 
@@ -113,6 +137,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "token_count": token_count,
+    "bpe_token_count": bpe_token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -129,6 +154,18 @@ ORACLE = {
                len({TOKENS_DUCK}) AS n_tokens,
                len(text) AS n_chars_measured
         FROM documents
+    """,
+    "bpe_token_count": r"""
+        WITH p AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pieces
+            FROM documents
+        )
+        SELECT doc_id,
+               len(pieces) AS n_pieces,
+               CAST(list_sum(list_transform(pieces,
+                    p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens
+        FROM p
     """,
     "text_quality": f"""
         WITH t AS (
