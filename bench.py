@@ -60,16 +60,24 @@ def main() -> None:
     for name in HEADLINE:
         registry[name](spark, sf_dir).count()
 
+    # median-of-3 per query: single-shot timings at this scale carry
+    # 50-100% host/session noise (r1→r2 judged tpch_q5 +77% on unchanged
+    # code); the median makes round-over-round comparisons meaningful.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = registry[name]
-        start = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - start, 3)
+        samples = []
+        for _ in range(repeats):
+            start = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.monotonic() - start)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
         rows[name] = n
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s median of {samples} ({n} rows)", file=sys.stderr)
 
     streaming_rate = _streaming_ingest_rate(spark)
 

@@ -94,9 +94,19 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     euro_orders = orders.join(
         euro_cust, orders.o_custkey == euro_cust.c_custkey
     ).select("o_orderkey", "c_nationkey", "n_name")
+    # Only suppliers in a European nation can ever satisfy the
+    # c_nationkey == s_nationkey equality (customers are pre-filtered to
+    # Europe), so semi-join supplier down ~5x BEFORE broadcasting it: the
+    # broadcast side shrinks and the nation predicate applies at the scan
+    # instead of after the lineitem join.
+    euro_supplier = supplier.join(
+        F.broadcast(euro_nations.select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_nationkey")
     return (
         li.join(euro_orders, li.l_orderkey == euro_orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(euro_supplier), li.l_suppkey == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
