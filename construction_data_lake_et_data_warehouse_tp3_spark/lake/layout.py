@@ -27,9 +27,12 @@ Z_BITS = 16  # per-column resolution: 2^16 buckets each
 
 
 def _normalize(col: str, lo: float, hi: float) -> Column:
-    """Map col into [0, 2^Z_BITS - 1] as a long (clamped for safety)."""
+    """Map col into [0, 2^Z_BITS - 1] as a long (clamped for safety).
+    NULL values coalesce to lo (bucket 0) so they get a defined curve
+    position instead of a NULL z-key."""
     span = (hi - lo) or 1.0
-    scaled = (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * ((1 << Z_BITS) - 1)
+    value = F.coalesce(F.col(col).cast("double"), F.lit(lo))
+    scaled = (value - F.lit(lo)) / F.lit(span) * ((1 << Z_BITS) - 1)
     return F.least(
         F.greatest(F.round(scaled).cast("long"), F.lit(0)),
         F.lit((1 << Z_BITS) - 1),
@@ -62,6 +65,11 @@ def write_zordered(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
     ).first()
+    if bounds is None or any(bounds[f"lo_{c}"] is None for c in cols):
+        # Empty input or an all-NULL z-column: no curve to lay out —
+        # plain write preserves correctness (nothing to skip anyway).
+        df.coalesce(max(1, n_files // 4)).write.mode("overwrite").parquet(path)
+        return
     key = zorder_key(
         [_normalize(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in cols]
     )

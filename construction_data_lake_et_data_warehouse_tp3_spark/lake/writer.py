@@ -257,7 +257,16 @@ class DataLakeWriter:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > 60:
-                        os.unlink(lock)
+                        # Steal by atomic rename, not unlink: two waiters
+                        # observing the same stale lock could otherwise
+                        # both unlink — the second removing the FIRST
+                        # stealer's fresh lock and letting a third writer
+                        # into the critical section. rename() succeeds
+                        # for exactly one stealer; the loser gets ENOENT
+                        # and retries the O_EXCL create.
+                        stolen = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        os.rename(lock, stolen)
+                        os.unlink(stolen)
                         continue
                 except OSError:
                     continue

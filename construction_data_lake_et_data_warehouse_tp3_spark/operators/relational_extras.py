@@ -75,7 +75,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny scalar; at scale carry as a broadcast agg
+    # corpus size as a broadcast 1-row aggregate (same trick as
+    # above_avg_orders): keeps the whole computation ONE job instead of a
+    # separate driver-side count() pass over the corpus.
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     tokens = docs.select(
         "doc_id", F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("t")
     )
@@ -84,10 +87,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(df_counts, "t")
         .where(F.col("doc_id") < 50)
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1).cast("double")),
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")),
                 6,
             ),
         )

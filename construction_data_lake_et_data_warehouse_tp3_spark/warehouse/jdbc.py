@@ -123,13 +123,33 @@ class JdbcTable:
         self.partition_column = partition_column
         self.num_partitions = num_partitions
 
+    #: SQLStates / message fragments that mean "table absent" across the
+    #: JDBC drivers this path targets (MySQL/MariaDB 42S02, Postgres
+    #: 42P01, Spark's own analyzer wording). Anything else is a real
+    #: failure: treating a network blip as "absent" would downgrade
+    #: merge_into to truncate-and-insert and silently drop history.
+    _MISSING_TABLE_MARKERS = (
+        "42S02",
+        "42P01",
+        "doesn't exist",
+        "does not exist",
+        "not found",
+        "no such table",
+    )
+
     def exists(self) -> bool:
         """True when the remote table exists AND holds rows (an empty or
-        absent table merges as a fresh insert, matching ParquetTable)."""
+        absent table merges as a fresh insert, matching ParquetTable).
+        Only a missing-table error maps to False; transient failures
+        (network, auth) re-raise so the sync aborts instead of degrading
+        to a destructive fresh-insert overwrite."""
         try:
             return len(self.read().take(1)) > 0
-        except Exception:
-            return False
+        except Exception as exc:  # noqa: BLE001 — classified below
+            text = str(exc)
+            if any(marker in text for marker in self._MISSING_TABLE_MARKERS):
+                return False
+            raise
 
     def read(self) -> DataFrame:
         reader = self.spark.read
@@ -153,18 +173,26 @@ class JdbcTable:
         return reader.jdbc(self.url, self.table, properties=self.properties)
 
     def overwrite(self, df: DataFrame) -> None:
-        """Materialize first, then truncate-overwrite: the merge result is
+        """Stage durably, then truncate-overwrite: the merge result is
         derived from read() of this same table, and JDBC overwrite
-        truncates the source the lazy plan still needs. truncate=true
-        keeps the server-side DDL (keys, types) instead of dropping the
-        table."""
-        df = df.persist()
+        truncates the source the lazy plan still needs. A block-cache
+        persist() is NOT enough — losing cached blocks mid-write would
+        recompute lineage against the already-truncated table — so the
+        result is written to a parquet staging dir and re-read from disk,
+        fully detaching it from the remote table before the truncate.
+        truncate=true keeps the server-side DDL (keys, types) instead of
+        dropping the table."""
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="tp3_jdbc_stage_")
         try:
-            df.count()  # force materialization off the remote table
+            df.write.mode("overwrite").parquet(staging)
+            staged = self.spark.read.parquet(staging)
             (
-                df.write.mode("overwrite")
+                staged.write.mode("overwrite")
                 .option("truncate", "true")
                 .jdbc(self.url, self.table, properties=self.properties)
             )
         finally:
-            df.unpersist()
+            shutil.rmtree(staging, ignore_errors=True)

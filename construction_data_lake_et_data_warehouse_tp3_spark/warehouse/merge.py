@@ -124,12 +124,18 @@ def merge_into(
             if col not in target.columns:
                 target = target.withColumn(col, F.lit(None).cast(updates.schema[col].dataType))
         if "updated_at" in target.columns and "updated_at" not in updates.columns:
-            # stamp_updated_at=False on a previously-stamped target: keep
-            # the existing stamps on untouched rows (dropping the column
-            # would violate the never-silently-drop policy above); the
-            # merged rows get null — their stamp is unknown, not "now"
-            updates = updates.withColumn(
-                "updated_at", F.lit(None).cast(target.schema["updated_at"].dataType)
+            # stamp_updated_at=False on a previously-stamped target: carry
+            # each matched row's EXISTING stamp forward (the reference's
+            # ON DUPLICATE KEY UPDATE refreshes or preserves the stamp,
+            # never nulls it — sync_to_mysql.py:137-142); genuinely new
+            # rows were never stamped and stay null.
+            existing = target.select(
+                *keys, F.col("updated_at").alias("__prev_updated_at")
+            )
+            updates = (
+                updates.join(existing, list(keys), "left")
+                .withColumn("updated_at", F.col("__prev_updated_at"))
+                .drop("__prev_updated_at")
             )
         # no broadcast hint: micro-batch updates auto-broadcast under the
         # session threshold, backfill-sized updates fall back to shuffle

@@ -55,6 +55,23 @@ class TestMerge:
         merge_into(table, batch, ["id"], order_by="seq")
         assert table.read().collect()[0]["amount"] == 99.0
 
+    def test_unstamped_merge_preserves_existing_stamps(self, spark, tmp_path):
+        """stamp_updated_at=False against a previously-stamped target must
+        carry the matched rows' existing updated_at forward, never null it
+        (the reference's ON DUPLICATE KEY UPDATE refreshes or preserves,
+        sync_to_mysql.py:137-142). New keys were never stamped → null."""
+        table = ParquetTable(spark, str(tmp_path / "t"))
+        first = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        merge_into(table, first, ["id"])  # stamps updated_at
+        stamps = {r["id"]: r["updated_at"] for r in table.read().collect()}
+        assert all(stamps.values())
+        second = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+        merge_into(table, second, ["id"], stamp_updated_at=False)
+        after = {r["id"]: (r["v"], r["updated_at"]) for r in table.read().collect()}
+        assert after[2] == ("B", stamps[2])  # matched: value new, stamp kept
+        assert after[1] == ("a", stamps[1])  # untouched
+        assert after[3][1] is None  # brand-new key: never stamped
+
     def test_composite_keys(self, spark, tmp_path):
         table = ParquetTable(spark, str(tmp_path / "t"))
         b1 = spark.createDataFrame(

@@ -42,6 +42,27 @@ def layouts(spark, tmp_path_factory):
     return z_path, lin_path
 
 
+def test_zorder_empty_and_null_inputs(spark, tmp_path):
+    """Empty input and all-NULL z-columns must fall back to a plain write
+    (no TypeError from NULL bounds); NULL column values land in bucket 0."""
+    empty = spark.createDataFrame([], "x long, y long")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["x", "y"])
+    assert spark.read.parquet(p1).count() == 0
+
+    all_null = spark.createDataFrame([(None, 1), (None, 2)], "x long, y long")
+    p2 = str(tmp_path / "allnull")
+    write_zordered(all_null, p2, ["x", "y"])
+    assert spark.read.parquet(p2).count() == 2
+
+    some_null = spark.createDataFrame(
+        [(None, 1), (5, 2), (9, 3)], "x long, y long"
+    )
+    p3 = str(tmp_path / "somenull")
+    write_zordered(some_null, p3, ["x", "y"])
+    assert spark.read.parquet(p3).count() == 3
+
+
 def test_zorder_preserves_rows(spark, layouts):
     z_path, _ = layouts
     orders = load_table(spark, SF_DIR, "orders")
