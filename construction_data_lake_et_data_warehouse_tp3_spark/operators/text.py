@@ -45,23 +45,93 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: punctuation marks. Identical regex syntax in Spark and DuckDB.
 _BPE_PIECES = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+#: merges learned per BPE level (two levels → up to 256 total merges).
+BPE_MERGES_PER_LEVEL = 128
+
+#: BPE merge application as a fold: the segmentation state is the piece's
+#: units joined and bracketed by '|' ('|t|h|e|'); applying merge "x,y"
+#: replaces '|x|y|' with '|xy|' left-to-right (the boundary markers stop a
+#: pair from matching across token edges, e.g. 'h,e' must not fire inside
+#: '|th|e|'). Token count falls out as separators-1 with no re-split.
+_BPE_SEG = (
+    "aggregate({ms}, concat('|', array_join(split({p}, ''), '|'), '|'), "
+    "(a2, m) -> replace(a2, concat('|', replace(m, ',', '|'), '|'), "
+    "concat('|', replace(m, ',', ''), '|')))"
+)
+
+#: top-k merge ranking without a global sort: collect the (count, pair)
+#: pairs (bounded: pair cardinality ≤ |alphabet|² resp. |vocab|²), sort by
+#: (count desc, pair asc) via a negated-count struct sort, keep k. At a
+#: 100 TB corpus the groupBy beneath this is the only shuffle and carries
+#: ~hundreds of distinct pairs after map-side partial aggregation.
+_BPE_TOPK = (
+    "slice(transform(array_sort(collect_list(struct(-n AS negn, pr AS pr))),"
+    f" x -> x.pr), 1, {BPE_MERGES_PER_LEVEL})"
+)
+
+
+def _bpe_merge_table(docs: DataFrame) -> DataFrame:
+    """Learn a deterministic two-level BPE merge table from the corpus:
+    level 1 = the top-k adjacent CHARACTER pairs, level 2 = the top-k
+    adjacent TOKEN pairs after level 1 is applied (hierarchical merges —
+    level-2 entries like 'th,e' build on level-1 output). Ties break on
+    pair text, so the table is reproducible on any engine. Returns a
+    1-row DataFrame with the ordered merge array `ms`."""
+    words = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(text, '{_BPE_PIECES}', 0)")).alias("w")
+    ).where("length(w) >= 2")
+    pairs1 = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)-1),"
+                " i -> concat(substring(w, i, 1), ',', substring(w, i+1, 1)))"
+            )
+        ).alias("pr")
+    )
+    m1 = pairs1.groupBy("pr").agg(F.count("*").alias("n")).agg(F.expr(_BPE_TOPK).alias("ms"))
+    seg1 = words.crossJoin(F.broadcast(m1)).select(
+        F.expr(_BPE_SEG.format(ms="ms", p="w")).alias("seg")
+    )
+    toks = seg1.select(
+        F.expr("filter(split(seg, '[|]'), x -> x != '')").alias("ts")
+    ).where("size(ts) >= 2")
+    pairs2 = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts)-1),"
+                " i -> concat(element_at(ts, i), ',', element_at(ts, i+1)))"
+            )
+        ).alias("pr")
+    )
+    m2 = pairs2.groupBy("pr").agg(F.count("*").alias("n")).agg(F.expr(_BPE_TOPK).alias("ms2"))
+    return m1.crossJoin(m2).select(F.expr("concat(ms, ms2)").alias("ms"))
+
 
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting (the brief's second counting mode): split
-    into pre-tokenizer pieces, then estimate subword tokens as
-    ceil(len/4) per piece (~4 chars/token, the common BPE density). All
-    map-side expression work — at 100 TB this is the cheap budget pass
-    that decides what even reaches a real tokenizer."""
+    """Real merge-table BPE counting beside the cheap estimator: learn a
+    256-entry two-level merge table from the corpus (one aggregation pass
+    per level), broadcast it as a 1-row dim, and count merge-applied
+    tokens per document with a pure-expression fold — no UDFs, no driver
+    collect. `est_bpe_tokens` keeps the ceil(len/4) density estimate as
+    the budget column. At 100 TB the merge table is learned once (two
+    tiny-result shuffles); application is embarrassingly parallel
+    map-side work."""
     docs = load_table(spark, sf_dir, "documents")
-    pieces = f"regexp_extract_all(text, '{_BPE_PIECES}', 0)"
-    est = (
-        f"aggregate({pieces}, cast(0 as bigint),"
-        " (acc, p) -> acc + CAST(ceil(length(p) / 4.0) AS BIGINT))"
+    pieces = docs.select(
+        "doc_id", F.expr(f"regexp_extract_all(text, '{_BPE_PIECES}', 0)").alias("pieces")
     )
-    return docs.select(
+    seg_pc = _BPE_SEG.format(ms="ms", p="pc")
+    return pieces.crossJoin(F.broadcast(_bpe_merge_table(docs))).select(
         "doc_id",
-        F.expr(f"size({pieces})").alias("n_pieces"),
-        F.expr(est).alias("est_bpe_tokens"),
+        F.expr("size(pieces)").alias("n_pieces"),
+        F.expr(
+            "aggregate(pieces, cast(0 as bigint),"
+            " (acc, pc) -> acc + CAST(ceil(length(pc) / 4.0) AS BIGINT))"
+        ).alias("est_bpe_tokens"),
+        F.expr(
+            f"aggregate(pieces, cast(0 as bigint),"
+            f" (acc, pc) -> acc + (length({seg_pc}) - length(replace({seg_pc}, '|', '')) - 1))"
+        ).alias("bpe_tokens"),
     )
 
 
@@ -155,18 +225,56 @@ ORACLE = {
                len(text) AS n_chars_measured
         FROM documents
     """,
-    "bpe_token_count": r"""
+    # Same two-level merge learning + fold application as the Spark side:
+    # list_reduce has no init-value form in DuckDB 1.0, so the initial
+    # segmentation state is prepended to the merge list.
+    "bpe_token_count": (
+        lambda seg_w, seg_pc: rf"""
         WITH p AS (
             SELECT doc_id,
                    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pieces
             FROM documents
-        )
+        ),
+        w AS (SELECT unnest(pieces) AS word FROM p WHERE len(pieces) > 0),
+        pairs1 AS (
+            SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                     i -> substr(word, i, 1) || ',' || substr(word, i + 1, 1))) AS pr
+            FROM w WHERE length(word) >= 2
+        ),
+        m1 AS (
+            SELECT list(pr ORDER BY n DESC, pr ASC) AS ms
+            FROM (SELECT pr, count(*) AS n FROM pairs1 GROUP BY 1
+                  ORDER BY n DESC, pr ASC LIMIT {BPE_MERGES_PER_LEVEL})
+        ),
+        seg1 AS (SELECT {seg_w} AS seg FROM w, m1),
+        toks AS (SELECT list_filter(string_split(seg, '|'), x -> x <> '') AS ts FROM seg1),
+        pairs2 AS (
+            SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                     i -> ts[i] || ',' || ts[i + 1])) AS pr
+            FROM toks WHERE len(ts) >= 2
+        ),
+        m2 AS (
+            SELECT list(pr ORDER BY n DESC, pr ASC) AS ms
+            FROM (SELECT pr, count(*) AS n FROM pairs2 GROUP BY 1
+                  ORDER BY n DESC, pr ASC LIMIT {BPE_MERGES_PER_LEVEL})
+        ),
+        mall AS (SELECT m1.ms || m2.ms AS ms FROM m1, m2)
         SELECT doc_id,
                len(pieces) AS n_pieces,
-               CAST(list_sum(list_transform(pieces,
-                    p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens
-        FROM p
-    """,
+               CAST(coalesce(list_sum(list_transform(pieces,
+                    pc -> CAST(ceil(length(pc) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_bpe_tokens,
+               CAST(coalesce(list_sum(list_transform(pieces,
+                    pc -> length({seg_pc}) - length(replace({seg_pc}, '|', '')) - 1)), 0) AS BIGINT) AS bpe_tokens
+        FROM p, mall
+    """
+    )(
+        *(
+            "list_reduce(list_prepend('|' || array_to_string(string_split({p}, ''), '|') || '|', {ms}), "
+            "(a2, m) -> replace(a2, '|' || replace(m, ',', '|') || '|', "
+            "'|' || replace(m, ',', '') || '|'))".format(ms=ms, p=p)
+            for ms, p in (("m1.ms", "word"), ("ms", "pc"))
+        )
+    ),
     "text_quality": f"""
         WITH t AS (
             SELECT doc_id,
