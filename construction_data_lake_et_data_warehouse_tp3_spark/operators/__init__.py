@@ -41,6 +41,8 @@ _MODULES = (
 # back.  (CORRECTNESS_r01/r02 each contained exactly 50 rows while the
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
+    # new in r03 — never driver-checked
+    "ppm_pixel_stats",
     # never driver-checked through r02
     "ann_ivf_topk",
     "apply_in_pandas_group_stats",

@@ -34,6 +34,39 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
             multimodal.decode_image_stub(b"\x00\x01", strict=True)
 
+    def test_decode_ppm_known_pixels(self):
+        """The PPM kernel must do real per-byte work: parse the ASCII
+        header, then average the raw RGB block."""
+        content = b"P6\n2 2\n255\n" + bytes(
+            [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+        )
+        w, h, r, g, b = multimodal.decode_ppm(content)
+        assert (w, h) == (2, 2)
+        assert (r, g, b) == (55.0, 65.0, 75.0)
+
+    def test_decode_ppm_rejects_malformed(self):
+        with pytest.raises(ValueError, match="bad magic"):
+            multimodal.decode_ppm(b"JFIF....")
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+        with pytest.raises(ValueError, match="malformed"):
+            multimodal.decode_ppm(b"P6garbage")
+
+    def test_ppm_roundtrip_spark(self, spark):
+        """JVM-side PPM assembly → pandas kernel decode: dims survive and
+        channel means match a manual decode of the same md5 bytes."""
+        import hashlib
+
+        df = spark.createDataFrame([(7, "hello world")], "id long, seed string")
+        media = multimodal.synthetic_ppm_media(df, "id", "seed")
+        row = multimodal.ppm_channel_stats(media).collect()[0]
+        digest = b"".join(
+            hashlib.md5(f"hello world{sfx}".encode()).digest() for sfx in ("", "1", "2")
+        )
+        expected = [sum(digest[c::3]) / 16.0 for c in range(3)]
+        assert (row["width"], row["height"]) == (4, 4)
+        assert [row["r_mean"], row["g_mean"], row["b_mean"]] == expected
+
     def test_frame_sample_plan_fanout(self, spark):
         media = multimodal.synthetic_media(spark, 9)  # 3 videos
         frames = multimodal.frame_sample_plan(media, every_ms=250)
