@@ -1,3 +1,4 @@
+from .dedup_stream import StreamingDeduper  # noqa: F401
 from .ingest import (  # noqa: F401
     ingest_stream_to_lake,
     json_feed_schema,

@@ -1,0 +1,72 @@
+"""Incremental streaming dedup (VERDICT r2 §Next round #4): a planted
+near-dup arriving in a LATER micro-batch than its twin must be caught
+exactly once, and replaying a batch (foreachBatch at-least-once) must be
+idempotent on both the signature store and the pair table."""
+
+from __future__ import annotations
+
+from construction_data_lake_et_data_warehouse_tp3_spark.streaming import StreamingDeduper
+
+#: long enough for 12-char shingles, identical text ⇒ identical minhash
+#: in every band (deterministic catch, no LSH probability at play).
+TEXT_A = "the quick brown fox jumps over the lazy dog near the river bank"
+TEXT_B = "a completely different document about spark shuffle partitions and joins"
+TEXT_C = "yet another unrelated text mentioning parquet files and column pruning"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestStreamingDedup:
+    def test_cross_batch_pair_caught_exactly_once(self, spark, tmp_path):
+        dd = StreamingDeduper(spark, str(tmp_path / "store"))
+
+        dd.process_batch(_batch(spark, [(1, TEXT_A), (2, TEXT_B)]), 0)
+        assert dd.candidate_pairs().count() == 0  # nothing similar yet
+
+        dd.process_batch(_batch(spark, [(3, TEXT_A), (4, TEXT_C)]), 1)
+        pairs = [(r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()]
+        assert pairs == [(1, 3)]  # the cross-batch twin, once
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        dd = StreamingDeduper(spark, str(tmp_path / "store"))
+        b0 = _batch(spark, [(1, TEXT_A), (2, TEXT_B)])
+        b1 = _batch(spark, [(3, TEXT_A)])
+
+        dd.process_batch(b0, 0)
+        dd.process_batch(b1, 1)
+        sig_rows = dd.signatures().count()
+        assert [(r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()] == [(1, 3)]
+
+        dd.process_batch(b1, 1)  # at-least-once replay of the same batch
+        assert dd.signatures().count() == sig_rows
+        assert [(r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()] == [(1, 3)]
+
+    def test_within_and_cross_batch_pairs(self, spark, tmp_path):
+        dd = StreamingDeduper(spark, str(tmp_path / "store"))
+        dd.process_batch(_batch(spark, [(1, TEXT_A)]), 0)
+        # batch 2 carries an internal dup AND a cross-batch dup of doc 1
+        dd.process_batch(_batch(spark, [(2, TEXT_A), (3, TEXT_A)]), 1)
+        pairs = sorted(
+            (r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()
+        )
+        assert pairs == [(1, 2), (1, 3), (2, 3)]
+
+    def test_streaming_attach_end_to_end(self, spark, tmp_path):
+        """Real Structured Streaming wiring: file source → availableNow
+        foreachBatch → same store."""
+        src = tmp_path / "src"
+        _batch(spark, [(1, TEXT_A), (2, TEXT_B), (3, TEXT_A)]).coalesce(1).write.json(
+            str(src)
+        )
+        dd = StreamingDeduper(spark, str(tmp_path / "store"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        query = dd.attach(stream, str(tmp_path / "ckpt"))
+        query.awaitTermination(120)
+        pairs = [(r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()]
+        assert pairs == [(1, 3)]
