@@ -51,13 +51,19 @@ def _run_stream(spark, src, ckpt):
     # self-terminates here — and processAllAvailable() blocks on that same
     # churn (available offsets keep moving). awaitTermination(120) burned
     # its full 120 s per call, which is VERDICT r2 §What's wrong #3's real
-    # root cause. Batches commit sequentially, so one committed NO-DATA
-    # progress event proves every data batch before it is committed: poll
-    # for that, then stop.
+    # root cause. Batches commit sequentially, so a committed NO-DATA
+    # progress event AFTER this run's data batch proves the data batch is
+    # committed. The data-batch precondition matters on restart: stopping
+    # the previous run can leave a timeout-poll batch planned-but-
+    # uncommitted in the offset WAL, and Spark replays that empty batch
+    # FIRST — gating only on "numInputRows == 0" stops the query before
+    # the new file is ever read (flaky under full-suite load).
     deadline = time.time() + 120
+    seen_data = False
     while time.time() < deadline:
-        lp = q.lastProgress
-        if lp is not None and lp["numInputRows"] == 0:
+        progress = q.recentProgress
+        seen_data = seen_data or any(p["numInputRows"] > 0 for p in progress)
+        if seen_data and progress and progress[-1]["numInputRows"] == 0:
             break
         time.sleep(0.25)
     q.stop()
