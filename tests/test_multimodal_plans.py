@@ -144,6 +144,36 @@ class TestPlans:
         df = relational_extras.price_band_range_join(spark, SF_DIR)
         assert "BroadcastNestedLoopJoin" in explain_str(df, "simple")
 
+    def test_bucketed_embedding_dedup_shuffles_only_on_band_sig(self, spark):
+        """Locks the r2 scale win: candidate generation must be a hash
+        join KEYED on (band, sig) — broadcast at this SF, shuffled at
+        scale, either way bucketed — and never degrade to the all-pairs
+        shapes (CartesianProduct / BroadcastNestedLoopJoin). Any shuffle
+        Exchange may partition only on the LSH key or on the final
+        distinct's output columns."""
+        import re
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import similarity
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
+
+        plan = explain_str(similarity.embedding_dup_pairs_bucketed(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band", plan), plan
+        for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert ("band" in keys and "sig" in keys) or "vec_a" in keys, keys
+
+    def test_rolling_7d_revenue_single_window_sort(self, spark):
+        """Locks the RANGE-frame plan: one Window fed by exactly one Sort
+        — a regression (e.g. a second window pass or a re-sort between
+        aggregation and window) doubles the most expensive stage."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import windows
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
+
+        plan = explain_str(windows.rolling_7d_revenue(spark, SF_DIR), "simple")
+        assert plan.count("Window [") == 1, plan
+        assert plan.count("Sort [") == 1, plan
+
     def test_blacklist_filter_is_broadcast_semi(self, spark):
         from construction_data_lake_et_data_warehouse_tp3_spark.operators import transforms
         from construction_data_lake_et_data_warehouse_tp3_spark.plans import explain_str
