@@ -31,6 +31,7 @@ _MODULES = (
     "text",
     "pipelines",
     "python_udfs",
+    "curation",
 )
 
 
@@ -64,6 +65,10 @@ _DRIVER_PRIORITY = (
     "embedding_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_signatures",
+    # new in r03 — never driver-checked
+    "dup_clusters",
+    "corpus_curation",
+    "stratified_sample",
 )
 
 

@@ -1,0 +1,258 @@
+"""Corpus-curation operators — the composed decisions a training-data
+pipeline makes after the per-document analyses exist (beyond-reference
+surface, same family as text.py/dedup.py/pipelines.py):
+
+- dup_clusters: connected components over the verified near-dup pair
+  graph (iterative min-label propagation), assigning every clustered doc
+  a canonical cluster id. Pair lists alone can't drive dedup at scale —
+  A~B and B~C must collapse to ONE survivor, which is a transitive
+  closure, not a pair filter.
+- corpus_curation: the end-to-end keep/drop decision — language-ID,
+  quality score, exact-dup survivorship, and a token budget in one
+  single-scan plan plus one hash aggregation.
+- stratified_sample: deterministic per-language sampling at different
+  rates (downsample the over-represented language, keep the rest) via
+  the md5 coin already used by deterministic_sample.
+
+Scale notes: corpus_curation and stratified_sample are map-only except
+one content-hash aggregation (corpus_curation) — embarrassingly parallel
+at 100 TB. dup_clusters iterates O(cluster diameter) joins over the EDGE
+set only (bounded by the LSH candidate cap, ≪ corpus size), with
+lineage truncated per round; near-dup clusters are shallow (stars/short
+chains), so 2-3 rounds converge in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .pipelines import duck_verified_dups_cte, minhash_verified_dups
+from .text import LANG_MARKERS, TOKENS, TOKENS_DUCK, _STOP_SQL
+
+#: propagation rounds before giving up (diameter bound; each round halves
+#: the remaining label distance on a path, and near-dup components are
+#: tiny). The loop exits early the first round nothing changes.
+MAX_CC_ITERS = 10
+
+#: per-language sampling rates out of 10_000 (labeled `lang` column):
+#: downsample dominant languages, keep the tail intact.
+STRATA_RATES = {"en": 5000, "fr": 2500, "es": 1000}
+DEFAULT_RATE = 10000
+
+#: quality gate for corpus_curation (same score as text_quality).
+MIN_QUALITY = 0.35
+
+
+def cluster_edges(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list
+    `(doc_a, doc_b)` → `(doc_id, cluster_id, cluster_size, is_canonical)`
+    where cluster_id is the smallest reachable doc_id.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbours' labels; converged when no label moves. The
+    edge list is materialized ONCE (localCheckpoint — the upstream
+    lineage must not replay per round, and the iterated plan must not
+    grow), so each round is one join + one aggregation over edges. On a
+    cluster deployment the same loop runs with
+    `spark.sparkContext.setCheckpointDir` + `df.checkpoint()` for
+    fault-tolerant lineage cuts; localCheckpoint is the single-node form.
+    """
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("doc_b"), F.col("lbl").alias("nbl")),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of minhash_verified_dups: every doc that appears
+    in a verified near-dup pair gets `cluster_id` = the smallest doc_id
+    reachable through dup edges, plus the cluster size and a canonical
+    flag (the designated survivor). Pair lists alone can't drive dedup —
+    A~B and B~C must collapse to one survivor even when A~C was never
+    tested."""
+    return cluster_edges(minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b"))
+
+
+def _pred_lang() -> F.Column:
+    """Argmax marker-language prediction (same rule as text.lang_id)."""
+    hits = {
+        lang: F.expr(
+            f"size(filter({TOKENS}, x -> x IN ({', '.join(repr(w) for w in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    return (
+        F.when((hits["en"] == 0) & (hits["fr"] == 0) & (hits["es"] == 0), "unknown")
+        .when((hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep set: identified language + quality ≥ MIN_QUALITY + exact-
+    dup survivor (smallest doc_id per content hash), with the kept doc's
+    token count — what a pretraining pipeline hands to tokenization.
+
+    One scan computes lang/quality/tokens map-side; survivorship is one
+    md5-key aggregation joined back broadcast-free on doc_id. At 100 TB
+    the hash aggregation is the only shuffle and carries 32-byte keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ratio = F.col("n_stop") / F.col("n_tokens").cast("double")
+    scored = docs.select(
+        "doc_id",
+        _pred_lang().alias("predicted_lang"),
+        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        F.expr(f"size(filter({TOKENS}, x -> x IN ({_STOP_SQL})))").alias("n_stop"),
+    ).select(
+        "doc_id",
+        "predicted_lang",
+        "n_tokens",
+        F.round(F.least(F.lit(1.0), F.col("n_tokens") / F.lit(50.0)) * (1 - ratio), 4).alias(
+            "quality_score"
+        ),
+    )
+    return (
+        scored.join(survivors, "doc_id", "left_semi")
+        .where((F.col("predicted_lang") != "unknown") & (F.col("quality_score") >= MIN_QUALITY))
+        .select("doc_id", "predicted_lang", "n_tokens", "quality_score")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: language `l` keeps a doc iff
+    md5(doc_id) mod 10_000 < rate(l). The coin is the doc_id hash — stable
+    across runs, engines, and partitionings (no rand()), so the sample is
+    reproducible and the oracle bit-exact. Map-only: the rate lookup is a
+    literal CASE, never a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT), 10000)"
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == l, F.lit(r)) for l, r in STRATA_RATES.items()],
+        F.lit(DEFAULT_RATE),
+    )
+    return (
+        docs.select("doc_id", "lang", rate.alias("strata_rate"), coin.alias("coin"))
+        .where(F.col("coin") < F.col("strata_rate"))
+        .select("doc_id", "lang", "strata_rate")
+    )
+
+
+QUERIES = {
+    "dup_clusters": dup_clusters,
+    "corpus_curation": corpus_curation,
+    "stratified_sample": stratified_sample,
+}
+
+_HITS_DUCK = {
+    lang: f"len(list_filter({TOKENS_DUCK}, x -> x IN ({', '.join(repr(w) for w in markers)})))"
+    for lang, markers in LANG_MARKERS.items()
+}
+
+_RATE_DUCK = "CASE " + " ".join(
+    f"WHEN lang = '{l}' THEN {r}" for l, r in STRATA_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+ORACLE = {
+    # WITH RECURSIVE reachability: walk(node, lbl) enumerates every label
+    # reachable from each node through dup edges; min() per node is the
+    # component's canonical id — the closed form of the Spark-side
+    # propagation loop.
+    "dup_clusters": f"""
+        WITH RECURSIVE {duck_verified_dups_cte()},
+        dedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        dnodes AS (SELECT DISTINCT src AS node FROM dedges),
+        walk(node, lbl) AS (
+            SELECT node, node FROM dnodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN dedges e ON e.src = w.node
+        ),
+        comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+        csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_canonical
+        FROM comp c JOIN csizes s USING (cluster_id)
+    """,
+    "corpus_curation": f"""
+        WITH surv AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CASE WHEN {_HITS_DUCK['en']} = 0 AND {_HITS_DUCK['fr']} = 0
+                             AND {_HITS_DUCK['es']} = 0 THEN 'unknown'
+                        WHEN {_HITS_DUCK['en']} >= {_HITS_DUCK['fr']}
+                             AND {_HITS_DUCK['en']} >= {_HITS_DUCK['es']} THEN 'en'
+                        WHEN {_HITS_DUCK['fr']} >= {_HITS_DUCK['es']} THEN 'fr'
+                        ELSE 'es' END AS predicted_lang,
+                   len({TOKENS_DUCK}) AS n_tokens,
+                   round(least(CAST(1.0 AS DOUBLE), len({TOKENS_DUCK}) / CAST(50.0 AS DOUBLE))
+                         * (1 - len(list_filter({TOKENS_DUCK}, x -> x IN ({_STOP_SQL})))
+                              / CAST(len({TOKENS_DUCK}) AS DOUBLE)), 4) AS quality_score
+            FROM documents
+        )
+        SELECT doc_id, predicted_lang, n_tokens, quality_score
+        FROM scored
+        WHERE doc_id IN (SELECT doc_id FROM surv)
+          AND predicted_lang != 'unknown'
+          AND quality_score >= {MIN_QUALITY}
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, {_RATE_DUCK} AS strata_rate
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
+              < {_RATE_DUCK}
+    """,
+}

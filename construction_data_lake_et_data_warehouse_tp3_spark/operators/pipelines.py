@@ -179,27 +179,38 @@ def _duck_ivf_bits() -> str:
     return ", ".join(plane_sql(j) for j in range(1, 5))
 
 
-ORACLE = {
-    "minhash_verified_dups": f"""
-        WITH {duck_lsh_candidates_cte()},
+def duck_verified_dups_cte() -> str:
+    """DuckDB CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
+    exact oracle twin of minhash_verified_dups. Shared by this module's
+    ORACLE and by curation.dup_clusters's oracle so the edge set feeding
+    cluster assignment can never drift from the verified-dup query."""
+    return f"""{duck_lsh_candidates_cte()},
         toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         wsh AS (
             SELECT doc_id, unnest({WORD_SHINGLES_DUCK}) AS s FROM toks
         ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM wsh GROUP BY 1),
-        inter AS (
+        vsizes AS (SELECT doc_id, count(*) AS n_sh FROM wsh GROUP BY 1),
+        vinter AS (
             SELECT c.doc_a, c.doc_b, count(*) AS n_common
             FROM cand c
             JOIN wsh a ON a.doc_id = c.doc_a
             JOIN wsh b ON b.doc_id = c.doc_b AND b.s = a.s
             GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+            FROM vinter
+            JOIN vsizes sa ON sa.doc_id = doc_a
+            JOIN vsizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+        )"""
+
+
+ORACLE = {
+    "minhash_verified_dups": f"""
+        WITH {duck_verified_dups_cte()}
+        SELECT doc_a, doc_b, jaccard FROM verified
     """,
     "simhash_hamming_pairs": f"""
         WITH tok AS (
