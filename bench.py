@@ -56,9 +56,17 @@ def main() -> None:
 
     # full warmup pass: JIT + codegen compilation per distinct plan is
     # 0.5-5 s each and would otherwise dominate the measured times; the
-    # timed pass below measures steady-state execution.
+    # timed pass below measures steady-state execution. A query that
+    # errors is recorded and skipped — one bad plan must never zero out
+    # the whole round's numbers (BENCH_r03 died entirely on one
+    # AnalysisException).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        registry[name](spark, sf_dir).count()
+        try:
+            registry[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 - record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     # median-of-3 per query: single-shot timings at this scale carry
     # 50-100% host/session noise (r1→r2 judged tpch_q5 +77% on unchanged
@@ -67,6 +75,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         fn = registry[name]
         samples = []
         for _ in range(repeats):
@@ -79,7 +89,11 @@ def main() -> None:
         rows[name] = n
         print(f"# {name}: {timings[name]}s median of {samples} ({n} rows)", file=sys.stderr)
 
-    streaming_rate = _streaming_ingest_rate(spark)
+    try:
+        streaming_rate = _streaming_ingest_rate(spark)
+    except Exception as exc:  # noqa: BLE001 - partial numbers beat none
+        errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+        streaming_rate = None
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,6 +107,7 @@ def main() -> None:
                 "rows": rows,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "streaming_ingest_rows_per_sec": streaming_rate,
+                "errors": errors,
             }
         )
     )

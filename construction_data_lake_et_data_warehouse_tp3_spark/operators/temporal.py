@@ -91,8 +91,8 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1, 0).over(by_user)
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, 0).over(by_user)
             > SESSION_GAP_MINUTES * 60,
             1,
         ).otherwise(F.when(F.lag("ts", 1).over(by_user).isNull(), 1).otherwise(0)),
