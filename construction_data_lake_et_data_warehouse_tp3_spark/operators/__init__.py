@@ -32,6 +32,7 @@ _MODULES = (
     "pipelines",
     "python_udfs",
     "curation",
+    "quality",
 )
 
 
@@ -42,33 +43,37 @@ _MODULES = (
 # back.  (CORRECTNESS_r01/r02 each contained exactly 50 rows while the
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
-    # new in r03 — never driver-checked
-    "ppm_pixel_stats",
-    # never driver-checked through r02
-    "ann_ivf_topk",
-    "apply_in_pandas_group_stats",
-    "bpe_token_count",
-    "doc_fingerprint",
-    "embedding_dup_pairs_bucketed",
-    "lang_id",
-    "lsh_buckets",
-    "minhash_verified_dups",
-    "multimodal_features",
-    "pandas_scalar_norm",
-    "pandas_udaf_value_stats",
-    "simhash_hamming_pairs",
-    "text_quality",
-    "token_count",
-    "word_freq_topk",
-    # green in r01 but rotated out of the r02 artifact
-    "cosine_topk",
-    "embedding_dup_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
-    # new in r03 — never driver-checked
-    "dup_clusters",
-    "corpus_curation",
-    "stratified_sample",
+    # new in r04 — never driver-checked
+    "quality_filters",
+    "decontaminate",
+    "repetition_stats",
+    "pii_scrub",
+    "domain_mix",
+    "length_histogram",
+    # green in r01/r02 but rotated out of the r03 artifact — refresh
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "event_sessions",
+    "asof_latest_order",
+    "daily_event_stats",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "scalar_datetime_ops",
+    "events_json_props",
+    "tfidf_top_terms",
+    "deterministic_sample",
+    "pivot_status_revenue",
+    "regexp_extract_ids",
+    "customer_order_counts_left",
+    "price_band_range_join",
+    "order_event_days_full",
+    "exists_high_qty_orders",
+    "array_functions_showcase",
+    "median_order_value",
+    "median_order_value_approx",
 )
 
 

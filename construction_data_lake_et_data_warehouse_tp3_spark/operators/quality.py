@@ -1,0 +1,387 @@
+"""Corpus-quality operators — the filter/mix layer a pretraining pipeline
+runs between raw ingest and tokenization (beyond-reference surface, same
+family as text.py/curation.py; Gopher/C4-style rules re-expressed over the
+`documents` table):
+
+- quality_filters: per-document heuristic gate (word count, mean word
+  length, symbol ratio, stopword presence → keep flag).
+- repetition_stats: repetition signals (top-word fraction, distinct-word
+  ratio, top-bigram fraction) computed MAP-ONLY via sorted-run folds —
+  no explode/shuffle per token, which is what makes the operator viable
+  at 100 TB (the naive word-explode shuffles ~#tokens rows).
+- decontaminate: eval-set leakage check — 4-word shingle overlap between
+  the corpus and a designated benchmark slice, broadcast-joined.
+- pii_scrub: email/phone redaction with per-document match counts
+  (documents carry no PII, so a deterministic synthetic decoration is
+  scrubbed — the operator, counts, and hashes are real).
+- domain_mix: per-source doc/token shares + uniform-target resampling
+  weights (single 1-row broadcast for the totals, no window-over-all).
+- length_histogram: fixed-width document-length histogram.
+
+Scale notes: quality_filters / repetition_stats / pii_scrub are pure
+per-row expressions (whole-stage codegen, embarrassingly parallel);
+decontaminate broadcasts the (small) eval n-gram dim so the only shuffle
+is the final per-doc count; domain_mix / length_histogram aggregate to
+~20 / ~dozens of groups with map-side partial aggregation.
+
+Reference parity anchor: the reference's quality gating is the enabled/
+validation predicates in its feed pipeline (see
+reference/data_lake/scripts/json_to_datalake.py) — these operators are
+the corpus-scale generalization the brief asks for beyond that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .text import TOKENS, TOKENS_DUCK, _STOP_SQL
+
+#: quality_filters thresholds (Gopher-rule shapes, scaled to the synthetic
+#: corpus: single-line word-soup docs of ~25-80 words).
+MIN_WORDS, MAX_WORDS = 5, 10_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 2.0, 12.0
+MAX_SYMBOL_RATIO = 0.1
+
+#: decontaminate: shingle width + the deterministic "benchmark" slice
+#: (doc_id % EVAL_MOD == 0 stands in for an eval-set table; swap the
+#: predicate for a real benchmark join at deploy time).
+NGRAM_WORDS = 4
+EVAL_MOD = 97
+
+#: pii_scrub regexes — identical syntax/semantics in Java regex (Spark)
+#: and RE2 (DuckDB): character classes, bounded repetition, word boundary.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+#: length_histogram bucket width (chars); integer arithmetic so the
+#: bucket edge is bit-exact on both engines (log2-style buckets put
+#: exact powers on a float boundary and can flip between engines).
+LEN_BUCKET = 100
+
+#: sorted-run fold: max run length (= top item count) and number of runs
+#: (= distinct items) over a SORTED array, as one pure expression — the
+#: map-only replacement for explode→groupBy(doc, item)→max(count).
+_RUN_FOLD = (
+    "aggregate(array_sort({xs}),"
+    " named_struct('prev', '', 'run', CAST(0 AS BIGINT),"
+    "              'best', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)),"
+    " (a, x) -> named_struct("
+    "   'prev', x,"
+    "   'run', IF(x = a.prev, a.run + 1, CAST(1 AS BIGINT)),"
+    "   'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, CAST(1 AS BIGINT))),"
+    "   'nd', a.nd + IF(x = a.prev, CAST(0 AS BIGINT), CAST(1 AS BIGINT))),"
+    " a -> named_struct('best', a.best, 'nd', a.nd))"
+)
+
+#: adjacent word bigrams as strings ('w1 w2'); empty when < 2 words.
+_BIGRAMS = (
+    "transform(sequence(1, greatest(size({ws}) - 1, 0)),"
+    " i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
+)
+
+#: 4-word shingles; empty when the doc has < NGRAM_WORDS words.
+_SHINGLES = (
+    f"transform(sequence(1, greatest(size({{ws}}) - {NGRAM_WORDS - 1}, 0)),"
+    f" i -> concat_ws(' ', slice({{ws}}, i, {NGRAM_WORDS})))"
+)
+_SHINGLES_DUCK = (
+    f"list_transform(range(1, greatest(len({{ws}}) - {NGRAM_WORDS - 2}, 1)),"
+    f" i -> array_to_string({{ws}}[i:i+{NGRAM_WORDS - 1}], ' '))"
+)
+
+
+def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gate, map-only: word count in
+    range, mean word length in range, symbol ratio bounded, at least one
+    stopword present → `keep`. Every signal is a built-in expression over
+    one scan; the operator is a pure filter stage at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").alias("n_words"),
+        F.expr(
+            f"aggregate({TOKENS}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        ).alias("word_chars"),
+        F.expr(f"size(filter({TOKENS}, x -> x IN ({_STOP_SQL})))").alias("stop_hits"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("sym_chars"),
+        F.length("text").alias("n_chars"),
+    )
+    mean_len = F.round(F.col("word_chars") / F.col("n_words").cast("double"), 4)
+    sym_ratio = F.round(F.col("sym_chars") / F.col("n_chars").cast("double"), 4)
+    out = t.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        (F.col("stop_hits") > 0).alias("has_stopword"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & F.col("has_stopword"),
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document, computed without exploding tokens:
+    sort the word (resp. bigram) array once and fold over runs — the most
+    frequent item's count is the longest run, the distinct count is the
+    number of runs. One scan, zero shuffles; the naive shape (explode →
+    groupBy(doc, word)) shuffles a row per token and dies first at
+    100 TB. The oracle uses that naive shape — same answer, which is the
+    point of the cross-check."""
+    docs = load_table(spark, sf_dir, "documents")
+    word_fold = _RUN_FOLD.format(xs="ws")
+    bg_fold = _RUN_FOLD.format(xs=_BIGRAMS.format(ws="ws"))
+    t = docs.select(
+        "doc_id", F.expr(TOKENS).alias("ws")
+    ).select(
+        "doc_id",
+        F.expr("size(ws)").alias("n_words"),
+        F.expr(word_fold).alias("wf"),
+        F.expr(bg_fold).alias("bf"),
+    )
+    nw = F.col("n_words").cast("double")
+    return t.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("wf.best") / nw, 4).alias("top_word_frac"),
+        F.round(F.col("wf.nd") / nw, 4).alias("distinct_word_ratio"),
+        F.when(F.col("n_words") >= 2, F.round(F.col("bf.best") / (nw - 1), 4)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: docs sharing any 4-word shingle with the
+    eval slice (doc_id % 97 == 0), with the count of distinct overlapping
+    shingles. The eval n-gram dim is tiny relative to the corpus →
+    broadcast; the corpus side generates shingles map-side, so the only
+    shuffle is the final per-doc distinct-count."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng")
+    )
+    eval_ngrams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0).select("ng").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_ngrams), "ng")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ng").alias("n_contaminated_ngrams"))
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with audit counts. The corpus carries no PII,
+    so each doc is deterministically decorated with one email + one phone
+    before scrubbing — the regex match/replace work, counts, and output
+    hash are all real and oracle-checked. Pure per-row expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", decorated.alias("dec"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("dec", F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("dec", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("dec", F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix + resampling weights toward a uniform target:
+    share of docs/tokens per source, and weight = min(1, target/actual)
+    (downsample over-represented sources, keep the rest). ONE corpus scan:
+    the totals are an unpartitioned window over the already-aggregated
+    ~|sources| rows — moving ~20 rows to one partition beats the
+    crossJoin-with-1-row-agg shape, whose second aggregation subtree
+    re-scans the whole corpus unless exchange reuse happens to fire."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"size({TOKENS})")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    t = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).alias("tot_docs"),
+        F.sum("n_tokens").over(w).alias("tot_tokens"),
+        F.count("*").over(w).alias("n_sources"),
+    )
+    doc_share = F.col("n_docs") / F.col("tot_docs").cast("double")
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    return t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(doc_share, 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("tot_tokens").cast("double"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.least(F.lit(1.0), target / doc_share), 4).alias("sample_weight"),
+    )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 100-char buckets (integer
+    bucket edges — exact on both engines), with per-bucket doc count and
+    char mass. Map-side partial aggregation into ~dozens of groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / LEN_BUCKET) * LEN_BUCKET).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+QUERIES = {
+    "quality_filters": quality_filters,
+    "repetition_stats": repetition_stats,
+    "decontaminate": decontaminate,
+    "pii_scrub": pii_scrub,
+    "domain_mix": domain_mix,
+    "length_histogram": length_histogram,
+}
+
+
+ORACLE = {
+    "quality_filters": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({TOKENS_DUCK}) AS n_words,
+                   list_aggregate(list_transform({TOKENS_DUCK}, x -> length(x)), 'sum')
+                       AS word_chars,
+                   len(list_filter({TOKENS_DUCK}, x -> x IN ({_STOP_SQL}))) AS stop_hits,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym_chars,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_words,
+                   round(word_chars / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+                   round(sym_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+                   stop_hits > 0 AS has_stopword
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, has_stopword,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+               AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+               AND symbol_ratio <= {MAX_SYMBOL_RATIO}
+               AND has_stopword AS keep
+        FROM s
+    """,
+    # naive explode→group shape on purpose: independent algorithm, same
+    # answer as the Spark sorted-run fold.
+    "repetition_stats": f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+        ),
+        w AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        wstat AS (
+            SELECT doc_id, max(c) AS best, count(*) AS nd, sum(c) AS n_words
+            FROM wc GROUP BY 1
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws), 1)),
+                          i -> ws[i] || ' ' || ws[i + 1])) AS g
+            FROM base WHERE len(ws) >= 2
+        ),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        bstat AS (SELECT doc_id, max(c) AS best FROM bc GROUP BY 1)
+        SELECT w.doc_id,
+               CAST(w.n_words AS BIGINT) AS n_words,
+               round(w.best / CAST(w.n_words AS DOUBLE), 4) AS top_word_frac,
+               round(w.nd / CAST(w.n_words AS DOUBLE), 4) AS distinct_word_ratio,
+               CASE WHEN w.n_words >= 2
+                    THEN round(b.best / CAST(w.n_words - 1 AS DOUBLE), 4)
+               END AS top_bigram_frac
+        FROM wstat w LEFT JOIN bstat b ON w.doc_id = b.doc_id
+    """,
+    "decontaminate": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest({_SHINGLES_DUCK.format(ws=TOKENS_DUCK)}) AS ng
+            FROM documents
+        ),
+        ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % {EVAL_MOD} = 0)
+        SELECT g.doc_id, count(DISTINCT g.ng) AS n_contaminated_ngrams
+        FROM g JOIN ev USING (ng)
+        WHERE g.doc_id % {EVAL_MOD} != 0
+        GROUP BY 1
+    """,
+    "pii_scrub": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dec
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, dec,
+                   regexp_replace(regexp_replace(dec, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+            FROM t
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(dec, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(dec, '{PHONE_RE}')) AS n_phones,
+               md5(scrubbed) AS scrubbed_hash,
+               length(scrubbed) AS scrubbed_len
+        FROM s
+    """,
+    "domain_mix": f"""
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len({TOKENS_DUCK})) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        totals AS (
+            SELECT sum(n_docs) AS tot_docs, sum(n_tokens) AS tot_tokens,
+                   count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_docs / CAST(tot_docs AS DOUBLE), 6) AS doc_share,
+               round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
+               round(least(1.0, (1.0 / n_sources) / (n_docs / CAST(tot_docs AS DOUBLE))), 4)
+                   AS sample_weight
+        FROM per_source, totals
+    """,
+    "length_histogram": f"""
+        SELECT CAST(floor(n_chars / {LEN_BUCKET}) * {LEN_BUCKET} AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY 1
+    """,
+}

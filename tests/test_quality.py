@@ -1,0 +1,94 @@
+"""Semantics + physical-plan locks for the corpus-quality operators
+(operators/quality.py). Value correctness is oracle-checked in
+test_oracle_parity.py; these tests lock the invariants and the plan
+shapes that make the operators viable at 100 TB."""
+
+from __future__ import annotations
+
+from construction_data_lake_et_data_warehouse_tp3_spark.operators import quality
+from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+    has_broadcast_join,
+    shuffle_exchange_count,
+    wholestage_codegen_spans,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestQualitySemantics:
+    def test_quality_filters_invariants(self, spark):
+        rows = quality.quality_filters(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.n_words > 0
+            assert 0.0 <= r.symbol_ratio <= 1.0
+            if r.keep:
+                assert r.has_stopword
+                assert quality.MIN_WORDS <= r.n_words <= quality.MAX_WORDS
+
+    def test_repetition_stats_bounds(self, spark):
+        rows = quality.repetition_stats(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            # top-word fraction ≥ 1/n (something is always the mode) and
+            # distinct ratio × top fraction can't both be 1 unless n=1
+            assert 0 < r.top_word_frac <= 1.0
+            assert 0 < r.distinct_word_ratio <= 1.0
+            if r.n_words >= 2:
+                assert 0 < r.top_bigram_frac <= 1.0
+
+    def test_decontaminate_excludes_eval_slice(self, spark):
+        rows = quality.decontaminate(spark, SF_DIR).collect()
+        assert all(r.doc_id % quality.EVAL_MOD != 0 for r in rows)
+        assert all(r.n_contaminated_ngrams >= 1 for r in rows)
+
+    def test_pii_scrub_finds_injected_pii(self, spark):
+        rows = quality.pii_scrub(spark, SF_DIR).collect()
+        assert rows
+        # exactly the one injected email + one phone per document, and the
+        # scrub must remove every match (hash of a string still containing
+        # '@example.com' would differ — length shrinks for long ids)
+        assert all(r.n_emails == 1 for r in rows)
+        assert all(r.n_phones == 1 for r in rows)
+
+    def test_domain_mix_shares_sum_to_one(self, spark):
+        rows = quality.domain_mix(spark, SF_DIR).collect()
+        assert rows
+        assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+        assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+        assert all(0 < r.sample_weight <= 1.0 for r in rows)
+
+    def test_length_histogram_counts_every_doc(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.sources.registry import (
+            load_table,
+        )
+
+        total = load_table(spark, SF_DIR, "documents").count()
+        rows = quality.length_histogram(spark, SF_DIR).collect()
+        assert sum(r.n_docs for r in rows) == total
+        assert all(r.bucket_lo % quality.LEN_BUCKET == 0 for r in rows)
+
+
+class TestQualityPlans:
+    def test_repetition_stats_is_map_only(self, spark):
+        """The sorted-run fold must not explode tokens: the only Exchange
+        allowed is load_table's small-input parallelism repartition (which
+        never fires on a real multi-file layout) — no aggregation
+        shuffle."""
+        df = quality.repetition_stats(spark, SF_DIR)
+        assert shuffle_exchange_count(df) <= 1
+        assert wholestage_codegen_spans(df) >= 1
+
+    def test_quality_filters_is_map_only(self, spark):
+        df = quality.quality_filters(spark, SF_DIR)
+        assert shuffle_exchange_count(df) <= 1
+
+    def test_decontaminate_broadcasts_eval_ngrams(self, spark):
+        assert has_broadcast_join(quality.decontaminate(spark, SF_DIR))
+
+    def test_domain_mix_single_corpus_scan(self, spark):
+        """The totals come from a window over the ~|sources| aggregated
+        rows — the corpus parquet must appear in the plan exactly once
+        (the crossJoin-1-row-agg shape re-scans it)."""
+        plan = quality.domain_mix(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") <= 1
