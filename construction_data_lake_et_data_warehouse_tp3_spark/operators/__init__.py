@@ -33,6 +33,7 @@ _MODULES = (
     "python_udfs",
     "curation",
     "quality",
+    "clustering",
 )
 
 
@@ -44,6 +45,7 @@ _MODULES = (
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
     # new in r04 — never driver-checked
+    "kmeans_embeddings",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

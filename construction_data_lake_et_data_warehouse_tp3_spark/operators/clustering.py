@@ -1,0 +1,201 @@
+"""Iterative clustering over the `embeddings` table — deterministic Lloyd
+k-means as DataFrame ops (the iterative-algorithm family the brief calls
+out; the reference has no equivalent — its nearest analog is the per-feed
+grouping in its warehouse sync, see reference/sync_to_warehouse.py).
+
+Every arithmetic step is engine-portable by construction so the unrolled
+DuckDB oracle reproduces the Spark result EXACTLY:
+
+- components are quantized once to int64 micro-units (round(x·1e6)) —
+  the working doubles int/1e6 are then identical on both engines;
+- distance folds run sequentially over the 64-dim arrays (zip_with +
+  aggregate on Spark, list_sum(list_transform) on DuckDB) — same
+  summation order, same IEEE result;
+- the centroid update sums INTEGER micro-units per (cluster, dim) —
+  order-free exact arithmetic — then divides once, so iteration N+1
+  starts from bit-identical centroids on both engines;
+- argmin ties break on cluster id.
+
+Scale shape (10^9 vectors): per iteration ONE corpus-wide broadcast
+crossJoin against K centroid rows (map-side, no shuffle), ONE
+posexplode→groupBy(cluster, dim) aggregation whose shuffle carries
+K×64 groups after map-side partial aggregation, and an 8-row centroid
+rebuild. Centroids are localCheckpointed per iteration so the iterated
+plan stays linear (same pattern as curation.cluster_edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+K_CLUSTERS = 8
+N_ITERS = 2
+DIM = 64
+SCALE = 1_000_000  # micro-unit fixed point for exact cross-engine sums
+
+#: sequential fold: squared L2 distance between double arrays.
+_DIST2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> x * x),"
+    " cast(0 as double), (acc, x) -> acc + x))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + int64 micro-unit components + the derived working doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+        ).alias("vint"),
+    ).withColumn("vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))"))
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast crossJoin against the K
+    centroid rows, lexicographic min(struct(dist2, cid)) = argmin with
+    cid tiebreak. Map-side except the per-vec_id min, which AQE folds
+    into a partial aggregation."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2", F.expr(_DIST2.format(a="vd", b="cd"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist2", "cid")).alias("m"),
+            F.any_value("vint").alias("vint"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"), "vint")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Exact centroid update: per-(cluster, dim) INTEGER sums (order-free),
+    one division to doubles, rebuild the K arrays ordered by dim."""
+    sums = (
+        assigned.select("cid", F.posexplode("vint").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .withColumn("comp", F.col("s") / (F.col("n") * F.lit(float(SCALE))))
+    )
+    return sums.groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, comp))), p -> p.comp)").alias(
+            "cd"
+        )
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_ITERS Lloyd iterations from the deterministic init (centroid k =
+    vector with vec_id k), then final assignment stats per cluster:
+    member count, centroid norm, and inertia (Σ dist², accumulated in
+    micro-units so the cross-engine sum is exact)."""
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("vd").alias("cd")
+    )
+    for _ in range(N_ITERS):
+        cents = _update(_assign(vecs, cents)).localCheckpoint(eager=True)
+    final = _assign(vecs, cents)
+    norms = cents.select("cid", F.round(F.expr(_NORM.format(a="cd")), 4).alias("centroid_norm"))
+    stats = final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        (
+            F.sum(F.expr(f"CAST(round(dist2 * {SCALE}) AS BIGINT)"))
+            / F.lit(float(SCALE))
+        ).alias("raw_inertia"),
+    )
+    return (
+        stats.join(F.broadcast(norms), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "centroid_norm",
+            F.round("raw_inertia", 4).alias("inertia"),
+        )
+    )
+
+
+QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+
+_V_DUCK = f"""
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS vint,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)
+                        / CAST({SCALE} AS DOUBLE)) AS vd
+        FROM embeddings
+"""
+
+_DIST2_DUCK = (
+    f"list_sum(list_transform(range(1, {DIM + 1}),"
+    " i -> (v.vd[i] - c.cd[i]) * (v.vd[i] - c.cd[i])))"
+)
+
+
+def _assign_duck(cents_cte: str, out: str) -> str:
+    return f"""
+        {out}_scored AS (
+            SELECT v.vec_id, v.vint, c.cid, {_DIST2_DUCK} AS dist2
+            FROM v CROSS JOIN {cents_cte} c
+        ),
+        {out} AS (
+            SELECT vec_id, vint, cid, dist2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                FROM {out}_scored
+            ) WHERE rn = 1
+        )
+"""
+
+
+def _update_duck(assign_cte: str, out: str) -> str:
+    return f"""
+        {out}_sums AS (
+            SELECT cid, i AS dim, sum(vint[i]) AS s, count(*) AS n
+            FROM {assign_cte}, range(1, {DIM + 1}) t(i)
+            GROUP BY 1, 2
+        ),
+        {out} AS (
+            SELECT cid,
+                   list(s / (n * CAST({SCALE} AS DOUBLE)) ORDER BY dim) AS cd
+            FROM {out}_sums GROUP BY 1
+        )
+"""
+
+
+ORACLE = {
+    # the Spark loop unrolled: init → (assign → exact-int update) × 2 →
+    # final assignment stats. Same quantization, same fold order, same
+    # tiebreaks — the values must match exactly, not approximately.
+    "kmeans_embeddings": f"""
+        WITH v AS ({_V_DUCK}),
+        c0 AS (SELECT vec_id AS cid, vd AS cd FROM v WHERE vec_id < {K_CLUSTERS}),
+        {_assign_duck('c0', 'a1')},
+        {_update_duck('a1', 'c1')},
+        {_assign_duck('c1', 'a2')},
+        {_update_duck('a2', 'c2')},
+        {_assign_duck('c2', 'a3')},
+        norms AS (
+            SELECT cid, round(sqrt(list_sum(list_transform(cd, x -> x * x))), 4)
+                       AS centroid_norm
+            FROM c2
+        ),
+        stats AS (
+            SELECT cid, count(*) AS n_members,
+                   CAST(sum(CAST(round(dist2 * {SCALE}) AS BIGINT)) AS BIGINT)
+                       / CAST({SCALE} AS DOUBLE) AS raw_inertia
+            FROM a3 GROUP BY 1
+        )
+        SELECT s.cid AS cluster_id, s.n_members, n.centroid_norm,
+               round(s.raw_inertia, 4) AS inertia
+        FROM stats s JOIN norms n ON s.cid = n.cid
+    """,
+}
