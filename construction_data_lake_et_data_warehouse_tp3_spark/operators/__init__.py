@@ -46,6 +46,7 @@ _MODULES = (
 _DRIVER_PRIORITY = (
     # new in r04 — never driver-checked
     "kmeans_embeddings",
+    "ivf_kmeans_topk",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

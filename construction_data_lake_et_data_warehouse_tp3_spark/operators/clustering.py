@@ -91,17 +91,24 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _train(vecs: DataFrame) -> DataFrame:
     """N_ITERS Lloyd iterations from the deterministic init (centroid k =
-    vector with vec_id k), then final assignment stats per cluster:
-    member count, centroid norm, and inertia (Σ dist², accumulated in
-    micro-units so the cross-engine sum is exact)."""
-    vecs = _vectors(spark, sf_dir)
+    vector with vec_id k); centroids localCheckpointed per iteration so
+    the iterated plan stays linear."""
     cents = vecs.where(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("vd").alias("cd")
     )
     for _ in range(N_ITERS):
         cents = _update(_assign(vecs, cents)).localCheckpoint(eager=True)
+    return cents
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd training + final assignment stats per cluster: member count,
+    centroid norm, and inertia (Σ dist², accumulated in micro-units so
+    the cross-engine sum is exact)."""
+    vecs = _vectors(spark, sf_dir)
+    cents = _train(vecs)
     final = _assign(vecs, cents)
     norms = cents.select("cid", F.round(F.expr(_NORM.format(a="cd")), 4).alias("centroid_norm"))
     stats = final.groupBy("cid").agg(
@@ -122,7 +129,66 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+#: IVF search params: demo queries, list probes, result depth.
+N_QUERIES = 5
+NPROBE = 2
+TOP_K = 5
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0 as double), (acc, x) -> acc + x)"
+)
+
+
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF ANN: the k-means centroids are the coarse quantizer.
+    Every vector joins its nearest centroid's inverted list; each query
+    (vec_id < N_QUERIES) probes its NPROBE nearest lists and exact-cosine
+    reranks inside them — the centroid-cell upgrade over the hyperplane
+    `ann_ivf_topk` the r1 survey sketched (similarity.py notes: "an IVF
+    variant would swap hyperplane signs for k-means centroid ids").
+
+    Scale shape (10^9 vectors): train once (see _train), assignment is
+    one broadcast crossJoin, the probe join shuffles on cid — i.e.
+    inverted-list locality — and the rerank is bounded by
+    NPROBE/K_CLUSTERS of the corpus per query, never all pairs."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir).withColumn("nrm", F.expr(_NORM.format(a="vd")))
+    cents = _train(vecs)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cell_w = Window.partitionBy("query_id").orderBy("dist2", "cid")
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist2", F.expr(_DIST2.format(a="qv", b="cd")))
+        .withColumn("cell_rank", F.row_number().over(cell_w))
+        .where(F.col("cell_rank") <= NPROBE)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    inv_lists = _assign(vecs, cents).select(F.col("vec_id").alias("cand_id"), "cid")
+    cvecs = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vd").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = (
+        qcells.join(inv_lists, "cid")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .join(cvecs, "cand_id")
+    )
+    cosine = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "ivf_kmeans_topk": ivf_kmeans_topk,
+}
 
 _V_DUCK = f"""
         SELECT vec_id,
@@ -171,18 +237,25 @@ def _update_duck(assign_cte: str, out: str) -> str:
 """
 
 
-ORACLE = {
-    # the Spark loop unrolled: init → (assign → exact-int update) × 2 →
-    # final assignment stats. Same quantization, same fold order, same
-    # tiebreaks — the values must match exactly, not approximately.
-    "kmeans_embeddings": f"""
+#: shared unrolled training chain: v → c0 → (assign, update) × N_ITERS.
+_TRAIN_DUCK = f"""
         WITH v AS ({_V_DUCK}),
         c0 AS (SELECT vec_id AS cid, vd AS cd FROM v WHERE vec_id < {K_CLUSTERS}),
         {_assign_duck('c0', 'a1')},
         {_update_duck('a1', 'c1')},
         {_assign_duck('c1', 'a2')},
         {_update_duck('a2', 'c2')},
-        {_assign_duck('c2', 'a3')},
+        {_assign_duck('c2', 'a3')}
+"""
+
+_COS_DIM = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * cv[i]))"
+
+ORACLE = {
+    # the Spark loop unrolled: init → (assign → exact-int update) × 2 →
+    # final assignment stats. Same quantization, same fold order, same
+    # tiebreaks — the values must match exactly, not approximately.
+    "kmeans_embeddings": f"""
+        {_TRAIN_DUCK},
         norms AS (
             SELECT cid, round(sqrt(list_sum(list_transform(cd, x -> x * x))), 4)
                        AS centroid_norm
@@ -197,5 +270,46 @@ ORACLE = {
         SELECT s.cid AS cluster_id, s.n_members, n.centroid_norm,
                round(s.raw_inertia, 4) AS inertia
         FROM stats s JOIN norms n ON s.cid = n.cid
+    """,
+    # same training chain; then each query probes its NPROBE nearest
+    # final centroids and exact-cosine reranks inside those lists only.
+    "ivf_kmeans_topk": f"""
+        {_TRAIN_DUCK},
+        vn AS (
+            SELECT vec_id, vd,
+                   sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id AS query_id, vd AS qv, nrm AS qn
+            FROM vn WHERE vec_id < {N_QUERIES}
+        ),
+        qc AS (
+            SELECT query_id, qv, qn, cid FROM (
+                SELECT q.query_id, q.qv, q.qn, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+                               i -> (q.qv[i] - c.cd[i]) * (q.qv[i] - c.cd[i]))), c.cid
+                       ) AS cell_rank
+                FROM q CROSS JOIN c2 c
+            ) WHERE cell_rank <= {NPROBE}
+        ),
+        cand AS (
+            SELECT qc.query_id, qc.qv, qc.qn, a.vec_id AS cand_id
+            FROM qc JOIN a3 a ON a.cid = qc.cid
+            WHERE a.vec_id != qc.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.cand_id,
+                   round({_COS_DIM.replace('cv[i]', 'n.vd[i]')}
+                         / (c.qn * n.nrm), 4) AS cosine
+            FROM cand c JOIN vn n ON n.vec_id = c.cand_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
     """,
 }

@@ -60,8 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicates through Repartition nodes)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # idempotent safety net for driver-provided sessions that skipped
+    # session.tune(); no-op when already set (VERDICT r2 nit: guard once)
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

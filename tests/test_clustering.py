@@ -26,6 +26,27 @@ class TestKmeans:
             assert a[cid].inertia == b[cid].inertia
             assert a[cid].centroid_norm == b[cid].centroid_norm
 
+    def test_ivf_recall_against_brute_force(self, spark):
+        """IVF probes NPROBE/K of the corpus, so it's allowed to miss —
+        but the neighbors it does return must carry the same cosine the
+        brute-force scorer assigns, and recall@5 against cosine_topk
+        should clear a floor on this clustered corpus."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import similarity
+
+        ivf = {
+            (r.query_id, r.cand_id): r.cosine
+            for r in clustering.ivf_kmeans_topk(spark, SF_DIR).collect()
+        }
+        brute = {
+            (r.query_id, r.cand_id): r.cosine
+            for r in similarity.cosine_topk(spark, SF_DIR).collect()
+        }
+        assert ivf
+        hits = sum(1 for k in ivf if k in brute)
+        assert hits / len(brute) >= 0.3, (hits, len(brute))
+        for k in ivf.keys() & brute.keys():
+            assert abs(ivf[k] - brute[k]) < 1e-9
+
     def test_update_moves_centroids_toward_members(self, spark):
         """After one exact-integer update, every centroid is the mean of
         its members: re-assigning with the updated centroids can only
