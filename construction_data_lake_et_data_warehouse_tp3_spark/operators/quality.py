@@ -92,14 +92,15 @@ _SHINGLES_DUCK = (
 )
 
 
-def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style per-document quality gate, map-only: word count in
-    range, mean word length in range, symbol ratio bounded, at least one
-    stopword present → `keep`. Every signal is a built-in expression over
-    one scan; the operator is a pure filter stage at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """The quality gate over ANY (doc_id, text) DataFrame — batch scans
+    and streaming micro-batches share this exact expression set (the
+    streaming curator imports it, so the two paths can never drift).
+    Emits the signal columns + `keep`, with `text` carried through for
+    downstream stages (content hashing); pure per-row expressions."""
     t = docs.select(
         "doc_id",
+        "text",
         F.expr(f"size({TOKENS})").alias("n_words"),
         F.expr(
             f"aggregate({TOKENS}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
@@ -112,6 +113,7 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym_ratio = F.round(F.col("sym_chars") / F.col("n_chars").cast("double"), 4)
     out = t.select(
         "doc_id",
+        "text",
         "n_words",
         mean_len.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),
@@ -124,6 +126,15 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
         & F.col("has_stopword"),
     )
+
+
+def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gate, map-only: word count in
+    range, mean word length in range, symbol ratio bounded, at least one
+    stopword present → `keep`. Every signal is a built-in expression over
+    one scan; the operator is a pure filter stage at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_signals(docs).drop("text")
 
 
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
