@@ -47,6 +47,16 @@ class TestKmeans:
         for k in ivf.keys() & brute.keys():
             assert abs(ivf[k] - brute[k]) < 1e-9
 
+    def test_ivf_broadcasts_centroids(self, spark):
+        """The coarse-quantizer joins must broadcast the K centroid rows —
+        a shuffled centroid join would serialize the whole corpus through
+        an exchange for an 8-row dim."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            has_broadcast_join,
+        )
+
+        assert has_broadcast_join(clustering.ivf_kmeans_topk(spark, SF_DIR))
+
     def test_update_moves_centroids_toward_members(self, spark):
         """After one exact-integer update, every centroid is the mean of
         its members: re-assigning with the updated centroids can only
