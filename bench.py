@@ -49,6 +49,7 @@ HEADLINE = (
     "repetition_stats",
     "decontaminate",
     "kmeans_embeddings",
+    "training_manifest",
 )
 
 

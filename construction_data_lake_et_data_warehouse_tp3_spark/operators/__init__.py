@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = (
     # new in r04 — never driver-checked
     "kmeans_embeddings",
     "ivf_kmeans_topk",
+    "training_manifest",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

@@ -92,15 +92,17 @@ _SHINGLES_DUCK = (
 )
 
 
-def quality_signals(docs: DataFrame) -> DataFrame:
+def quality_signals(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The quality gate over ANY (doc_id, text) DataFrame — batch scans
     and streaming micro-batches share this exact expression set (the
     streaming curator imports it, so the two paths can never drift).
-    Emits the signal columns + `keep`, with `text` carried through for
-    downstream stages (content hashing); pure per-row expressions."""
+    Emits the signal columns + `keep`, with `text` (and any `carry`
+    columns) carried through for downstream stages; pure per-row
+    expressions."""
     t = docs.select(
         "doc_id",
         "text",
+        *carry,
         F.expr(f"size({TOKENS})").alias("n_words"),
         F.expr(
             f"aggregate({TOKENS}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
@@ -114,6 +116,7 @@ def quality_signals(docs: DataFrame) -> DataFrame:
     out = t.select(
         "doc_id",
         "text",
+        *carry,
         "n_words",
         mean_len.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),
@@ -271,8 +274,40 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone keep/weight decision a pretraining pipeline hands to
+    the tokenizer — every curation stage composed into ONE plan:
+
+    1. quality gate (quality_signals — map-only),
+    2. exact-dup survivorship (min doc_id per content hash — one
+       32-byte-key shuffle),
+    3. decontamination (drop the eval slice itself AND every doc sharing
+       a 4-word shingle with it — broadcast left-anti),
+    4. domain-mix weight (per-source resampling factor — broadcast of
+       ~|sources| rows).
+
+    Output: (doc_id, source, n_words, weight). At 100 TB the corpus is
+    touched by stages 1-2 once each (the decontaminate subtree re-derives
+    shingles for the small eval dim), and every join against the corpus
+    is broadcast or hash-on-32-bytes — no pairwise blowup anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = quality_signals(docs, carry=("source",)).withColumn("h", F.md5("text"))
+    survivors = sig.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    contaminated = decontaminate(spark, sf_dir).select("doc_id")
+    weights = domain_mix(spark, sf_dir).select("source", "sample_weight")
+    return (
+        sig.where("keep")
+        .where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(survivors, ["h", "doc_id"], "left_semi")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(F.broadcast(weights), "source")
+        .select("doc_id", "source", "n_words", F.col("sample_weight").alias("weight"))
+    )
+
+
 QUERIES = {
     "quality_filters": quality_filters,
+    "training_manifest": training_manifest,
     "repetition_stats": repetition_stats,
     "decontaminate": decontaminate,
     "pii_scrub": pii_scrub,
@@ -394,5 +429,59 @@ ORACLE = {
                round(avg(n_chars), 4) AS avg_chars
         FROM documents
         GROUP BY 1
+    """,
+    "training_manifest": f"""
+        WITH t AS (
+            SELECT doc_id, source, md5(text) AS h,
+                   len({TOKENS_DUCK}) AS n_words,
+                   list_aggregate(list_transform({TOKENS_DUCK}, x -> length(x)), 'sum')
+                       AS word_chars,
+                   len(list_filter({TOKENS_DUCK}, x -> x IN ({_STOP_SQL}))) AS stop_hits,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym_chars,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source, h, n_words,
+                   round(word_chars / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+                   round(sym_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+                   stop_hits > 0 AS has_stopword
+            FROM t
+        ),
+        k AS (
+            SELECT * FROM s
+            WHERE (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+              AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+              AND symbol_ratio <= {MAX_SYMBOL_RATIO}
+              AND has_stopword
+        ),
+        surv AS (SELECT h, min(doc_id) AS doc_id FROM s GROUP BY 1),
+        g AS (
+            SELECT doc_id,
+                   unnest({_SHINGLES_DUCK.format(ws=TOKENS_DUCK)}) AS ng
+            FROM documents
+        ),
+        ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % {EVAL_MOD} = 0),
+        cont AS (
+            SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng)
+            WHERE g.doc_id % {EVAL_MOD} != 0
+        ),
+        per_source AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        ),
+        mix AS (
+            SELECT source,
+                   round(least(1.0,
+                       (1.0 / (SELECT count(*) FROM per_source))
+                       / (n_docs / CAST((SELECT sum(n_docs) FROM per_source) AS DOUBLE))
+                   ), 4) AS sample_weight
+            FROM per_source
+        )
+        SELECT k.doc_id, k.source, k.n_words, m.sample_weight AS weight
+        FROM k
+        JOIN surv ON surv.h = k.h AND surv.doc_id = k.doc_id
+        LEFT JOIN cont c ON c.doc_id = k.doc_id
+        JOIN mix m ON m.source = k.source
+        WHERE k.doc_id % {EVAL_MOD} != 0 AND c.doc_id IS NULL
     """,
 }
