@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = (
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "training_manifest",
+    "resample_daily_revenue",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

@@ -114,6 +114,48 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: daily order revenue on a DENSE calendar —
+    days with no orders are emitted with zero revenue and flagged. The
+    dense axis comes from lead()-gap expansion over the aggregated daily
+    frame (each present day emits itself + the empty days before the next
+    present day), so the corpus is scanned ONCE; the window runs over the
+    ~|days| aggregated rows, never the raw orders."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("src_day")).agg(
+        money_sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("src_day")
+    return (
+        daily.withColumn("next_day", F.lead("src_day").over(w))
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(src_day, coalesce(date_add(next_day, -1), src_day),"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+            "src_day",
+            "revenue",
+            "n_orders",
+        )
+        .select(
+            "day",
+            F.when(F.col("day") == F.col("src_day"), F.col("revenue"))
+            .otherwise(F.lit(0.0))
+            .alias("revenue"),
+            F.when(F.col("day") == F.col("src_day"), F.col("n_orders"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.col("day") != F.col("src_day")).alias("gap_filled"),
+        )
+    )
+
+
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the user's most recent order at or
     before the event date (the operator Spark lacks as a primitive,
@@ -194,6 +236,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "scalar_datetime_ops": scalar_datetime_ops,
     "daily_event_stats": daily_event_stats,
+    "resample_daily_revenue": resample_daily_revenue,
     "event_sessions": event_sessions,
     "asof_latest_order": asof_latest_order,
     "median_order_value": median_order_value,
@@ -219,6 +262,28 @@ ORACLE = {
                CAST(o_orderdate AS DATE) - 30 AS minus_30d,
                date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
         FROM orders
+    """,
+    # independent algorithm on purpose: the oracle joins a generate_series
+    # calendar, the Spark side expands lead() gaps — same dense result.
+    "resample_daily_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {money_sum_sql('o_totalprice')} AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY 1
+        ),
+        cal AS (
+            SELECT CAST(unnest(generate_series(
+                       (SELECT min(day) FROM daily),
+                       (SELECT max(day) FROM daily),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+        )
+        SELECT c.day,
+               coalesce(d.revenue, 0.0) AS revenue,
+               coalesce(d.n_orders, 0) AS n_orders,
+               d.day IS NULL AS gap_filled
+        FROM cal c LEFT JOIN daily d USING (day)
     """,
     "daily_event_stats": f"""
         WITH daily AS (

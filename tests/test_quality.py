@@ -86,6 +86,32 @@ class TestQualityPlans:
     def test_decontaminate_broadcasts_eval_ngrams(self, spark):
         assert has_broadcast_join(quality.decontaminate(spark, SF_DIR))
 
+    def test_training_manifest_composition(self, spark):
+        """The capstone keep set: every kept doc passes the gate, is its
+        hash's survivor, is outside the eval slice, and carries its
+        source's domain weight; contaminated docs are gone."""
+        m = {r.doc_id: r for r in quality.training_manifest(spark, SF_DIR).collect()}
+        assert m
+        gate = {r.doc_id: r.keep for r in quality.quality_filters(spark, SF_DIR).collect()}
+        contaminated = {
+            r.doc_id for r in quality.decontaminate(spark, SF_DIR).collect()
+        }
+        weights = {
+            r.source: r.sample_weight for r in quality.domain_mix(spark, SF_DIR).collect()
+        }
+        for doc_id, r in m.items():
+            assert gate[doc_id]
+            assert doc_id % quality.EVAL_MOD != 0
+            assert doc_id not in contaminated
+            assert r.weight == weights[r.source]
+
+    def test_training_manifest_broadcasts_small_sides(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            has_broadcast_join,
+        )
+
+        assert has_broadcast_join(quality.training_manifest(spark, SF_DIR))
+
     def test_domain_mix_single_corpus_scan(self, spark):
         """The totals come from a window over the ~|sources| aggregated
         rows — the corpus parquet must appear in the plan exactly once
