@@ -27,30 +27,27 @@ def _batch(spark, rows):
 
 
 class TestStreamingCuration:
-    def test_gate_and_within_batch_dedup(self, spark, store):
+    def test_gate_dedup_replay_flow(self, spark, store):
+        """One flow, three contracts (merged — each process_batch is
+        several MERGE jobs): within-batch gate+dedup, cross-batch
+        first-wins, and at-least-once replay idempotence."""
         cur = StreamingCurator(spark, store)
-        kept = cur.process_batch(
-            _batch(spark, [(1, GOOD_A), (2, GOOD_A), (3, LOW_QUALITY), (4, GOOD_B)])
-        )
+        batch1 = _batch(spark, [(1, GOOD_A), (2, GOOD_A), (3, LOW_QUALITY), (4, GOOD_B)])
+        kept = cur.process_batch(batch1)
         # dup of A (doc 2) and the low-quality doc are dropped
         assert kept == 2
         assert {r.doc_id for r in cur.kept_docs().collect()} == {1, 4}
 
-    def test_cross_batch_dedup_first_wins(self, spark, store):
-        cur = StreamingCurator(spark, store)
-        cur.process_batch(_batch(spark, [(1, GOOD_A)]))
-        kept = cur.process_batch(_batch(spark, [(5, GOOD_A), (6, GOOD_B)]))
-        assert kept == 1  # doc 5 is a cross-batch duplicate of doc 1
-        assert {r.doc_id for r in cur.kept_docs().collect()} == {1, 6}
+        # cross-batch: doc 5 duplicates doc 1's content → dropped
+        kept = cur.process_batch(_batch(spark, [(5, GOOD_A)]))
+        assert kept == 0
+        assert {r.doc_id for r in cur.kept_docs().collect()} == {1, 4}
         owners = {r.h: r.doc_id for r in cur.content_hashes().collect()}
         assert len(owners) == 2
 
-    def test_replay_is_idempotent(self, spark, store):
-        cur = StreamingCurator(spark, store)
-        batch = _batch(spark, [(1, GOOD_A), (2, GOOD_A), (4, GOOD_B)])
-        first = cur.process_batch(batch)
-        replay = cur.process_batch(batch)  # at-least-once redelivery
-        assert first == replay == 2  # survivors pass again, dups stay dropped
+        # replay batch 1 (at-least-once redelivery): survivors pass
+        # again, dups stay dropped — state unchanged
+        assert cur.process_batch(batch1) == 2
         assert cur.kept_docs().count() == 2
         assert cur.content_hashes().count() == 2
 

@@ -57,7 +57,10 @@ def _rows_sans_stamp(df):
     return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
 
 
-def test_jdbc_sync_matches_parquet_merge_path(spark, tmp_path, jdbc_fake):
+def test_jdbc_sync_matches_parquet_path_and_is_idempotent(spark, tmp_path, jdbc_fake):
+    """One flow, both contracts (merged from two tests — each sync is
+    ~8 s of micro-jobs, and the idempotence re-sync can reuse the same
+    JDBC state the parity check just built)."""
     store, writes = jdbc_fake
     parquet_out = sync_warehouse(spark, SF_DIR, str(tmp_path / "wh"))
     jdbc_out = sync_warehouse(
@@ -67,26 +70,20 @@ def test_jdbc_sync_matches_parquet_merge_path(spark, tmp_path, jdbc_fake):
 
     parquet_wh = Warehouse(spark, str(tmp_path / "wh"))
     jdbc_wh = Warehouse(spark, str(tmp_path / "unused2"), mode="jdbc", jdbc_url=URL)
+    first = {}
     for name in WAREHOUSE_TABLES:
-        assert _rows_sans_stamp(jdbc_wh.read(name)) == _rows_sans_stamp(
+        first[name] = _rows_sans_stamp(jdbc_wh.read(name))
+        assert first[name] == _rows_sans_stamp(
             parquet_wh.read(name)
         ), f"row divergence in {name}"
 
     assert {t for (_, t, _) in writes} == set(WAREHOUSE_TABLES)
     assert all(u == URL for (u, _, _) in writes)
 
-
-def test_jdbc_sync_is_idempotent(spark, tmp_path, jdbc_fake):
-    store, writes = jdbc_fake
-    sync_warehouse(spark, SF_DIR, str(tmp_path / "x"), mode="jdbc", jdbc_url=URL)
-    first = {t: _rows_sans_stamp(
-        Warehouse(spark, str(tmp_path / "x"), mode="jdbc", jdbc_url=URL).read(t)
-    ) for t in WAREHOUSE_TABLES}
-    sync_warehouse(spark, SF_DIR, str(tmp_path / "x"), mode="jdbc", jdbc_url=URL)
+    # replay the jdbc sync into the same store: merge keys dedupe
+    sync_warehouse(spark, SF_DIR, str(tmp_path / "unused"), mode="jdbc", jdbc_url=URL)
     for name in WAREHOUSE_TABLES:
-        again = _rows_sans_stamp(
-            Warehouse(spark, str(tmp_path / "x"), mode="jdbc", jdbc_url=URL).read(name)
-        )
+        again = _rows_sans_stamp(jdbc_wh.read(name))
         assert again == first[name], f"{name} not idempotent"
 
 

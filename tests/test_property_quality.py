@@ -33,7 +33,7 @@ def run_fold(request):
     return apply
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=12, deadline=None)
 @given(ws=words)
 def test_run_fold_matches_counter(run_fold, ws):
     best, nd = run_fold(ws)
