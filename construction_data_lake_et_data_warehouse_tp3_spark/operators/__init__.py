@@ -49,6 +49,8 @@ _DRIVER_PRIORITY = (
     "ivf_kmeans_topk",
     "training_manifest",
     "resample_daily_revenue",
+    "unpivot_status_revenue",
+    "hopping_window_events",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

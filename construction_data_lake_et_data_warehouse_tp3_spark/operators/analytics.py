@@ -48,6 +48,49 @@ def order_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→unpivot roundtrip: revenue pivoted wide by order status,
+    then melted back to long form (DataFrame.unpivot / melt — the
+    relational surface's missing inverse of pivot). The oracle computes
+    the long form directly with GROUP BY — pivot∘unpivot must equal it
+    exactly (null cells from absent combinations are dropped)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["O", "F", "P"],
+            variableColumnName="o_orderstatus",
+            valueColumnName="revenue",
+        )
+        .where(F.col("revenue").isNotNull())
+    )
+
+
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes over the event stream's batch view — each event lands in
+    exactly 2 overlapping windows (F.window generator, map-side fan-out
+    of 2× before one partial-aggregated shuffle). The oracle derives the
+    same two hop starts arithmetically per event."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 4 grouping-set combinations."""
     orders = load_table(spark, sf_dir, "orders")
@@ -111,6 +154,8 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "order_status_matrix": order_status_matrix,
+    "unpivot_status_revenue": unpivot_status_revenue,
+    "hopping_window_events": hopping_window_events,
     "cube_revenue": cube_revenue,
     "time_bucket_rollup": time_bucket_rollup,
     "string_functions_showcase": string_functions_showcase,
@@ -130,6 +175,34 @@ ORACLE = {
                {money_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS rev_open,
                {money_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS rev_fulfilled
         FROM orders
+        GROUP BY 1
+    """,
+    # the long form computed directly — pivot∘unpivot must reproduce it
+    "unpivot_status_revenue": f"""
+        SELECT o_orderpriority, o_orderstatus,
+               {money_sum_sql('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F', 'P')
+        GROUP BY 1, 2
+    """,
+    # every event belongs to exactly two 1h/30min hops: the one starting
+    # at its 30-min truncation and the one 30 min earlier
+    "hopping_window_events": f"""
+        WITH hops AS (
+            SELECT unnest([
+                       make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                                           * 1000000 AS BIGINT)),
+                       make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800)
+                                           * 1000000 AS BIGINT))
+                   ]) AS window_start,
+                   value
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               count(*) AS n_events,
+               {money_sum_sql('value')} AS total_value
+        FROM hops
         GROUP BY 1
     """,
     "cube_revenue": f"""
