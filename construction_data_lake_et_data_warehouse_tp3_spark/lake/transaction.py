@@ -1,0 +1,203 @@
+"""Multi-table atomic transactions over the parquet lake — the cross-table
+upgrade of the per-feed commit log (lake/writer.py `_commit_log`): a sync
+that lands dim_users AND its fact tables must expose either ALL of the new
+state or NONE of it, which per-table version commits cannot guarantee
+(the reference's MySQL warehouse gets this from InnoDB transactions,
+sync_to_mysql.py:117-142; the lake needs its own).
+
+Design (Delta/Iceberg-shaped, filesystem-atomic primitives only):
+
+- every table write stages into `tables/<name>/_txn_<id>/` — underscore
+  prefix, so Spark's file index never lists it as data;
+- `commit()` publishes ONE manifest `_txn_log/<n>.json` via write-temp +
+  os.rename (atomic) after claiming slot n with an O_EXCL `.claim` —
+  two committers can never take the same snapshot number;
+- a reader resolves a SNAPSHOT: the latest committed manifest ≤ the
+  requested version gives, per table, the staged directory that snapshot
+  sees. All tables in one manifest become visible in the same instant —
+  half-landed transactions (crash after staging, before manifest rename)
+  are invisible garbage, reclaimable by `vacuum()`.
+
+Scale notes: manifests are O(#tables) JSON — commit cost is independent
+of data volume; staged writes are plain parquet writes at full cluster
+parallelism; time travel is manifest selection, no data copies. On a
+shared filesystem/object store, swap os.rename for the store's atomic
+put-if-absent; call sites are unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxnConflictError(RuntimeError):
+    """Raised when commit() loses the snapshot-slot race more than
+    max_retries times (heavy committer contention)."""
+
+
+class LakeTransaction:
+    """One multi-table write transaction; use via Lakehouse.begin()."""
+
+    def __init__(self, lakehouse: "Lakehouse"):
+        self.lakehouse = lakehouse
+        self.txn_id = uuid.uuid4().hex[:12]
+        self.staged: dict[str, str] = {}
+        self.records: dict[str, int] = {}
+        self.committed: int | None = None
+
+    def write(self, table: str, df: DataFrame) -> None:
+        """Stage df as this transaction's state for `table` (full
+        snapshot semantics, like a version-partitioned overwrite)."""
+        if self.committed is not None:
+            raise RuntimeError("transaction already committed")
+        rel = os.path.join("tables", table, f"_txn_{self.txn_id}")
+        dest = os.path.join(self.lakehouse.root, rel)
+        df.write.mode("overwrite").parquet(dest)
+        self.staged[table] = rel
+        self.records[table] = self.lakehouse.spark.read.parquet(dest).count()
+
+    def commit(self, max_retries: int = 100) -> int:
+        """Publish every staged table in ONE atomic manifest; returns the
+        snapshot number. Nothing staged → error (empty commits hide bugs)."""
+        if not self.staged:
+            raise RuntimeError("nothing staged")
+        if self.committed is not None:
+            return self.committed
+        log_dir = self.lakehouse._log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        for _ in range(max_retries):
+            n = self.lakehouse.latest_snapshot(include_claims=True) + 1
+            claim = os.path.join(log_dir, f"{n}.claim")
+            try:
+                with open(claim, "x") as fh:
+                    fh.write(self.txn_id)
+            except FileExistsError:
+                continue  # lost the slot race — probe the next number
+            manifest = {
+                "snapshot": n,
+                "txn_id": self.txn_id,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+                "tables": self.staged,
+                "records": self.records,
+            }
+            tmp = os.path.join(log_dir, f".{n}.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.rename(tmp, os.path.join(log_dir, f"{n}.json"))  # atomic publish
+            self.committed = n
+            return n
+        raise TxnConflictError(f"no snapshot slot after {max_retries} attempts")
+
+
+class Lakehouse:
+    """Manifest-committed multi-table lake root with snapshot reads."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log_dir = os.path.join(root, "_txn_log")
+
+    # ---- write side -----------------------------------------------------
+
+    def begin(self) -> LakeTransaction:
+        return LakeTransaction(self)
+
+    # ---- manifest resolution --------------------------------------------
+
+    def _committed_snapshots(self) -> list[int]:
+        out = []
+        for path in glob.glob(os.path.join(self._log_dir, "*.json")):
+            stem = os.path.basename(path).removesuffix(".json")
+            if stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def latest_snapshot(self, include_claims: bool = False) -> int:
+        taken = set(self._committed_snapshots())
+        if include_claims:
+            for path in glob.glob(os.path.join(self._log_dir, "*.claim")):
+                stem = os.path.basename(path).removesuffix(".claim")
+                if stem.isdigit():
+                    taken.add(int(stem))
+        return max(taken, default=0)
+
+    def _manifest(self, snapshot: int) -> dict:
+        with open(os.path.join(self._log_dir, f"{snapshot}.json")) as fh:
+            return json.load(fh)
+
+    def _resolve(self, table: str, snapshot: int | None) -> str:
+        """The staged dir `table` resolves to at `snapshot` (default
+        latest): the newest manifest ≤ snapshot that wrote the table."""
+        commits = self._committed_snapshots()
+        if snapshot is not None:
+            commits = [n for n in commits if n <= snapshot]
+        for n in reversed(commits):
+            manifest = self._manifest(n)
+            if table in manifest["tables"]:
+                return os.path.join(self.root, manifest["tables"][table])
+        raise KeyError(
+            f"table {table!r} has no committed state"
+            + (f" at snapshot {snapshot}" if snapshot is not None else "")
+        )
+
+    # ---- read side ------------------------------------------------------
+
+    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(self._resolve(table, snapshot))
+
+    def tables(self, snapshot: int | None = None) -> dict[str, str]:
+        """Every table visible at `snapshot` → its resolved directory."""
+        commits = self._committed_snapshots()
+        if snapshot is not None:
+            commits = [n for n in commits if n <= snapshot]
+        out: dict[str, str] = {}
+        for n in commits:  # ascending: later manifests win
+            for table, rel in self._manifest(n)["tables"].items():
+                out[table] = os.path.join(self.root, rel)
+        return out
+
+    # ---- maintenance ----------------------------------------------------
+
+    def vacuum(self, keep_snapshots: int = 2) -> list[str]:
+        """Delete staged dirs no retained snapshot references (crashed
+        transactions and states older than the last `keep_snapshots`);
+        returns the removed paths. Readers of retained snapshots are
+        unaffected — resolution only ever touches referenced dirs."""
+        commits = self._committed_snapshots()
+        retained = commits[-keep_snapshots:] if keep_snapshots else []
+        needed: set[int] = set(retained)
+        # a retained snapshot may resolve a table through an OLDER
+        # manifest (latest-write-wins): keep every manifest it resolves
+        # through, not just the retained window itself
+        for n in retained:
+            winner: dict[str, int] = {}
+            for c in (c for c in commits if c <= n):
+                for table in self._manifest(c)["tables"]:
+                    winner[table] = c
+            needed.update(winner.values())
+        # staged dirs: only what the retained snapshots actually SEE lives
+        live = {
+            os.path.normpath(path)
+            for n in retained
+            for path in self.tables(snapshot=n).values()
+        }
+        removed = []
+        for staged in glob.glob(os.path.join(self.root, "tables", "*", "_txn_*")):
+            if os.path.normpath(staged) not in live:
+                shutil.rmtree(staged, ignore_errors=True)
+                removed.append(staged)
+        for n in commits:
+            if n in needed:
+                continue
+            for suffix in (".json", ".claim"):
+                path = os.path.join(self._log_dir, f"{n}{suffix}")
+                if os.path.exists(path):
+                    os.remove(path)
+        return removed

@@ -1,0 +1,105 @@
+"""Multi-table atomic transactions (lake/transaction.py): all-or-nothing
+visibility, snapshot isolation / time travel, crash invisibility,
+committer races, vacuum safety."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from construction_data_lake_et_data_warehouse_tp3_spark.lake.transaction import (
+    Lakehouse,
+)
+
+
+def _df(spark, rows, schema="id long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestAtomicity:
+    def test_staged_writes_invisible_until_commit(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        txn = lh.begin()
+        txn.write("dim", _df(spark, [(1, "a")]))
+        txn.write("fact", _df(spark, [(10, "x")]))
+        # nothing committed: neither table resolves
+        with pytest.raises(KeyError):
+            lh.read("dim")
+        snap = txn.commit()
+        # both appear together at the same snapshot
+        assert lh.read("dim", snap).count() == 1
+        assert lh.read("fact", snap).count() == 1
+
+    def test_crashed_transaction_never_visible(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        good = lh.begin()
+        good.write("dim", _df(spark, [(1, "a")]))
+        good.commit()
+        crashed = lh.begin()  # stages, then "crashes" before commit()
+        crashed.write("dim", _df(spark, [(666, "ghost")]))
+        crashed.write("fact", _df(spark, [(666, "ghost")]))
+        assert [r.id for r in lh.read("dim").collect()] == [1]
+        with pytest.raises(KeyError):
+            lh.read("fact")  # only the crashed txn ever wrote fact
+
+    def test_empty_commit_rejected(self, spark, tmp_path):
+        with pytest.raises(RuntimeError, match="nothing staged"):
+            Lakehouse(spark, str(tmp_path / "lh")).begin().commit()
+
+
+class TestSnapshots:
+    def test_time_travel_and_latest_write_wins(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        t1 = lh.begin()
+        t1.write("dim", _df(spark, [(1, "old")]))
+        t1.write("fact", _df(spark, [(10, "f0")]))
+        s1 = t1.commit()
+        t2 = lh.begin()  # updates dim only; fact resolves through s1
+        t2.write("dim", _df(spark, [(1, "new")]))
+        s2 = t2.commit()
+        assert s2 == s1 + 1
+        assert lh.read("dim", s1).collect()[0].v == "old"
+        assert lh.read("dim", s2).collect()[0].v == "new"
+        assert lh.read("dim").collect()[0].v == "new"
+        # cross-manifest resolution: fact at s2 is the s1 state
+        assert lh.read("fact", s2).collect()[0].v == "f0"
+        assert set(lh.tables(s2)) == {"dim", "fact"}
+
+    def test_concurrent_commits_take_distinct_snapshots(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        a, b = lh.begin(), lh.begin()
+        a.write("t", _df(spark, [(1, "a")]))
+        b.write("t", _df(spark, [(2, "b")]))
+        sa, sb = a.commit(), b.commit()
+        assert sa != sb
+        # latest wins; the earlier snapshot stays readable
+        assert lh.read("t").collect()[0].v == ("b" if sb > sa else "a")
+        assert lh.read("t", min(sa, sb)).count() == 1
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_crashed_and_old_keeps_resolvable(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        t1 = lh.begin()
+        t1.write("fact", _df(spark, [(10, "f0")]))  # only writer of fact
+        t1.commit()
+        for v in ("v1", "v2", "v3"):
+            t = lh.begin()
+            t.write("dim", _df(spark, [(1, v)]))
+            t.commit()
+        crashed = lh.begin()
+        crashed.write("dim", _df(spark, [(9, "ghost")]))
+
+        removed = lh.vacuum(keep_snapshots=2)
+        # crashed staging + the v1 dim state are gone
+        assert any("_txn_" + crashed.txn_id in p for p in removed)
+        staged_left = glob.glob(os.path.join(str(tmp_path / "lh"), "tables", "*", "_txn_*"))
+        assert len(staged_left) == 3  # fact(f0) + dim(v2) + dim(v3)
+        # retained snapshots still fully resolve — INCLUDING fact, whose
+        # manifest predates the retention window
+        assert lh.read("dim").collect()[0].v == "v3"
+        assert lh.read("fact").collect()[0].v == "f0"
+        latest = lh.latest_snapshot()
+        assert lh.read("dim", latest - 1).collect()[0].v == "v2"
