@@ -51,17 +51,32 @@ class LakeTransaction:
         self.staged: dict[str, str] = {}
         self.records: dict[str, int] = {}
         self.committed: int | None = None
+        self._seq = 0
 
     def write(self, table: str, df: DataFrame) -> None:
         """Stage df as this transaction's state for `table` (full
-        snapshot semantics, like a version-partitioned overwrite)."""
+        snapshot semantics, like a version-partitioned overwrite).
+        Re-staging the same table lands in a FRESH dir — df may derive
+        from this transaction's previous staged state (iterated MERGEs),
+        and Spark cannot read and overwrite one path in a single job;
+        the superseded dir becomes vacuum()-able garbage."""
         if self.committed is not None:
             raise RuntimeError("transaction already committed")
-        rel = os.path.join("tables", table, f"_txn_{self.txn_id}")
+        self._seq += 1
+        rel = os.path.join("tables", table, f"_txn_{self.txn_id}_{self._seq}")
         dest = os.path.join(self.lakehouse.root, rel)
         df.write.mode("overwrite").parquet(dest)
         self.staged[table] = rel
         self.records[table] = self.lakehouse.spark.read.parquet(dest).count()
+
+    def read_staged(self, table: str) -> DataFrame:
+        """This transaction's current view of `table`: its own staged
+        state if it wrote one, else the committed snapshot."""
+        if table in self.staged:
+            return self.lakehouse.spark.read.parquet(
+                os.path.join(self.lakehouse.root, self.staged[table])
+            )
+        return self.lakehouse.read(table)
 
     def commit(self, max_retries: int = 100) -> int:
         """Publish every staged table in ONE atomic manifest; returns the
@@ -94,6 +109,31 @@ class LakeTransaction:
             self.committed = n
             return n
         raise TxnConflictError(f"no snapshot slot after {max_retries} attempts")
+
+
+class TxnTable:
+    """merge_into-compatible table view bound to a LakeTransaction
+    (duck-types warehouse.merge.ParquetTable): reads see the
+    transaction's own staged state first, then the committed snapshot;
+    overwrites stage into the transaction — nothing publishes until
+    commit(). This is what lets the EXISTING warehouse MERGE logic run
+    unchanged inside a multi-table transaction."""
+
+    def __init__(self, txn: LakeTransaction, name: str):
+        self.txn = txn
+        self.name = name
+
+    def exists(self) -> bool:
+        return (
+            self.name in self.txn.staged
+            or self.name in self.txn.lakehouse.tables()
+        )
+
+    def read(self) -> DataFrame:
+        return self.txn.read_staged(self.name)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self.txn.write(self.name, df)
 
 
 class Lakehouse:

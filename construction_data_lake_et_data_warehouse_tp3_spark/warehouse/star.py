@@ -180,6 +180,34 @@ def sync_product_counts(
     return {"fact_product_purchase_counts": n}
 
 
+def sync_warehouse_atomic(
+    spark: SparkSession, sf_dir: str, root: str, snapshot_version: int = 1
+) -> tuple[dict[str, int], int]:
+    """The full sync pass with CROSS-TABLE atomicity: every MERGE stages
+    into one Lakehouse transaction and a single manifest commit publishes
+    all five tables at once — the lake-side equivalent of the InnoDB
+    transaction the reference's MySQL sync gets for free
+    (sync_to_mysql.py:117-142). A reader can never observe dim_users
+    updated while its fact tables are still mid-sync, and a crash
+    mid-sync leaves only invisible staging. Returns (per-table merge
+    counts, snapshot number)."""
+    from ..lake.transaction import Lakehouse, TxnTable
+
+    txn = Lakehouse(spark, root).begin()
+
+    class _TxnWarehouse:
+        def table(self, name: str):
+            if name not in WAREHOUSE_TABLES:
+                raise KeyError(f"unknown warehouse table {name!r}")
+            return TxnTable(txn, name)
+
+        def read(self, name: str) -> DataFrame:
+            return self.table(name).read()
+
+    out = _run_sync(spark, sf_dir, _TxnWarehouse(), snapshot_version)
+    return out, txn.commit()
+
+
 def sync_warehouse(
     spark: SparkSession,
     sf_dir: str,
@@ -196,6 +224,12 @@ def sync_warehouse(
     wh = Warehouse(
         spark, root, mode=mode, jdbc_url=jdbc_url, jdbc_properties=jdbc_properties
     )
+    return _run_sync(spark, sf_dir, wh, snapshot_version)
+
+
+def _run_sync(spark, sf_dir, wh, snapshot_version) -> dict[str, int]:
+    """The four sync stages against any table-provider (Warehouse or the
+    transactional adapter in sync_warehouse_atomic)."""
     out: dict[str, int] = {}
     out.update(
         sync_user_summary(

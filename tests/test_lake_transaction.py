@@ -79,6 +79,50 @@ class TestSnapshots:
         assert lh.read("t", min(sa, sb)).count() == 1
 
 
+class TestAtomicWarehouseSync:
+    def test_atomic_sync_matches_plain_sync(self, spark, tmp_path):
+        """sync_warehouse_atomic runs the identical MERGE logic through
+        TxnTable staging: same rows per table as the plain path, all five
+        tables published in ONE snapshot, and a re-sync lands a second
+        snapshot while the first stays readable (time travel)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.warehouse.star import (
+            WAREHOUSE_TABLES,
+            Warehouse,
+            sync_warehouse,
+            sync_warehouse_atomic,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        plain_counts = sync_warehouse(spark, sf, str(tmp_path / "plain"))
+        atomic_counts, snap = sync_warehouse_atomic(spark, sf, str(tmp_path / "lh"))
+        assert atomic_counts == plain_counts
+
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        assert set(lh.tables(snap)) == set(WAREHOUSE_TABLES)
+        plain = Warehouse(spark, str(tmp_path / "plain"))
+
+        def rows(df):
+            cols = sorted(c for c in df.columns if c != "updated_at")
+            return sorted(
+                tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+            )
+
+        for name in WAREHOUSE_TABLES:
+            assert rows(lh.read(name, snap)) == rows(plain.read(name)), name
+
+        # second sync version: new snapshot, first still readable intact
+        dim_v1 = lh.read("dim_users", snap).count()
+        _, snap2 = sync_warehouse_atomic(
+            spark, sf, str(tmp_path / "lh"), snapshot_version=2
+        )
+        assert snap2 > snap
+        assert lh.read("dim_users", snap).count() == dim_v1
+        assert (
+            lh.read("fact_user_transaction_summary", snap2).count()
+            == 2 * lh.read("fact_user_transaction_summary", snap).count()
+        )
+
+
 class TestVacuum:
     def test_vacuum_reclaims_crashed_and_old_keeps_resolvable(self, spark, tmp_path):
         lh = Lakehouse(spark, str(tmp_path / "lh"))
