@@ -107,9 +107,19 @@ def cmd_retention(args) -> int:
 
 
 def cmd_sync_warehouse(args) -> int:
+    spark = _spark()
+    if args.atomic:
+        if args.jdbc_url:
+            raise SystemExit("--atomic is the lake-transaction path; drop --jdbc-url")
+        from .warehouse.star import sync_warehouse_atomic
+
+        counts, snapshot = sync_warehouse_atomic(
+            spark, args.sf_dir, args.warehouse_root, snapshot_version=args.version
+        )
+        print(json.dumps({"snapshot": snapshot, **counts}))
+        return 0
     from .warehouse import sync_warehouse
 
-    spark = _spark()
     counts = sync_warehouse(
         spark,
         args.sf_dir,
@@ -119,6 +129,14 @@ def cmd_sync_warehouse(args) -> int:
         jdbc_url=args.jdbc_url,
     )
     print(json.dumps(counts))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .lake.transaction import Lakehouse
+
+    removed = Lakehouse(_spark(), args.root).vacuum(keep_snapshots=args.keep)
+    print(json.dumps({"removed": removed}))
     return 0
 
 
@@ -220,7 +238,13 @@ def build_parser() -> argparse.ArgumentParser:
     sync.add_argument("--warehouse-root", default="/tmp/tp3_warehouse")
     sync.add_argument("--version", type=int, default=1)
     sync.add_argument("--jdbc-url", default=None, help="sync into an existing JDBC warehouse instead of parquet")
+    sync.add_argument("--atomic", action="store_true", help="publish all tables as ONE lake-transaction snapshot")
     sync.set_defaults(fn=cmd_sync_warehouse)
+
+    vacuum = sub.add_parser("vacuum", help="reclaim unreferenced lake-transaction staging dirs")
+    vacuum.add_argument("--root", required=True)
+    vacuum.add_argument("--keep", type=int, default=2, help="snapshots to retain")
+    vacuum.set_defaults(fn=cmd_vacuum)
 
     zorder = sub.add_parser("zorder", help="rewrite a parquet dir along a multi-column Morton curve")
     zorder.add_argument("--input", required=True)

@@ -47,3 +47,15 @@ class TestCli:
         assert main(["analyze", "--sf-dir", "/root/testdata/sf0.001", "--tables", "nation"]) == 0
         stats = _json.loads(capsys.readouterr().out)
         assert stats["nation"] == 25
+
+    def test_atomic_sync_and_vacuum_verbs(self, tmp_path, capsys):
+        import json as _json
+
+        root = str(tmp_path / "lh")
+        assert main(["sync-warehouse", "--warehouse-root", root, "--atomic"]) == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["snapshot"] == 1 and out["dim_users"] > 0
+        assert main(["vacuum", "--root", root, "--keep", "1"]) == 0
+        removed = _json.loads(capsys.readouterr().out)["removed"]
+        # the dim_users double-merge leaves exactly one superseded stage
+        assert len(removed) == 1 and "dim_users" in removed[0]
