@@ -1,10 +1,13 @@
+from .curation_stream import StreamingCurator  # noqa: F401
 from .dedup_stream import StreamingDeduper  # noqa: F401
 from .ingest import (  # noqa: F401
+    dedup_redelivered,
     ingest_stream_to_lake,
     json_feed_schema,
     parse_kafka_json,
     streaming_user_totals,
     windowed_user_totals,
 )
+from .joins import interval_join_streams  # noqa: F401
 from .stateful import sessionize_stream  # noqa: F401
 from .warehouse_sink import stream_to_warehouse  # noqa: F401

@@ -186,6 +186,27 @@ def ingest_stream_to_lake(
     return writer.start()
 
 
+def dedup_redelivered(
+    stream: DataFrame,
+    id_cols: tuple[str, ...] = ("transaction_id",),
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once by key: drop redelivered records
+    (same id within the watermark horizon) BEFORE they reach sinks or
+    aggregations — `dropDuplicatesWithinWatermark`, whose per-key state
+    is evicted once the watermark passes, unlike `dropDuplicates` whose
+    streaming state grows forever. The reference's consumer redelivers on
+    rebalance/restart (kafka_consumer_datalake.py:59-66 at-least-once
+    buffering) and its MySQL upsert absorbs dups by PRIMARY KEY; this is
+    the lake-side equivalent for append-only parquet sinks, where a dup
+    row would otherwise land twice. State: O(in-flight keys per
+    watermark window) per partition, shuffled on the id columns."""
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        [*id_cols]
+    )
+
+
 def streaming_user_totals(stream: DataFrame) -> DataFrame:
     """#66 unwindowed running aggregate in update mode — the exact
     semantics of the reference's ksqlDB tables (continuous GROUP BY,

@@ -18,6 +18,46 @@ def _write_json(spark, rows, schema, path):
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").json(path)
 
 
+class TestRedeliveryDedup:
+    def test_redelivered_record_lands_once(self, spark):
+        """The same transaction_id delivered twice (at-least-once replay)
+        must reach the sink exactly once; distinct ids all pass."""
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.ingest import (
+            dedup_redelivered,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        schema = "transaction_id long, event_time timestamp, amount double"
+        root = tempfile.mkdtemp(prefix="tp3_redeliver_")
+        try:
+            rows = [
+                (1, t0, 10.0),
+                (1, t0, 10.0),  # redelivery, same id
+                (2, t0 + dt.timedelta(minutes=1), 20.0),
+            ]
+            _write_json(spark, rows, schema, f"{root}/src")
+            stream = spark.readStream.schema(schema).json(f"{root}/src")
+            q = (
+                dedup_redelivered(stream)
+                .writeStream.format("memory")
+                .queryName("redeliver_out")
+                .outputMode("append")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = sorted(
+                (r.transaction_id, r.amount)
+                for r in spark.sql("select * from redeliver_out").collect()
+            )
+            assert got == [(1, 10.0), (2, 20.0)]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 class TestStreamStreamJoin:
     def test_interval_match_semantics_end_to_end(self, spark):
         """tx(u1, 10:00) matches ack(u1, 10:05) inside 30 min; the ack at
