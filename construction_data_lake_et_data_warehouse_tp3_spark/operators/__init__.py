@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = (
     "resample_daily_revenue",
     "unpivot_status_revenue",
     "hopping_window_events",
+    "ranking_windows_showcase",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

@@ -115,7 +115,30 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ranking_windows_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family in one deterministic pass per customer
+    order history: row_number / ntile / percent_rank / cume_dist over a
+    unique total order (o_orderdate, o_orderkey — no tie ambiguity), plus
+    lag-based spend delta. One shuffle on o_custkey; the per-key sort is
+    the windowing cost at any scale. Limited to customers < 200 to keep
+    the showcase result compact."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("spend_delta"),
+    )
+
+
 QUERIES = {
+    "ranking_windows_showcase": ranking_windows_showcase,
     "top_orders_limit": top_orders_limit,
     "latest_version_per_feed": latest_version_per_feed,
     "top_event_per_user": top_event_per_user,
@@ -125,6 +148,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ranking_windows_showcase": """
+        SELECT o_custkey, o_orderkey,
+               row_number()   OVER w AS order_seq,
+               ntile(4)       OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume,
+               round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 2)
+                   AS spend_delta
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
     "top_orders_limit": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
