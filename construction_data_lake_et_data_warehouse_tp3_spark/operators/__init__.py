@@ -34,6 +34,7 @@ _MODULES = (
     "curation",
     "quality",
     "clustering",
+    "graph",
 )
 
 
@@ -52,6 +53,7 @@ _DRIVER_PRIORITY = (
     "unpivot_status_revenue",
     "hopping_window_events",
     "ranking_windows_showcase",
+    "pagerank_products",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

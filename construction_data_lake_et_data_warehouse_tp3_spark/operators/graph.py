@@ -1,0 +1,148 @@
+"""Graph analytics over the relational tables — PageRank on the product
+co-purchase graph (parts bought together in one order), the second
+iterative-algorithm family beside clustering.py's k-means (the reference
+has no graph surface; its nearest analog is the FK lookup joins,
+sync_to_mysql.py:236-282).
+
+Exactness discipline (same as k-means): ranks live in INTEGER micro-units
+and every update is integer arithmetic — contributions are rank DIV
+out_degree, damping is (15·base + 85·Σcontrib) DIV 100 — so the unrolled
+DuckDB oracle reproduces the Spark loop bit-for-bit (floor division on
+non-negative ints is engine-independent; no float summation order
+anywhere until the final display division).
+
+Scale shape (10^9-edge graphs): edge build is one self-join shuffled on
+l_orderkey (co-occurrence bounded by items-per-order, ~7 for TPC-H-like
+data → ≤ 21 undirected pairs per order); each iteration is one join of
+ranks×edges shuffled on src + one groupBy(dst) with map-side partial
+sums. Degrees and N are computed once; ranks are K-V rows, never
+driver-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+N_ITERS = 2
+SCALE = 1_000_000_000  # nano-unit ranks: integer exact, 9 display digits
+DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as a ratio
+TOP_K = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase edges: both orientations of 'parts sharing an
+    order', deduplicated across orders."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_ITERS integer-exact PageRank iterations from the uniform init,
+    top-TOP_K products by final rank (part_id tiebreak). `rank` is the
+    display division rank_int/SCALE rounded to 6."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = edges.select(F.col("src").alias("pid")).distinct()
+    n_total = nodes.agg(F.count("*").alias("n"))
+    # every constant derived by integer division, broadcast as 1 row
+    consts = n_total.select(
+        "n",
+        (F.lit(SCALE) / F.col("n")).cast("bigint").alias("r0"),
+    ).withColumn(
+        "base", (F.lit(100 - DAMP_NUM) * F.col("r0") / F.lit(DAMP_DEN)).cast("bigint")
+    )
+    ranks = nodes.crossJoin(F.broadcast(consts)).select(
+        "pid", F.col("r0").alias("r_int")
+    )
+    for _ in range(N_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.pid == edges.src)
+            .join(deg, "src")
+            .select("dst", (F.col("r_int") / F.col("out_deg")).cast("bigint").alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes.pid == summed.dst, "left")
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "pid",
+                (
+                    F.col("base")
+                    + (F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(DAMP_DEN)).cast(
+                        "bigint"
+                    )
+                ).alias("r_int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("r_int"), F.asc("pid"))
+        .limit(TOP_K)
+        .select(
+            F.col("pid").alias("part_id"),
+            F.round(F.col("r_int") / F.lit(float(SCALE)), 6).alias("rank"),
+        )
+    )
+
+
+QUERIES = {"pagerank_products": pagerank_products}
+
+
+def _iter_duck(prev: str, out: str) -> str:
+    return f"""
+        {out}_contrib AS (
+            SELECT e.dst, CAST(floor(r.r_int / d.out_deg) AS BIGINT) AS c
+            FROM {prev} r JOIN dedges e ON r.pid = e.src
+            JOIN deg d ON d.src = e.src
+        ),
+        {out}_summed AS (SELECT dst, sum(c) AS s FROM {out}_contrib GROUP BY 1),
+        {out} AS (
+            SELECT n.pid,
+                   (SELECT base FROM consts)
+                   + CAST(floor({DAMP_NUM} * coalesce(s.s, 0) / {DAMP_DEN}) AS BIGINT)
+                       AS r_int
+            FROM nodes n LEFT JOIN {out}_summed s ON n.pid = s.dst
+        )
+"""
+
+
+ORACLE = {
+    # the Spark loop unrolled with identical integer arithmetic: floor
+    # division at every step, so the match is exact, not approximate.
+    "pagerank_products": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        dedges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey != b.l_partkey
+        ),
+        deg AS (SELECT src, count(*) AS out_deg FROM dedges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS pid FROM dedges),
+        consts AS (
+            SELECT CAST(floor({SCALE} / count(*)) AS BIGINT) AS r0,
+                   CAST(floor({100 - DAMP_NUM} * floor({SCALE} / count(*))
+                              / {DAMP_DEN}) AS BIGINT) AS base
+            FROM nodes
+        ),
+        r0 AS (SELECT pid, (SELECT r0 FROM consts) AS r_int FROM nodes),
+        {_iter_duck('r0', 'r1')},
+        {_iter_duck('r1', 'r2')}
+        SELECT pid AS part_id,
+               round(r_int / CAST({SCALE} AS DOUBLE), 6) AS rank
+        FROM r2
+        ORDER BY r_int DESC, pid
+        LIMIT {TOP_K}
+    """,
+}
