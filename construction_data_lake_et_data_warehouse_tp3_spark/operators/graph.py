@@ -40,11 +40,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    return (
+    # dedupe on the canonical orientation (src < dst) only — half the
+    # rows through the distinct's shuffle — then mirror map-side; the
+    # edge SET is identical to deduping both orientations
+    canon = (
         a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
+    )
+    return canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
