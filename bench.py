@@ -25,7 +25,9 @@ HEADLINE = (
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
+    "tpch_q14",
     "user_transaction_summary",
     "user_transaction_summary_eur",
     "product_purchase_counts",

@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = (
     "hopping_window_events",
     "ranking_windows_showcase",
     "pagerank_products",
+    "tpch_q7",
+    "tpch_q14",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

@@ -3,7 +3,9 @@
 These are the bench workload (bench.py) and the broadest correctness
 surface: multi-join + filter + aggregate + top-k plans whose shapes match
 the published TPC-H queries the testdata schema supports (q1, q3, q5, q6,
-q10 — adapted to the columns actually present, TESTDATA.md:13-16).
+q7, q10, q14 — adapted to the columns actually present, TESTDATA.md:13-16;
+q4/q12 need l_commitdate/l_receiptdate and q9 needs partsupp, which the
+testdata does not carry).
 
 Scale notes per query:
 - q1: single scan + hash aggregate on 2 low-cardinality keys; the shipdate
@@ -120,6 +122,72 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue between two trading
+    nations by (supplier nation, customer nation, ship year), both
+    directions. Both nation dims broadcast; the supplier/customer
+    nation tags reach the facts map-side, so the only big shuffle is
+    orders ⋈ lineitem on orderkey — same backbone as q3/q5."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("FRANCE", "GERMANY")
+    tagged_supp = supplier.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).where(F.col("supp_nation").isin(*pair)).select("s_suppkey", "supp_nation")
+    tagged_cust = customer.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).where(F.col("cust_nation").isin(*pair)).select("c_custkey", "cust_nation")
+    cust_orders = orders.join(
+        tagged_cust, orders.o_custkey == tagged_cust.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    shipped = li.join(
+        F.broadcast(tagged_supp), li.l_suppkey == tagged_supp.s_suppkey
+    ).select(
+        "l_orderkey",
+        "supp_nation",
+        F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    return (
+        shipped.join(cust_orders, shipped.l_orderkey == cust_orders.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money_sum("volume").alias("revenue"))
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect ratio (TPC-H Q14 shape, ECONOMY standing in for
+    the PROMO type prefix): share of one-month revenue from economy
+    parts. The part dim broadcasts; one scan of lineitem with the date
+    filter pushed; the two conditional sums fold into ONE aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d0 = "1995-09-01"
+    month = li.where(
+        (F.col("l_shipdate").cast("date") >= F.lit(d0))
+        & (F.col("l_shipdate").cast("date") < F.add_months(F.lit(d0).cast("date"), 1))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    # both sums in fixed point (money_sum): the ratio of two EXACT
+    # 2-decimal values is engine-identical; a plain double-sum ratio can
+    # flip the 4th decimal on summation order
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * money_sum(F.when(F.col("p_type").startswith("ECONOMY"), rev).otherwise(0.0))
+            / money_sum(rev),
+            4,
+        ).alias("economy_revenue_pct")
+    )
+
+
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting-revenue-change (TPC-H Q6 shape): scan + tight filter +
     scalar aggregate."""
@@ -167,7 +235,9 @@ QUERIES = {
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
     "tpch_q10": tpch_q10,
+    "tpch_q14": tpch_q14,
 }
 
 ORACLE = {
@@ -217,6 +287,32 @@ ORACLE = {
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "tpch_q7": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('FRANCE', 'GERMANY')
+          AND cn.n_name IN ('FRANCE', 'GERMANY')
+          AND sn.n_name != cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q14": f"""
+        SELECT round(
+            100.0 * ({money_sum_sql(
+                "CASE WHEN p_type LIKE 'ECONOMY%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+            )})
+            / ({money_sum_sql('l_extendedprice * (1 - l_discount)')}), 4)
+            AS economy_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
     """,
     "tpch_q10": f"""
         SELECT c_custkey AS user_id, c_name AS user_name, n_name AS user_country,
