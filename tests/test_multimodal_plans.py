@@ -99,6 +99,28 @@ class TestPlans:
         assert "o_orderdate" in filters  # date range → orders scan
         assert "l_returnflag" in filters  # flag filter → lineitem scan
 
+    def test_q7_nation_filter_pushed_and_dims_broadcast(self, spark):
+        """Locks the r4 q7 shape: the FRANCE/GERMANY IN-filter reaches
+        the nation scan (not applied after the joins) and the nation/
+        supplier tags broadcast onto the facts."""
+        df = tpch.tpch_q7(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "n_name" in filters
+        assert has_broadcast_join(df)
+
+    def test_q14_single_shuffle_with_pushed_dates(self, spark):
+        """Locks the r4 q14 shape: date range pushed to the lineitem
+        scan, part broadcast, ONE shuffle (the scalar aggregate)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q14(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "l_shipdate" in filters
+        assert has_broadcast_join(df)
+        assert shuffle_exchange_count(df) <= 1
+
     def test_q3_filters_reach_all_three_scans(self, spark):
         """Locks the r1 plan win: each side is filtered BEFORE the join —
         the mktsegment/date predicates must reach the parquet scans."""
