@@ -28,6 +28,7 @@ HEADLINE = (
     "tpch_q7",
     "tpch_q10",
     "tpch_q14",
+    "tpch_q18",
     "user_transaction_summary",
     "user_transaction_summary_eur",
     "product_purchase_counts",

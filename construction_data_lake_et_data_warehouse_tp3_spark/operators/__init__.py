@@ -56,6 +56,10 @@ _DRIVER_PRIORITY = (
     "pagerank_products",
     "tpch_q7",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
     "quality_filters",
     "decontaminate",
     "repetition_stats",

@@ -3,9 +3,10 @@
 These are the bench workload (bench.py) and the broadest correctness
 surface: multi-join + filter + aggregate + top-k plans whose shapes match
 the published TPC-H queries the testdata schema supports (q1, q3, q5, q6,
-q7, q10, q14 — adapted to the columns actually present, TESTDATA.md:13-16;
-q4/q12 need l_commitdate/l_receiptdate and q9 needs partsupp, which the
-testdata does not carry).
+q7, q10, q14, q15, q17, q18, q19 — adapted to the columns actually
+present, TESTDATA.md:13-16; q2/q4/q9/q11/q12/q16/q20-22 need
+l_commitdate/l_receiptdate, partsupp, or c_phone, which the testdata does
+not carry).
 
 Scale notes per query:
 - q1: single scan + hash aggregate on 2 low-cardinality keys; the shipdate
@@ -188,6 +189,120 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): quarterly revenue per supplier,
+    keep the max-revenue supplier(s). The max is a 1-row aggregate over
+    the already-aggregated per-supplier frame, broadcast back — the view
+    + subquery of the published query as two tiny post-shuffle steps.
+    Revenue is fixed-point (money_sum), so the max-equality can't split
+    on summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    q = li.where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+    )
+    rev = q.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue",
+        )
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): for one brand,
+    revenue from lineitems below 20% of that part's average quantity.
+    The per-part threshold joins back on partkey — at 100 TB both sides
+    shuffle on the same key once; the brand filter broadcasts into the
+    fact scan first so the threshold aggregation only sees the brand's
+    rows. Quantities are small integers, so per-part averages are exact
+    doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        brand_li.join(thresholds, brand_li.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(money_sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    quantity exceeds the threshold, with customer enrichment. The HAVING
+    runs on the orderkey aggregation BEFORE any join — the ~0.1% of
+    orders that qualify then join customer/orders broadcast-small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("order_total"),
+            "total_qty",
+        )
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue from bracketed predicates (TPC-H Q19 shape):
+    three disjunctive (brand, size-range, quantity-range) brackets ORed
+    together over lineitem ⋈ part. One broadcast join; the disjunction
+    stays a single codegen'd predicate — no union-of-three-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(bracket).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting-revenue-change (TPC-H Q6 shape): scan + tight filter +
     scalar aggregate."""
@@ -238,6 +353,10 @@ QUERIES = {
     "tpch_q7": tpch_q7,
     "tpch_q10": tpch_q10,
     "tpch_q14": tpch_q14,
+    "tpch_q15": tpch_q15,
+    "tpch_q17": tpch_q17,
+    "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
 }
 
 ORACLE = {
@@ -313,6 +432,54 @@ ORACLE = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'
           AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    "tpch_q15": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey AS supplier_id, s_name AS supplier_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "tpch_q17": f"""
+        WITH brand_li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#4'
+        ),
+        thresholds AS (
+            SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+            FROM brand_li GROUP BY 1
+        )
+        SELECT round(({money_sum_sql('l_extendedprice')}) / 7.0, 2) AS avg_yearly
+        FROM brand_li JOIN thresholds ON l_partkey = t_partkey
+        WHERE l_quantity < qty_threshold
+    """,
+    "tpch_q18": f"""
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        )
+        SELECT c_custkey AS customer_id, c_name AS customer_name,
+               o_orderkey AS order_id, o_totalprice AS order_total, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "tpch_q19": f"""
+        SELECT {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "tpch_q10": f"""
         SELECT c_custkey AS user_id, c_name AS user_name, n_name AS user_country,
