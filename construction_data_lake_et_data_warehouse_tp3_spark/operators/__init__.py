@@ -56,10 +56,12 @@ _DRIVER_PRIORITY = (
     "pagerank_products",
     "tpch_q7",
     "tpch_q14",
+    "tpch_q8",
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q22",
     "quality_filters",
     "decontaminate",
     "repetition_stats",
