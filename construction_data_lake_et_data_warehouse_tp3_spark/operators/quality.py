@@ -171,22 +171,39 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate(
+    spark: SparkSession, sf_dir: str, eval_docs: DataFrame | None = None
+) -> DataFrame:
     """Benchmark-leakage check: docs sharing any 4-word shingle with the
-    eval slice (doc_id % 97 == 0), with the count of distinct overlapping
-    shingles. The eval n-gram dim is tiny relative to the corpus →
-    broadcast; the corpus side generates shingles map-side, so the only
-    shuffle is the final per-doc distinct-count."""
+    eval set, with the count of distinct overlapping shingles. The eval
+    n-gram dim is tiny relative to the corpus → broadcast; the corpus
+    side generates shingles map-side, so the only shuffle is the final
+    per-doc distinct-count.
+
+    `eval_docs` (doc_id, text) is the production entry point — a real
+    benchmark table, so the eval shingles come from a SMALL scan instead
+    of re-scanning the corpus. Without it, the deterministic corpus slice
+    doc_id % 97 == 0 stands in (the registry/oracle form), and the slice
+    extraction is a second corpus scan — acceptable only because the
+    stand-in exists for oracle checkability."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng")
     )
-    eval_ngrams = (
-        grams.where(F.col("doc_id") % EVAL_MOD == 0).select("ng").distinct()
-    )
+    if eval_docs is None:
+        eval_side = grams.where(F.col("doc_id") % EVAL_MOD == 0)
+        corpus_side = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    else:
+        eval_ids = eval_docs.select(F.col("doc_id").alias("eval_id"))
+        eval_side = eval_docs.select(
+            "doc_id", F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng")
+        )
+        corpus_side = grams.join(
+            F.broadcast(eval_ids), grams.doc_id == F.col("eval_id"), "left_anti"
+        )
+    eval_ngrams = eval_side.select("ng").distinct()
     return (
-        grams.where(F.col("doc_id") % EVAL_MOD != 0)
-        .join(F.broadcast(eval_ngrams), "ng")
+        corpus_side.join(F.broadcast(eval_ngrams), "ng")
         .groupBy("doc_id")
         .agg(F.countDistinct("ng").alias("n_contaminated_ngrams"))
     )

@@ -121,6 +121,16 @@ class TestPlans:
         assert has_broadcast_join(df)
         assert shuffle_exchange_count(df) <= 1
 
+    def test_q8_dims_broadcast_with_pushed_filters(self, spark):
+        """Locks the r4 q8 pyramid: the ECONOMY p_type and EUROPE r_name
+        predicates reach their dim scans, and every dim joins the facts
+        by broadcast — one orderkey shuffle remains."""
+        df = tpch.tpch_q8(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "p_type" in filters
+        assert "r_name" in filters
+        assert has_broadcast_join(df)
+
     def test_q3_filters_reach_all_three_scans(self, spark):
         """Locks the r1 plan win: each side is filtered BEFORE the join —
         the mktsegment/date predicates must reach the parquet scans."""

@@ -42,6 +42,30 @@ class TestQualitySemantics:
         assert all(r.doc_id % quality.EVAL_MOD != 0 for r in rows)
         assert all(r.n_contaminated_ngrams >= 1 for r in rows)
 
+    def test_decontaminate_with_external_eval_table(self, spark):
+        """The production entry point: passing the same docs the modulo
+        slice selects as an explicit eval table must reproduce the
+        registry result exactly."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.sources.registry import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (
+            load_table(spark, SF_DIR, "documents")
+            .where(F.col("doc_id") % quality.EVAL_MOD == 0)
+            .select("doc_id", "text")
+        )
+        via_table = {
+            (r.doc_id, r.n_contaminated_ngrams)
+            for r in quality.decontaminate(spark, SF_DIR, eval_docs=ev).collect()
+        }
+        via_slice = {
+            (r.doc_id, r.n_contaminated_ngrams)
+            for r in quality.decontaminate(spark, SF_DIR).collect()
+        }
+        assert via_table == via_slice
+
     def test_pii_scrub_finds_injected_pii(self, spark):
         rows = quality.pii_scrub(spark, SF_DIR).collect()
         assert rows
