@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = (
     "ivf_kmeans_topk",
     "training_manifest",
     "resample_daily_revenue",
+    "session_window_stats",
     "unpivot_status_revenue",
     "hopping_window_events",
     "ranking_windows_showcase",

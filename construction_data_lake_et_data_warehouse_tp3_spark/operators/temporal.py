@@ -114,6 +114,29 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) — the
+    built-in operator whose custom stateful twin is
+    streaming.stateful.sessionize_stream, and whose hand-rolled batch
+    twin is event_sessions (lag + cumulative flag). The oracle IS that
+    hand-rolled form, proving built-in and manual sessionization agree:
+    session_end = last event + gap by definition of the built-in. One
+    shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.session_window(F.col("ts").cast("timestamp"), f"{SESSION_GAP_MINUTES} minutes")
+    return (
+        events.groupBy("user_id", w.alias("w"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def resample_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling: daily order revenue on a DENSE calendar —
     days with no orders are emitted with zero revenue and flagged. The
@@ -237,6 +260,7 @@ QUERIES = {
     "scalar_datetime_ops": scalar_datetime_ops,
     "daily_event_stats": daily_event_stats,
     "resample_daily_revenue": resample_daily_revenue,
+    "session_window_stats": session_window_stats,
     "event_sessions": event_sessions,
     "asof_latest_order": asof_latest_order,
     "median_order_value": median_order_value,
@@ -262,6 +286,33 @@ ORACLE = {
                CAST(o_orderdate AS DATE) - 30 AS minus_30d,
                date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
         FROM orders
+    """,
+    # the hand-rolled lag/cumsum sessionization — the built-in
+    # session_window must produce identical sessions
+    "session_window_stats": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                        WHEN epoch(ts) - epoch(lag(ts) OVER w)
+                             > {SESSION_GAP_MINUTES * 60} THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+               count(*) AS n_events,
+               {money_sum_sql('value')} AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
     """,
     # independent algorithm on purpose: the oracle joins a generate_series
     # calendar, the Spark side expands lead() gaps — same dense result.
