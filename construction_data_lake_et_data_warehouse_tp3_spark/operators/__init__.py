@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = (
     "training_manifest",
     "resample_daily_revenue",
     "session_window_stats",
+    "dq_audit_orders",
     "unpivot_status_revenue",
     "hopping_window_events",
     "ranking_windows_showcase",

@@ -142,7 +142,54 @@ def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one row: the constraint checks a warehouse
+    load gate runs before accepting a batch — null FK, duplicate PK,
+    referential misses against customer, domain violations (negative
+    totals). Three 1-row aggregates crossJoined broadcast: the PK-dup
+    count shuffles on o_orderkey with map-side partial counts, the FK
+    miss is a left-anti count, the rest is a single scan. Generalizes
+    the reference's per-record validation (json_to_datalake.py) to
+    set-based checks."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "negative_total"
+        ),
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count("*").alias("duplicate_orderkeys"))
+    )
+    fk_miss = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("fk_miss_customer"))
+    )
+    return (
+        base.crossJoin(F.broadcast(dup_pk))
+        .crossJoin(F.broadcast(fk_miss))
+        .select(
+            "n_rows",
+            "null_custkey",
+            "duplicate_orderkeys",
+            "fk_miss_customer",
+            "negative_total",
+        )
+    )
+
+
 QUERIES = {
+    "dq_audit_orders": dq_audit_orders,
     "customer_order_counts_left": customer_order_counts_left,
     "price_band_range_join": price_band_range_join,
     "order_event_days_full": order_event_days_full,
@@ -154,6 +201,21 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in PRICE_BANDS)
 
 ORACLE = {
+    "dq_audit_orders": """
+        SELECT
+            (SELECT count(*) FROM orders) AS n_rows,
+            (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS null_custkey,
+            (SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY 1 HAVING count(*) > 1)) AS duplicate_orderkeys,
+            (SELECT count(*) FROM orders
+             WHERE NOT EXISTS (SELECT 1 FROM customer
+                               WHERE c_custkey = o_custkey))
+                AS fk_miss_customer,
+            (SELECT count(*) FROM orders WHERE o_totalprice < 0)
+                AS negative_total
+    """,
     "price_band_range_join": f"""
         WITH bands(lo, hi, band) AS (VALUES {_BANDS_VALUES})
         SELECT band,
