@@ -29,6 +29,9 @@ HEADLINE = (
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
     "user_transaction_summary",
     "user_transaction_summary_eur",
     "product_purchase_counts",

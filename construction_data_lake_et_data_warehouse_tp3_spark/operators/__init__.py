@@ -46,6 +46,15 @@ _MODULES = (
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
     # new in r04 — never driver-checked
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "training_manifest",

@@ -2,13 +2,24 @@
 
 These are the bench workload (bench.py) and the broadest correctness
 surface: multi-join + filter + aggregate + top-k plans whose shapes match
-the published TPC-H queries the testdata schema supports (q1, q3, q5, q6,
-q7, q8, q10, q14, q15, q17, q18, q19, q22 — adapted to the columns and
-values actually present: nation names are NATION_N, p_type values are
+all 22 published TPC-H queries — adapted to the columns and values
+actually present: nation names are NATION_N, p_type values are
 ECONOMY/SMALL/…, and every customer has orders, so q7/q8 literals use
 NATION_3/NATION_8 and q22's anti-join tests for no LARGE order.
-q2/q4/q9/q11/q12/q16/q20/q21 need l_commitdate/l_receiptdate or partsupp,
-which the testdata does not carry).
+
+The testdata carries no partsupp table and no l_commitdate /
+l_receiptdate / l_shipmode columns, so the queries that need them keep
+their published PLAN SHAPE with stand-in semantics:
+- q2/q11/q16/q20: the supplier–part relation is the DISTINCT
+  (l_partkey, l_suppkey) pairs observed in lineitem; "supply cost" is the
+  minimum observed unit price, "stock value" the lineitem revenue.
+- q4/q12/q21: "received late" becomes "shipped >N days after the order
+  date" (l_shipdate vs o_orderdate); q12 groups by l_returnflag in place
+  of l_shipmode.
+- q9: supply cost is p_retailprice × quantity (2-decimal exact, so the
+  profit stays fixed-point summable).
+- q13's comment filter and q16's complaint filter become priority /
+  account-balance predicates.
 
 Scale notes per query:
 - q1: single scan + hash aggregate on 2 low-cardinality keys; the shipdate
@@ -27,7 +38,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import money_avg, money_avg_sql, money_sum, money_sum_sql, ratio_avg, ratio_avg_sql
+from ..functions.scalar import (
+    money_avg,
+    money_avg_sql,
+    money_round,
+    money_round_sql,
+    money_sum,
+    money_sum_sql,
+    ratio_avg,
+    ratio_avg_sql,
+)
 from ..sources.registry import load_table
 
 
@@ -432,6 +452,311 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): for each STANDARD size-15
+    part, the Asian supplier(s) offering the lowest observed unit price.
+    The correlated MIN subquery of the published query becomes a per-part
+    aggregation joined back on (partkey, cost) — one shuffle on partkey
+    shared by both sides. Supplier/nation/region dims broadcast; the unit
+    price min is a pure selection (no summation), so the double compares
+    identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    asia_supp = supplier.join(
+        F.broadcast(asia_nations), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    target_parts = part.where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand", "p_retailprice")
+    # observed supply cost: min unit price per (part, Asian supplier)
+    costs = (
+        li.join(F.broadcast(target_parts.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(asia_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    min_cost = costs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (costs.l_partkey == min_cost.m_partkey)
+            & (costs.supply_cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(asia_supp), costs.l_suppkey == asia_supp.s_suppkey)
+        .join(F.broadcast(target_parts), costs.l_partkey == target_parts.p_partkey)
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("l_partkey").alias("part_id"),
+            F.col("p_brand"),
+            money_round("supply_cost").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("part_id"))
+        .limit(100)
+    )
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape, 'shipped >90 days after
+    order' standing in for commit<receipt): one-quarter orders with at
+    least one late lineitem, counted per priority. The EXISTS is a
+    left-semi join — the shuffle carries (orderkey, orderdate) only, the
+    non-equi lateness predicate rides the join, and the semi form
+    dedups order-side rows without a distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    q = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = q.join(
+        li,
+        (q.o_orderkey == li.l_orderkey)
+        & (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): profit on widget parts per
+    supplier nation per order year, with p_retailprice × quantity standing
+    in for ps_supplycost (2-decimal exact → fixed-point summable, may go
+    negative; money_sum is sign-aware). Part keys and supplier→nation tags
+    broadcast onto lineitem map-side; the one big shuffle is
+    orders ⋈ lineitem on orderkey for the year column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    widget_parts = part.where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    profit = (
+        li.join(F.broadcast(widget_parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "nation",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    years = orders.select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("o_year")
+    )
+    return (
+        profit.join(years, profit.l_orderkey == years.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(money_sum("amount").alias("sum_profit"))
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part lineitem
+    revenue from NATION_5 suppliers, keeping parts above 2× the mean part
+    value. The published query's scalar-subquery threshold is a broadcast
+    1-row aggregate over the ALREADY-aggregated per-part frame (no second
+    corpus scan); a mean-relative threshold replaces the fixed fraction so
+    the predicate stays non-degenerate at every scale factor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n5_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_5").select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(n5_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(money_sum("l_extendedprice").alias("stock_value"))
+    )
+    threshold = per_part.agg((F.avg("stock_value") * 2.0).alias("cutoff"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("stock_value") > F.col("cutoff"))
+        .select("part_id", "stock_value")
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority split (TPC-H Q12 shape, l_returnflag
+    standing in for l_shipmode, 'shipped >60 days after order' for the
+    receipt-date window): per flag, how many late 1996 lineitems belong to
+    high- vs low-priority orders. orders ⋈ lineitem shuffles on orderkey
+    once; both conditional counts fold into ONE aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        ),
+    ).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.col("l_returnflag").alias("ship_group")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-distribution (TPC-H Q13 shape, a priority filter standing
+    in for the comment filter): histogram of per-customer order counts
+    including zero-order customers. The left join keeps every customer;
+    level 1 shuffles on custkey, level 2 on the (tiny) count domain."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counted = orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        customer.join(counted, customer.c_custkey == counted.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): distinct supplier
+    count per (brand, type, size) over the supplier–part pairs observed in
+    lineitem, excluding low-balance suppliers (the complaint filter).
+    The pair extraction is a groupBy on (partkey, suppkey) — the count
+    distinct then reuses that partial; the excluded-supplier set is a
+    broadcast anti-join; the part dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    target = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.where(F.col("s_acctbal") < 1000.0).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(target.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(target), pairs.l_partkey == target.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion (TPC-H Q20 shape): Asian suppliers that
+    shipped more than 30% of some blue part's total 1996 volume ('has
+    excess stock'). The per-pair and per-part aggregations share the
+    partkey shuffle; qualifying suppkeys semi-join the supplier dim.
+    Quantities are integers, so the 0.3× threshold compare is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    blue_parts = part.where(F.col("p_name").like("blue%")).select("p_partkey")
+    y96 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(blue_parts), li.l_partkey == F.col("p_partkey"))
+    pair_qty = y96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    part_qty = y96.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        pair_qty.join(part_qty, pair_qty.l_partkey == part_qty.t_partkey)
+        .where(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia_keys = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    return (
+        supplier.join(F.broadcast(dominant), supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia_keys), supplier.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select(F.col("s_name").alias("supplier_name"), F.col("s_acctbal"))
+        .orderBy("supplier_name")
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): suppliers that
+    were the ONLY late shipper on a multi-supplier finished order. The
+    published EXISTS / NOT EXISTS pair of lineitem self-joins is rewritten
+    as ONE groupBy(orderkey) computing supplier and late-supplier counts —
+    s qualifies iff s was late, the order has >1 supplier, and exactly one
+    late supplier (then s IS that supplier). One shuffle on orderkey
+    replaces two self-join shuffles; the DuckDB oracle keeps the literal
+    EXISTS form, so the rewrite is cross-checked every round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    tagged = li.join(f_orders, li.l_orderkey == f_orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        ).alias("is_late"),
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+        # the published query counts late LINEITEM rows, not orders: a
+        # supplier late on 3 lines of one order scores 3
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
+    )
+    waiting = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("late_supp", "n_late_rows")
+    return (
+        waiting.groupBy("late_supp")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("late_supp") == supplier.s_suppkey)
+        .select(F.col("s_name").alias("supplier_name"), "numwait")
+        .orderBy(F.desc("numwait"), F.asc("supplier_name"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -446,6 +771,15 @@ QUERIES = {
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
+    "tpch_q2": tpch_q2,
+    "tpch_q4": tpch_q4,
+    "tpch_q9": tpch_q9,
+    "tpch_q11": tpch_q11,
+    "tpch_q12": tpch_q12,
+    "tpch_q13": tpch_q13,
+    "tpch_q16": tpch_q16,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
 }
 
 ORACLE = {
@@ -617,5 +951,157 @@ ORACLE = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, user_id ASC
         LIMIT 20
+    """,
+    "tpch_q2": f"""
+        WITH asia_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        target_parts AS (
+            SELECT p_partkey, p_brand
+            FROM part WHERE p_size = 15 AND p_type = 'STANDARD'
+        ),
+        costs AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supply_cost
+            FROM lineitem
+            JOIN target_parts ON l_partkey = p_partkey
+            JOIN asia_supp ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, l_partkey AS part_id, p_brand,
+               {money_round_sql('supply_cost')} AS supply_cost
+        FROM costs
+        JOIN asia_supp ON l_suppkey = s_suppkey
+        JOIN target_parts ON l_partkey = p_partkey
+        WHERE supply_cost = (SELECT min(supply_cost) FROM costs c2
+                             WHERE c2.l_partkey = costs.l_partkey)
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, part_id ASC
+        LIMIT 100
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND CAST(l_shipdate AS DATE)
+                            > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+        GROUP BY 1
+    """,
+    "tpch_q9": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               {money_sum_sql(
+                   'l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity'
+               )} AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "tpch_q11": f"""
+        WITH per_part AS (
+            SELECT l_partkey AS part_id,
+                   {money_sum_sql('l_extendedprice')} AS stock_value
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_5')
+            GROUP BY 1
+        )
+        SELECT part_id, stock_value
+        FROM per_part
+        WHERE stock_value > (SELECT avg(stock_value) * 2.0 FROM per_part)
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag AS ship_group,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE CAST(l_shipdate AS DATE)
+                  > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority != '4-NOT SPECIFIED'
+            GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q20": """
+        WITH y96 AS (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'blue%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+        ),
+        pair_qty AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+            FROM y96 GROUP BY 1, 2
+        ),
+        part_qty AS (
+            SELECT l_partkey AS t_partkey, sum(l_quantity) AS part_qty
+            FROM y96 GROUP BY 1
+        )
+        SELECT s_name AS supplier_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM pair_qty
+              JOIN part_qty ON l_partkey = t_partkey
+              WHERE pair_qty > 0.3 * part_qty)
+        ORDER BY supplier_name
+    """,
+    "tpch_q21": """
+        SELECT s_name AS supplier_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND CAST(l1.l_shipdate AS DATE)
+                  > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey != l1.l_suppkey
+                            AND CAST(l3.l_shipdate AS DATE)
+                                    > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+        GROUP BY 1
+        ORDER BY numwait DESC, supplier_name ASC
+        LIMIT 100
     """,
 }
