@@ -55,6 +55,8 @@ _DRIVER_PRIORITY = (
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
+    "pack_sequences",
+    "mixture_resample",
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "training_manifest",

@@ -193,10 +193,122 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: context length for sequence packing (tokens per packed example).
+#: 512 keeps multiple bins AND boundary-straddling docs present per shard
+#: even at the smallest test scale, so every output column is exercised.
+PACK_CAP = 512
+
+#: packing shards: documents pack independently per shard, so the window
+#: sort never degenerates to a single partition. 100-TB note: shard count
+#: scales with cluster width (it is the packing parallelism), and packing
+#: quality is unaffected because concat-then-split wastes nothing except
+#: each shard's final partial bin.
+PACK_SHARDS = 32
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-split): lay documents end-to-end in
+    deterministic doc_id order and cut every PACK_CAP tokens — the
+    standard pretraining step that turns a ragged corpus into fixed-length
+    examples. Each doc is assigned the bin its FIRST token lands in;
+    `n_split_docs` counts docs that straddle a bin boundary.
+
+    Plan: one scan → map-side token count → window cumsum partitioned by
+    shard (shuffle on shard, sort within partition — never a global
+    single-partition window) → hash aggregate on (shard, bin). The DuckDB
+    oracle replays the identical window arithmetic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.expr(f"size({TOKENS})").cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("n_tok").over(w))
+    start_bin = F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(PACK_CAP)))
+    end_bin = F.floor((F.col("cum") - 1) / F.lit(float(PACK_CAP)))
+    binned = cum.select(
+        "shard",
+        "n_tok",
+        start_bin.alias("bin_id"),
+        (end_bin > start_bin).alias("crosses"),
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("packed_tokens"),
+        F.sum(F.when(F.col("crosses"), 1).otherwise(0)).alias("n_split_docs"),
+    )
+
+
+#: target mixture weight per source (Spark + DuckDB spellings): sources
+#: with an even numeric suffix get 3× the sampling weight of odd ones, so
+#: the uniformly-generated testdata yields a genuinely non-uniform target
+#: and the downsampling branch is exercised.
+_MIX_WEIGHT = "CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN 3.0 ELSE 1.0 END"
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample sources toward a weighted
+    target mix (even-suffixed sources get 3× weight) with the
+    deterministic md5 coin, and report per source how many docs survive.
+    The rate table is a tiny aggregate joined back by broadcast, so the
+    corpus is scanned once and the decision is map-side — the
+    mixture-rebalancing step every training-data pipeline runs between
+    curation and packing.
+
+    Rates are basis points (floor of the double ratio ×10000) so the
+    keep predicate is an INTEGER compare — no float threshold can drift
+    between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("orig_count"))
+    weighted = counts.withColumn("weight", F.expr(_MIX_WEIGHT))
+    tot = weighted.agg(
+        F.sum("orig_count").alias("total"), F.sum("weight").alias("total_weight")
+    )
+    rates = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "orig_count",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.floor(
+                F.col("weight")
+                / F.col("total_weight")
+                * F.col("total")
+                / F.col("orig_count")
+                * 10000
+            ).cast("bigint"),
+        ).alias("rate_bp"),
+    )
+    coin = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT), 10000)"
+    )
+    kept = (
+        docs.select("doc_id", "source", coin.alias("coin"))
+        .join(F.broadcast(rates), "source")
+        .where(F.col("coin") < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("kept_count"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "orig_count",
+        "rate_bp",
+        F.coalesce("kept_count", F.lit(0)).alias("kept_count"),
+    )
+
+
 QUERIES = {
     "dup_clusters": dup_clusters,
     "corpus_curation": corpus_curation,
     "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "mixture_resample": mixture_resample,
 }
 
 _HITS_DUCK = {
@@ -261,5 +373,58 @@ ORACLE = {
         FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
               < {_RATE_DUCK}
+    """,
+    "pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT shard, n_tok,
+                   sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+            FROM toks
+        )
+        SELECT shard,
+               CAST(floor((cum - n_tok) / {float(PACK_CAP)}) AS BIGINT) AS bin_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS packed_tokens,
+               CAST(sum(CASE WHEN floor((cum - 1) / {float(PACK_CAP)})
+                                  > floor((cum - n_tok) / {float(PACK_CAP)})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        FROM cum
+        GROUP BY 1, 2
+    """,
+    "mixture_resample": f"""
+        WITH counts AS (
+            SELECT source, count(*) AS orig_count,
+                   {_MIX_WEIGHT} AS weight
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(orig_count) AS BIGINT) AS total,
+                   sum(weight) AS total_weight
+            FROM counts
+        ),
+        rates AS (
+            SELECT source, orig_count,
+                   least(CAST(10000 AS BIGINT),
+                         CAST(floor(weight / total_weight * total
+                                    / orig_count * 10000)
+                              AS BIGINT)) AS rate_bp
+            FROM counts, tot
+        ),
+        kept AS (
+            SELECT source, count(*) AS kept_count
+            FROM documents JOIN rates USING (source)
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                      % 10000 < rate_bp
+            GROUP BY 1
+        )
+        SELECT source, orig_count, rate_bp,
+               coalesce(kept_count, 0) AS kept_count
+        FROM rates LEFT JOIN kept USING (source)
     """,
 }
