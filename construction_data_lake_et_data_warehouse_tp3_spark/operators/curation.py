@@ -288,18 +288,18 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     coin = F.expr(
         "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT), 10000)"
     )
-    kept = (
+    # second corpus pass: the keep decision folds into the aggregation as
+    # a conditional count, so there is no filtered branch + re-join (a
+    # zero-rate source still aggregates to kept_count = 0 naturally)
+    return (
         docs.select("doc_id", "source", coin.alias("coin"))
         .join(F.broadcast(rates), "source")
-        .where(F.col("coin") < F.col("rate_bp"))
-        .groupBy("source")
-        .agg(F.count("*").alias("kept_count"))
-    )
-    return rates.join(kept, "source", "left").select(
-        "source",
-        "orig_count",
-        "rate_bp",
-        F.coalesce("kept_count", F.lit(0)).alias("kept_count"),
+        .groupBy("source", "orig_count", "rate_bp")
+        .agg(
+            F.sum(F.when(F.col("coin") < F.col("rate_bp"), 1).otherwise(0)).alias(
+                "kept_count"
+            )
+        )
     )
 
 

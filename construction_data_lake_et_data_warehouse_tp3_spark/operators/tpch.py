@@ -456,10 +456,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier (TPC-H Q2 shape): for each STANDARD size-15
     part, the Asian supplier(s) offering the lowest observed unit price.
     The correlated MIN subquery of the published query becomes a per-part
-    aggregation joined back on (partkey, cost) — one shuffle on partkey
-    shared by both sides. Supplier/nation/region dims broadcast; the unit
-    price min is a pure selection (no summation), so the double compares
-    identically across engines."""
+    window MIN over the (partkey, suppkey) aggregation: one narrow
+    re-shuffle of the already-aggregated (tiny) frame replaces a second
+    base-table aggregate plus self-join. Supplier/nation/region dims
+    broadcast; the unit price min is a pure selection (no summation), so
+    the double compares identically across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -476,22 +477,23 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_parts = part.where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand", "p_retailprice")
-    # observed supply cost: min unit price per (part, Asian supplier)
+    # observed supply cost: min unit price per (part, Asian supplier).
+    # The correlated per-part MIN is a window over the SAME partkey
+    # grouping — Spark reuses the (partkey, suppkey) shuffle's
+    # partitioning, so the whole correlated subquery costs one extra
+    # sort, not a self-join with its own pair of shuffles.
+    from pyspark.sql.window import Window
+
     costs = (
         li.join(F.broadcast(target_parts.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(asia_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
     )
-    min_cost = costs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    min_cost = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
     return (
-        costs.join(
-            min_cost,
-            (costs.l_partkey == min_cost.m_partkey)
-            & (costs.supply_cost == min_cost.min_cost),
-        )
+        costs.withColumn("min_cost", min_cost)
+        .where(F.col("supply_cost") == F.col("min_cost"))
         .join(F.broadcast(asia_supp), costs.l_suppkey == asia_supp.s_suppkey)
         .join(F.broadcast(target_parts), costs.l_partkey == target_parts.p_partkey)
         .select(
@@ -688,14 +690,17 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).join(F.broadcast(blue_parts), li.l_partkey == F.col("p_partkey"))
+    # per-part total as a window over the pair aggregation: one narrow
+    # re-shuffle of the aggregated frame instead of a second base-table
+    # aggregate + self-join (which would re-scan y96 entirely)
+    from pyspark.sql.window import Window
+
     pair_qty = y96.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("pair_qty")
     )
-    part_qty = y96.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("l_quantity").alias("part_qty")
-    )
+    part_qty = F.sum("pair_qty").over(Window.partitionBy("l_partkey"))
     dominant = (
-        pair_qty.join(part_qty, pair_qty.l_partkey == part_qty.t_partkey)
+        pair_qty.withColumn("part_qty", part_qty)
         .where(F.col("pair_qty") > 0.3 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()

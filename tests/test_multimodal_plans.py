@@ -165,6 +165,100 @@ class TestPlans:
         assert has_broadcast_join(df)
         assert shuffle_exchange_count(df) == 1
 
+    def test_q4_semi_join_single_shuffle(self, spark):
+        """Locks the q4 shape: the quarter window reaches the orders scan
+        and the EXISTS stays ONE left-semi shuffle (the lateness predicate
+        rides the join, never a distinct + inner join)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q4(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "o_orderdate" in filters
+        assert shuffle_exchange_count(df) <= 1
+
+    def test_q9_part_filter_pushed_single_shuffle(self, spark):
+        """Locks the q9 shape: the %widget% predicate reaches the part
+        scan as StringContains, part/supplier/nation tags broadcast onto
+        lineitem map-side, and only orders ⋈ lineitem shuffles."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q9(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "StringContains(p_name,widget)" in filters
+        assert has_broadcast_join(df)
+        assert shuffle_exchange_count(df) <= 1
+
+    def test_q12_dates_pushed_single_shuffle(self, spark):
+        """Locks the q12 shape: the 1996 window pushes through the join
+        to the lineitem scan; both priority counts fold into the one
+        post-join aggregation."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q12(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "l_shipdate" in filters
+        assert shuffle_exchange_count(df) <= 1
+
+    def test_q2_window_rewrite_two_shuffles(self, spark):
+        """Locks the q2 rewrite: part/region predicates reach their dim
+        scans, and the correlated per-part MIN is a window over the pair
+        aggregation — 2 shuffles total, not an aggregate self-join's 4+."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q2(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "EqualTo(p_size,15)" in filters
+        assert "EqualTo(r_name,ASIA)" in filters
+        assert has_broadcast_join(df)
+        assert shuffle_exchange_count(df) <= 2
+
+    def test_q20_prefix_and_dates_pushed(self, spark):
+        """Locks the q20 shape: the blue% prefix reaches the part scan as
+        StringStartsWith and the 1996 window reaches lineitem; every
+        shuffle after the pair aggregation carries aggregated rows only."""
+        df = tpch.tpch_q20(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "StringStartsWith(p_name,blue)" in filters
+        assert "l_shipdate" in filters
+        assert has_broadcast_join(df)
+
+    def test_q21_status_pushed_rewrite_bounded(self, spark):
+        """Locks the q21 rewrite: the order-status filter reaches the
+        orders scan, and the EXISTS / NOT-EXISTS pair is ONE per-order
+        aggregation — ≤3 shuffles, no lineitem self-join."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            shuffle_exchange_count,
+        )
+
+        df = tpch.tpch_q21(spark, SF_DIR)
+        filters = " ".join(pushed_filters(df))
+        assert "EqualTo(o_orderstatus,F)" in filters
+        assert shuffle_exchange_count(df) <= 3
+
+    def test_pack_sequences_window_is_sharded(self, spark):
+        """The packing cumsum must never plan as a global single-partition
+        window — it partitions by shard (2 shuffles: window + final agg)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+            curation,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            explain_str,
+            shuffle_exchange_count,
+        )
+
+        df = curation.pack_sequences(spark, SF_DIR)
+        plan = explain_str(df, "formatted")
+        assert "SinglePartition" not in plan
+        assert shuffle_exchange_count(df) == 2
+
     def test_range_join_is_broadcast_nested_loop(self, spark):
         """Non-equi join against a 5-row band table must broadcast the
         bands (map-side interval tests), never shuffle orders."""
