@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     "tpch_q21",
     "pack_sequences",
     "mixture_resample",
+    "edit_distance_pairs",
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "training_manifest",

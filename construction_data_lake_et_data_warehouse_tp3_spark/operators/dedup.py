@@ -236,11 +236,55 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: edit-distance banding: docs compare only within the same (lang,
+#: length-bucket) band, and only their first EDIT_PREFIX chars are
+#: compared. Bucket size is bounded by the corpus' per-language length
+#: distribution, so the quadratic levenshtein stays inside small bands.
+EDIT_BUCKET_CHARS = 50
+EDIT_PREFIX = 40
+EDIT_MAX_DIST = 5
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the typo/small-edit modality that
+    shingle-based minhash underweights (one char flip changes 12
+    shingles but costs edit distance 1). Candidates are banded by
+    (lang, n_chars // 50): same-band docs self-join (shuffle keys are the
+    band, never all pairs), then the JVM-side levenshtein kernel runs on
+    40-char prefixes only, so per-pair cost is bounded O(EDIT_PREFIX²)
+    regardless of document length. At 100 TB the bucket-cap trick from
+    minhash (drop degenerate bands) applies unchanged; here band sizes
+    are bounded by the length histogram. docs straddling a bucket
+    boundary miss their cross-bucket twin — the standard banding recall
+    trade, documented demo scope (run both ±1 buckets to close it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / EDIT_BUCKET_CHARS).cast("bigint").alias("bkt"),
+        F.substring("text", 1, EDIT_PREFIX).alias("pfx"),
+    )
+    a = b.select(
+        F.col("lang"), F.col("bkt"), F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a")
+    )
+    c = b.select(
+        F.col("lang"), F.col("bkt"), F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b")
+    )
+    return (
+        a.join(c, ["lang", "bkt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("pfx_a", "pfx_b"))
+        .where(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "simhash_signatures": simhash_signatures,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "edit_distance_pairs": edit_distance_pairs,
 }
 
 
@@ -297,6 +341,18 @@ ORACLE = {
         GROUP BY 1
     """,
     "minhash_lsh_candidates": None,  # assigned below — needs duck_lsh_candidates_cte()
+    "edit_distance_pairs": f"""
+        WITH b AS (
+            SELECT doc_id, lang, n_chars // {EDIT_BUCKET_CHARS} AS bkt,
+                   substr(text, 1, {EDIT_PREFIX}) AS pfx
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(levenshtein(a.pfx, c.pfx) AS INT) AS edit_dist
+        FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt
+                         AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.pfx, c.pfx) <= {EDIT_MAX_DIST}
+    """,
     "simhash_signatures": """
         WITH tok AS (
             SELECT doc_id,
