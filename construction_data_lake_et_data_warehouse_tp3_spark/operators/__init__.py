@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "pack_sequences",
     "mixture_resample",
     "edit_distance_pairs",
+    "triangle_participation",
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "training_manifest",

@@ -31,24 +31,28 @@ DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as a ratio
 TOP_K = 20
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed co-purchase edges: both orientations of 'parts sharing an
-    order', deduplicated across orders."""
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges in canonical orientation (src < dst),
+    deduplicated across orders — half the rows through the distinct's
+    shuffle vs deduping both orientations."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    # dedupe on the canonical orientation (src < dst) only — half the
-    # rows through the distinct's shuffle — then mirror map-side; the
-    # edge SET is identical to deduping both orientations
-    canon = (
+    return (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase edges: both orientations, mirrored map-side
+    from the canonical half."""
+    canon = _canonical_edges(spark, sf_dir)
     return canon.union(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -103,7 +107,41 @@ def pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pagerank_products": pagerank_products}
+def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph, top-TOP_K most
+    clustered products — the local-clustering primitive beside PageRank's
+    centrality. Edges are canonically oriented (src < dst), so each
+    triangle a<b<c is enumerated exactly once as the wedge a→b→c closed
+    by a→c; every node in it scores 1.
+
+    Scale shape: two joins — the wedge join shuffled on the shared node,
+    the closure join on the (src, dst) pair. Wedge volume is Σ deg²; at
+    10^9 edges the standard refinement is degree-ordered orientation
+    (point edges low→high degree), which bounds wedges by arboricity —
+    the src<dst orientation here is the id-ordered special case of that
+    same trick."""
+    canon = _canonical_edges(spark, sf_dir)
+    e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = canon.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES = {
+    "pagerank_products": pagerank_products,
+    "triangle_participation": triangle_participation,
+}
 
 
 def _iter_duck(prev: str, out: str) -> str:
@@ -149,6 +187,30 @@ ORACLE = {
                round(r_int / CAST({SCALE} AS DOUBLE), 6) AS rank
         FROM r2
         ORDER BY r_int DESC, pid
+        LIMIT {TOP_K}
+    """,
+    "triangle_participation": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM canon e1
+            JOIN canon e2 ON e1.dst = e2.src
+            JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        parts AS (
+            SELECT a AS part_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT part_id, count(*) AS n_triangles
+        FROM parts
+        GROUP BY 1
+        ORDER BY n_triangles DESC, part_id ASC
         LIMIT {TOP_K}
     """,
 }
