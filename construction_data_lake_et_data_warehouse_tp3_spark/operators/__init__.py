@@ -59,6 +59,8 @@ _DRIVER_PRIORITY = (
     "mixture_resample",
     "edit_distance_pairs",
     "triangle_participation",
+    "lm_surprisal",
+    "substring_dup_pairs",
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "training_manifest",

@@ -249,14 +249,15 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs — the typo/small-edit modality that
     shingle-based minhash underweights (one char flip changes 12
     shingles but costs edit distance 1). Candidates are banded by
-    (lang, n_chars // 50): same-band docs self-join (shuffle keys are the
-    band, never all pairs), then the JVM-side levenshtein kernel runs on
-    40-char prefixes only, so per-pair cost is bounded O(EDIT_PREFIX²)
+    (lang, n_chars // 50); each doc PROBES its own band and the next one
+    up, so a pair straddling a bucket boundary is still found (exactly
+    once: same-band pairs match on the home key with an id guard,
+    cross-band pairs only in the up direction). Shuffle keys are the
+    bands, never all pairs, and the JVM-side levenshtein kernel runs on
+    40-char prefixes only — per-pair cost bounded O(EDIT_PREFIX²)
     regardless of document length. At 100 TB the bucket-cap trick from
-    minhash (drop degenerate bands) applies unchanged; here band sizes
-    are bounded by the length histogram. docs straddling a bucket
-    boundary miss their cross-bucket twin — the standard banding recall
-    trade, documented demo scope (run both ±1 buckets to close it)."""
+    minhash (drop degenerate bands) applies unchanged; band sizes are
+    bounded by the per-language length histogram."""
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
@@ -264,18 +265,81 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / EDIT_BUCKET_CHARS).cast("bigint").alias("bkt"),
         F.substring("text", 1, EDIT_PREFIX).alias("pfx"),
     )
-    a = b.select(
-        F.col("lang"), F.col("bkt"), F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a")
+    probe = b.select(
+        "lang",
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("key"),
+        F.col("bkt").alias("bkt_x"),
+        F.col("doc_id").alias("doc_x"),
+        F.col("pfx").alias("pfx_x"),
     )
-    c = b.select(
-        F.col("lang"), F.col("bkt"), F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b")
+    home = b.select(
+        "lang",
+        F.col("bkt").alias("key"),
+        F.col("doc_id").alias("doc_y"),
+        F.col("pfx").alias("pfx_y"),
+    )
+    cand = probe.join(home, ["lang", "key"]).where(
+        # same band: id-ordered guard dedups the symmetric match;
+        # adjacent band: only the up-probe direction can match, so every
+        # cross pair arrives exactly once with no guard needed
+        ((F.col("bkt_x") == F.col("key")) & (F.col("doc_x") < F.col("doc_y")))
+        | (F.col("bkt_x") != F.col("key"))
     )
     return (
-        a.join(c, ["lang", "bkt"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("edit_dist", F.levenshtein("pfx_a", "pfx_b"))
+        cand.withColumn("edit_dist", F.levenshtein("pfx_x", "pfx_y"))
         .where(F.col("edit_dist") <= EDIT_MAX_DIST)
-        .select("doc_a", "doc_b", "edit_dist")
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+
+
+#: substring-span dedup: SPAN-char windows every STRIDE chars; spans
+#: shared by more than SPAN_FREQ_CAP docs are dropped as boilerplate
+#: (site chrome, licenses) — the cap is what keeps the pair join linear.
+SPAN_LEN = 50
+SPAN_STRIDE = 25
+SPAN_FREQ_CAP = 20
+
+
+def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the Lee-et-al. 'deduplicating training data'
+    modality): docs sharing at least one identical SPAN_LEN-char run,
+    detected via positional md5 fingerprints every SPAN_STRIDE chars.
+    Catches verbatim inclusion (quoting, mirroring, template reuse) that
+    whole-doc hashing misses and minhash only scores fractionally.
+
+    The stride-2× overlap guarantees any shared run ≥ SPAN_LEN + STRIDE
+    chars aligns at least one fingerprint in both docs. Spans more
+    frequent than SPAN_FREQ_CAP are dropped before pairing — the
+    boilerplate guard that bounds each span's pair fan-out to
+    O(cap²) at any corpus size. All map-side until the span-hash
+    shuffle; the pair count aggregation reuses the same key."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length(text) - {SPAN_LEN - 1}),"
+                f" {SPAN_STRIDE}), p -> md5(substr(text, p, {SPAN_LEN})))"
+            )
+        ).alias("h"),
+    ).distinct()
+    rare = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("n_docs_with"))
+        .where(F.col("n_docs_with").between(2, SPAN_FREQ_CAP))
+    )
+    keyed = spans.join(rare.select("h"), "h")
+    a = keyed.select("h", F.col("doc_id").alias("doc_a"))
+    b = keyed.select("h", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("h").alias("n_shared_spans"))
     )
 
 
@@ -285,6 +349,7 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "edit_distance_pairs": edit_distance_pairs,
+    "substring_dup_pairs": substring_dup_pairs,
 }
 
 
@@ -347,11 +412,34 @@ ORACLE = {
                    substr(text, 1, {EDIT_PREFIX}) AS pfx
             FROM documents
         )
-        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        SELECT least(a.doc_id, c.doc_id) AS doc_a,
+               greatest(a.doc_id, c.doc_id) AS doc_b,
                CAST(levenshtein(a.pfx, c.pfx) AS INT) AS edit_dist
-        FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt
-                         AND a.doc_id < c.doc_id
+        FROM b a JOIN b c
+          ON a.lang = c.lang
+         AND ((a.bkt = c.bkt AND a.doc_id < c.doc_id)
+              OR c.bkt = a.bkt + 1)
         WHERE levenshtein(a.pfx, c.pfx) <= {EDIT_MAX_DIST}
+    """,
+    "substring_dup_pairs": f"""
+        WITH spans AS (
+            SELECT DISTINCT doc_id, h
+            FROM documents,
+                 unnest(list_transform(
+                     generate_series(1,
+                         greatest(1, length(text) - {SPAN_LEN - 1}),
+                         {SPAN_STRIDE}),
+                     p -> md5(substr(text, p, {SPAN_LEN})))) AS t(h)
+        ),
+        rare AS (
+            SELECT h FROM spans GROUP BY 1
+            HAVING count(*) BETWEEN 2 AND {SPAN_FREQ_CAP}
+        ),
+        keyed AS (SELECT doc_id, h FROM spans JOIN rare USING (h))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(DISTINCT a.h) AS n_shared_spans
+        FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """,
     "simhash_signatures": """
         WITH tok AS (

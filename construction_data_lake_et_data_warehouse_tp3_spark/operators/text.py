@@ -205,12 +205,53 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document — the language-model quality
+    proxy (KenLM-style filtering with the corpus itself as the model):
+    train unigram probabilities in one aggregation, score every doc by
+    its mean token surprisal −ln(count/total). High scores flag docs full
+    of corpus-rare tokens (boilerplate, noise, OCR soup).
+
+    Exactness: ln() is computed once per TOKEN TYPE (not per occurrence)
+    and immediately rounded to integer micro-nats, so per-doc sums are
+    integer arithmetic — engine-exact regardless of summation order; the
+    ln(ratio)→round(×1e6) step itself was probe-verified bit-identical
+    across Spark/DuckDB over the full count range. Scale: token→model is
+    a shuffle join on the token (vocab-sized right side — broadcastable
+    when the vocab fits, left as a shuffle join here because 100 TB web
+    corpora have open vocabularies); everything else is two hash
+    aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+    model = tokens.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = tokens.agg(F.count("*").alias("total"))
+    scored = model.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("bigint")
+        .alias("sur_int"),
+    )
+    return (
+        tokens.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("sur_int").alias("sum_sur"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("sum_sur") / F.col("n_tokens") / 1e6, 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "lm_surprisal": lm_surprisal,
 }
 
 _HITS_DUCK = {
@@ -309,5 +350,22 @@ ORACLE = {
                array_to_string(
                    list_sort([md5(s) for s in {_CHAR_SHINGLES_DUCK}])[1:4], '|') AS fingerprint
         FROM documents
+    """,
+    "lm_surprisal": f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+        ),
+        model AS (SELECT tok, count(*) AS cnt FROM tokens GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM tokens),
+        scored AS (
+            SELECT tok,
+                   CAST(round(-ln(cnt / total) * 1e6) AS BIGINT) AS sur_int
+            FROM model, tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(sur_int) AS BIGINT) / count(*) / 1e6, 4)
+                   AS avg_surprisal
+        FROM tokens JOIN scored USING (tok)
+        GROUP BY 1
     """,
 }
