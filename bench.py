@@ -54,6 +54,10 @@ HEADLINE = (
     "quality_filters",
     "repetition_stats",
     "decontaminate",
+    "lm_surprisal",
+    "edit_distance_pairs",
+    "substring_dup_pairs",
+    "pack_sequences",
     "kmeans_embeddings",
     "training_manifest",
 )

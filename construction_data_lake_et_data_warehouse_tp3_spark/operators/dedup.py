@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
+#: whitespace tokenization (Spark + DuckDB spellings) — the shared
+#: definition; text.py re-exports these for the analysis operators.
+TOKENS = "split(trim(text), '\\\\s+')"
+TOKENS_DUCK = "string_split_regex(trim(text), '\\s+')"
+
 #: char shingle length. 12 chars (vs the classic 5) because this corpus
 #: draws on a ~40-word vocabulary — short shingles make *every* pair look
 #: similar and blow up the candidate set. Measured candidate pairs at
@@ -296,37 +301,47 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: substring-span dedup: SPAN-char windows every STRIDE chars; spans
-#: shared by more than SPAN_FREQ_CAP docs are dropped as boilerplate
-#: (site chrome, licenses) — the cap is what keeps the pair join linear.
-SPAN_LEN = 50
-SPAN_STRIDE = 25
+#: substring-span dedup: token 8-gram fingerprints, content-selected
+#: (winnowing-style) at rate 1/SPAN_SELECT; spans shared by more than
+#: SPAN_FREQ_CAP docs are dropped as boilerplate (site chrome, licenses)
+#: — the cap is what keeps the pair join linear.
+SPAN_TOKENS = 8
+SPAN_SELECT = 4
 SPAN_FREQ_CAP = 20
 
 
 def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup (the Lee-et-al. 'deduplicating training data'
-    modality): docs sharing at least one identical SPAN_LEN-char run,
-    detected via positional md5 fingerprints every SPAN_STRIDE chars.
-    Catches verbatim inclusion (quoting, mirroring, template reuse) that
-    whole-doc hashing misses and minhash only scores fractionally.
+    """Verbatim-run dedup (the Lee-et-al. 'deduplicating training data'
+    modality): docs sharing an identical token run, detected via token
+    8-gram fingerprints SELECTED BY THEIR OWN CONTENT — a gram survives
+    iff its md5 ≡ 0 (mod SPAN_SELECT). Because selection depends only on
+    the gram's text, both docs keep the IDENTICAL fingerprint subset of a
+    shared run wherever it sits in each document. (A positional stride
+    would sample different windows in each doc — an offset-alignment bug
+    this operator's planted-inclusion test exists to prevent.) Catches
+    quoting, mirroring and template reuse that whole-doc hashing misses
+    and minhash only scores fractionally.
 
-    The stride-2× overlap guarantees any shared run ≥ SPAN_LEN + STRIDE
-    chars aligns at least one fingerprint in both docs. Spans more
-    frequent than SPAN_FREQ_CAP are dropped before pairing — the
-    boilerplate guard that bounds each span's pair fan-out to
-    O(cap²) at any corpus size. All map-side until the span-hash
-    shuffle; the pair count aggregation reuses the same key."""
+    Recall on a shared run of L tokens is 1 − (1−1/SPAN_SELECT)^(L−7):
+    ~97% at L = 20, deterministic given the text. Grams more frequent
+    than SPAN_FREQ_CAP docs are dropped before pairing — the boilerplate
+    guard that bounds each gram's pair fan-out to O(cap²) at any corpus
+    size. All map-side (one md5 per token 8-gram, same cost class as the
+    minhash shingle pass) until the gram-hash shuffle; the pair count
+    aggregation reuses the same key."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(1, length(text) - {SPAN_LEN - 1}),"
-                f" {SPAN_STRIDE}), p -> md5(substr(text, p, {SPAN_LEN})))"
-            )
-        ).alias("h"),
-    ).distinct()
+    grams = (
+        f"transform(sequence(1, greatest(1, size({TOKENS}) - {SPAN_TOKENS - 1})),"
+        f" i -> md5(concat_ws(' ', slice({TOKENS}, i, {SPAN_TOKENS}))))"
+    )
+    spans = (
+        docs.select("doc_id", F.explode(F.expr(grams)).alias("h"))
+        .where(
+            F.expr(f"pmod(CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT), {SPAN_SELECT})")
+            == 0
+        )
+        .distinct()
+    )
     rare = (
         spans.groupBy("h")
         .agg(F.count("*").alias("n_docs_with"))
@@ -422,14 +437,18 @@ ORACLE = {
         WHERE levenshtein(a.pfx, c.pfx) <= {EDIT_MAX_DIST}
     """,
     "substring_dup_pairs": f"""
-        WITH spans AS (
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tk FROM documents
+        ),
+        spans AS (
             SELECT DISTINCT doc_id, h
-            FROM documents,
+            FROM toks,
                  unnest(list_transform(
                      generate_series(1,
-                         greatest(1, length(text) - {SPAN_LEN - 1}),
-                         {SPAN_STRIDE}),
-                     p -> md5(substr(text, p, {SPAN_LEN})))) AS t(h)
+                         greatest(1, CAST(len(tk) AS BIGINT) - {SPAN_TOKENS - 1})),
+                     i -> md5(array_to_string(tk[i:i + {SPAN_TOKENS - 1}], ' '))))
+                 AS t(h)
+            WHERE ('0x' || substr(h, 1, 4))::BIGINT % {SPAN_SELECT} = 0
         ),
         rare AS (
             SELECT h FROM spans GROUP BY 1

@@ -14,9 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 from .dedup import CHAR_SHINGLES_DUCK as _CHAR_SHINGLES_DUCK
-
-TOKENS = "split(trim(text), '\\\\s+')"
-TOKENS_DUCK = "string_split_regex(trim(text), '\\s+')"
+from .dedup import TOKENS, TOKENS_DUCK  # shared def lives dedup-side (import order)
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
