@@ -250,19 +250,37 @@ EDIT_PREFIX = 40
 EDIT_MAX_DIST = 5
 
 
+#: PassJoin segment layout for the 40-char prefix: EDIT_MAX_DIST + 1
+#: segments, so ≤5 edit operations must leave one segment untouched
+#: (pigeonhole), displaced by at most ±EDIT_MAX_DIST positions.
+_SEG_LAYOUT = ((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
+
+
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs — the typo/small-edit modality that
     shingle-based minhash underweights (one char flip changes 12
-    shingles but costs edit distance 1). Candidates are banded by
-    (lang, n_chars // 50); each doc PROBES its own band and the next one
-    up, so a pair straddling a bucket boundary is still found (exactly
-    once: same-band pairs match on the home key with an id guard,
-    cross-band pairs only in the up direction). Shuffle keys are the
-    bands, never all pairs, and the JVM-side levenshtein kernel runs on
-    40-char prefixes only — per-pair cost bounded O(EDIT_PREFIX²)
-    regardless of document length. At 100 TB the bucket-cap trick from
-    minhash (drop degenerate bands) applies unchanged; band sizes are
-    bounded by the per-language length histogram."""
+    shingles but costs edit distance 1). The JVM-side levenshtein kernel
+    runs on 40-char prefixes only, so per-pair cost is bounded
+    O(EDIT_PREFIX²) regardless of document length.
+
+    Candidate generation is PassJoin-style pigeonhole banding, NOT a
+    plain (lang, length-bucket) self-join: that band's population grows
+    linearly with the corpus, so the within-band join is quadratic at
+    100 TB. Instead the prefix splits into EDIT_MAX_DIST + 1 = 6
+    segments; if lev(a, b) ≤ 5, at least one of a's segments survives
+    untouched and appears verbatim in b shifted by at most ±5. Every doc
+    therefore emits its 6 exact segments (probing its own and the next
+    length bucket) and its ~66 shifted windows; candidates join on the
+    CONTENT-keyed (lang, bucket, segment index, segment text) — bucket
+    sizes behave like LSH buckets (degenerate shared-prefix bands are
+    cappable the same way), not like corpus slices. Pairs dedupe via
+    distinct before the exact levenshtein verify, so the rewrite is
+    result-identical to the naive banded join — which is exactly what
+    the unchanged DuckDB oracle still computes, making the pigeonhole
+    candidate set's completeness a parity-checked claim. Docs with
+    prefixes shorter than 40 chars (sub-40-char docs, bucket 0 only)
+    take the plain band join as a fallback — a negligible, cappable
+    population."""
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
@@ -270,34 +288,104 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / EDIT_BUCKET_CHARS).cast("bigint").alias("bkt"),
         F.substring("text", 1, EDIT_PREFIX).alias("pfx"),
     )
-    probe = b.select(
-        "lang",
-        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("key"),
-        F.col("bkt").alias("bkt_x"),
-        F.col("doc_id").alias("doc_x"),
-        F.col("pfx").alias("pfx_x"),
+    full = b.where(F.length("pfx") == EDIT_PREFIX)
+
+    seg_structs = [
+        F.struct(
+            F.lit(i).alias("i"), F.substring("pfx", start, ln).alias("piece")
+        )
+        for i, (start, ln) in enumerate(_SEG_LAYOUT)
+    ]
+    segs = (
+        full.select(
+            "lang",
+            "doc_id",
+            "pfx",
+            F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("key"),
+            F.array(*seg_structs).alias("ss"),
+        )
+        .select("lang", "key", "doc_id", "pfx", F.explode("ss").alias("s"))
+        .select(
+            "lang",
+            "key",
+            F.col("s.i").alias("i"),
+            F.col("s.piece").alias("piece"),
+            F.col("doc_id").alias("doc_s"),
+            F.col("pfx").alias("pfx_s"),
+        )
     )
-    home = b.select(
+    win_structs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.substring("pfx", start + shift, ln).alias("piece"),
+        )
+        for i, (start, ln) in enumerate(_SEG_LAYOUT)
+        for shift in range(-EDIT_MAX_DIST, EDIT_MAX_DIST + 1)
+        if 1 <= start + shift <= EDIT_PREFIX - ln + 1
+    ]
+    wins = full.select(
         "lang",
         F.col("bkt").alias("key"),
-        F.col("doc_id").alias("doc_y"),
-        F.col("pfx").alias("pfx_y"),
+        F.explode(F.array(*win_structs)).alias("w"),
+        F.col("doc_id").alias("doc_w"),
+        F.col("pfx").alias("pfx_w"),
+    ).select(
+        "lang", "key", F.col("w.i").alias("i"), F.col("w.piece").alias("piece"),
+        "doc_w", "pfx_w",
     )
-    cand = probe.join(home, ["lang", "key"]).where(
-        # same band: id-ordered guard dedups the symmetric match;
-        # adjacent band: only the up-probe direction can match, so every
-        # cross pair arrives exactly once with no guard needed
-        ((F.col("bkt_x") == F.col("key")) & (F.col("doc_x") < F.col("doc_y")))
-        | (F.col("bkt_x") != F.col("key"))
-    )
-    return (
-        cand.withColumn("edit_dist", F.levenshtein("pfx_x", "pfx_y"))
-        .where(F.col("edit_dist") <= EDIT_MAX_DIST)
+    cand_pass = (
+        segs.join(wins, ["lang", "key", "i", "piece"])
+        .where(F.col("doc_s") != F.col("doc_w"))
         .select(
-            F.least("doc_x", "doc_y").alias("doc_a"),
-            F.greatest("doc_x", "doc_y").alias("doc_b"),
-            "edit_dist",
+            F.least("doc_s", "doc_w").alias("doc_a"),
+            F.greatest("doc_s", "doc_w").alias("doc_b"),
+            F.when(F.col("doc_s") < F.col("doc_w"), F.col("pfx_s"))
+            .otherwise(F.col("pfx_w"))
+            .alias("pfx_a"),
+            F.when(F.col("doc_s") < F.col("doc_w"), F.col("pfx_w"))
+            .otherwise(F.col("pfx_s"))
+            .alias("pfx_b"),
         )
+    )
+
+    # sub-40-char docs: plain band join against everything in reach
+    # (their own and both neighbor buckets — all bucket 0/1 in practice)
+    short = b.where(F.length("pfx") < EDIT_PREFIX)
+    short_probe = short.select(
+        "lang",
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("key"),
+        F.col("doc_id").alias("doc_s"),
+        F.col("pfx").alias("pfx_s"),
+    )
+    home_all = b.select(
+        "lang",
+        F.col("bkt").alias("key"),
+        F.col("doc_id").alias("doc_w"),
+        F.col("pfx").alias("pfx_w"),
+    )
+    cand_short = (
+        short_probe.join(home_all, ["lang", "key"])
+        .where(F.col("doc_s") != F.col("doc_w"))
+        .select(
+            F.least("doc_s", "doc_w").alias("doc_a"),
+            F.greatest("doc_s", "doc_w").alias("doc_b"),
+            F.when(F.col("doc_s") < F.col("doc_w"), F.col("pfx_s"))
+            .otherwise(F.col("pfx_w"))
+            .alias("pfx_a"),
+            F.when(F.col("doc_s") < F.col("doc_w"), F.col("pfx_w"))
+            .otherwise(F.col("pfx_s"))
+            .alias("pfx_b"),
+        )
+    )
+
+    return (
+        cand_pass.union(cand_short)
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("pfx_a", "pfx_b"))
+        .where(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .select("doc_a", "doc_b", "edit_dist")
     )
 
 
