@@ -157,6 +157,92 @@ class TestTriangleParticipation:
         assert out == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
+class TestEditDistanceRecall:
+    @staticmethod
+    def _lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[len(b)]
+
+    def test_random_edit_variants_all_found(self, spark, tmp_path):
+        """Seeded property check of the PassJoin pigeonhole: for 20 random
+        base strings, a variant made by 1-5 random substitutions/
+        insertions/deletions must pair with its base WHENEVER the 40-char
+        prefix distance is within the gate (edits on the full string can
+        legitimately push the prefix distance past it — a deletion pulls
+        new chars into the window — so truth is computed per pair here).
+        Candidate generation may never lose a true pair, whatever the
+        edit positions do to segment boundaries or length buckets."""
+        import random
+        import string as _s
+
+        rng = random.Random(42)
+        alphabet = _s.ascii_lowercase + " "
+        rows = []
+        truth = set()
+        for i in range(20):
+            base = "".join(rng.choice(alphabet) for _ in range(rng.randint(45, 60)))
+            chars = list(base)
+            for _ in range(rng.randint(1, dedup.EDIT_MAX_DIST)):
+                op = rng.choice("sid")
+                pos = rng.randrange(len(chars))
+                if op == "s":
+                    chars[pos] = rng.choice(alphabet)
+                elif op == "i":
+                    chars.insert(pos, rng.choice(alphabet))
+                elif len(chars) > 41:
+                    del chars[pos]
+            variant = "".join(chars)
+            rows.append((i, base, "en", "s"))
+            rows.append((1000 + i, variant, "en", "s"))
+            pfx_d = self._lev(base[: dedup.EDIT_PREFIX], variant[: dedup.EDIT_PREFIX])
+            if pfx_d <= dedup.EDIT_MAX_DIST:
+                truth.add((i, 1000 + i, pfx_d))
+        assert len(truth) >= 10  # the seed must exercise the property
+        sf = _write_documents(spark, tmp_path, rows)
+        found = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+                 for r in dedup.edit_distance_pairs(spark, sf).collect()}
+        missed = truth - found
+        assert not missed, f"pigeonhole lost true pairs: {sorted(missed)}"
+
+
+class TestNewOpPlans:
+    def test_lm_surprisal_filters_and_shuffles(self, spark):
+        """The model side must broadcast the 1-row total; the scoring
+        join shuffles on the token — no crossJoin of the corpus."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            explain_str,
+            shuffle_exchange_count,
+        )
+
+        df = text.lm_surprisal(spark, SF_DIR_01)
+        plan = explain_str(df, "simple")
+        assert "BroadcastExchange" in plan
+        assert shuffle_exchange_count(df) <= 6
+
+    def test_substring_pairs_select_before_shuffle(self, spark):
+        """The 1/4 content-selection must run in the scan stage (before
+        the gram-hash shuffle), so 3/4 of the grams never shuffle."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+            explain_str,
+        )
+
+        df = dedup.substring_dup_pairs(spark, SF_DIR_01)
+        plan = explain_str(df, "formatted")
+        # formatted plans print root-first, so scan-stage operators sit
+        # DEEPER (later) in the text than the exchanges above them: the
+        # pmod selection must appear, and after the first Exchange in
+        # text order — i.e. below it in the tree, before it in dataflow
+        filt = plan.find("pmod")
+        exch = plan.find("Exchange")
+        assert filt != -1 and exch != -1 and filt > exch, (filt, exch)
+
+
 class TestMixtureResample:
     def test_rate_laws(self, spark):
         """Rates are capped at 10000 bp, kept counts never exceed
