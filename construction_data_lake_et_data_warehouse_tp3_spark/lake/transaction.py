@@ -31,6 +31,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 from datetime import datetime, timezone
 
@@ -107,8 +108,21 @@ class LakeTransaction:
                 json.dump(manifest, fh)
             os.rename(tmp, os.path.join(log_dir, f"{n}.json"))  # atomic publish
             self.committed = n
+            self.lakehouse._clear_active(self.txn_id)
             return n
         raise TxnConflictError(f"no snapshot slot after {max_retries} attempts")
+
+    def abort(self) -> None:
+        """Explicitly drop this transaction: delete its staged dirs and
+        release its active marker (vacuum() no longer has to wait out the
+        crash-retention window for a transaction that KNOWS it is done)."""
+        if self.committed is not None:
+            raise RuntimeError("transaction already committed")
+        for rel in self.staged.values():
+            shutil.rmtree(os.path.join(self.lakehouse.root, rel), ignore_errors=True)
+        self.staged.clear()
+        self.records.clear()
+        self.lakehouse._clear_active(self.txn_id)
 
 
 class TxnTable:
@@ -143,11 +157,27 @@ class Lakehouse:
         self.spark = spark
         self.root = root
         self._log_dir = os.path.join(root, "_txn_log")
+        self._active_dir = os.path.join(self._log_dir, "active")
 
     # ---- write side -----------------------------------------------------
 
     def begin(self) -> LakeTransaction:
-        return LakeTransaction(self)
+        txn = LakeTransaction(self)
+        # live-transaction marker: vacuum() must be able to tell an
+        # in-flight transaction (whose commit() would otherwise publish a
+        # manifest pointing at deleted data) from a crashed one — the
+        # marker is the positive signal, the vacuum age threshold is the
+        # crash fallback (Delta/Iceberg solve this with a retention window)
+        os.makedirs(self._active_dir, exist_ok=True)
+        with open(os.path.join(self._active_dir, txn.txn_id), "w") as fh:
+            fh.write(datetime.now(timezone.utc).isoformat())
+        return txn
+
+    def _clear_active(self, txn_id: str) -> None:
+        try:
+            os.remove(os.path.join(self._active_dir, txn_id))
+        except FileNotFoundError:
+            pass
 
     # ---- manifest resolution --------------------------------------------
 
@@ -205,11 +235,22 @@ class Lakehouse:
 
     # ---- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_snapshots: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_snapshots: int = 2, min_txn_age_seconds: float = 86400.0
+    ) -> list[str]:
         """Delete staged dirs no retained snapshot references (crashed
         transactions and states older than the last `keep_snapshots`);
         returns the removed paths. Readers of retained snapshots are
-        unaffected — resolution only ever touches referenced dirs."""
+        unaffected — resolution only ever touches referenced dirs.
+
+        An UNCOMMITTED transaction's staging is protected while its
+        `_txn_log/active/<txn_id>` marker is younger than
+        `min_txn_age_seconds` — without this, a concurrent vacuum would
+        delete an in-flight transaction's data and its later commit()
+        would publish a manifest pointing at nothing (silent loss on
+        read). Markers older than the threshold are presumed crashed and
+        reclaimed along with their staging; pass 0 only when no writer
+        can be live (maintenance windows, tests)."""
         commits = self._committed_snapshots()
         retained = commits[-keep_snapshots:] if keep_snapshots else []
         needed: set[int] = set(retained)
@@ -228,11 +269,27 @@ class Lakehouse:
             for n in retained
             for path in self.tables(snapshot=n).values()
         }
+        now = time.time()
+        protected: set[str] = set()
+        for marker in glob.glob(os.path.join(self._active_dir, "*")):
+            try:
+                young = (now - os.path.getmtime(marker)) < min_txn_age_seconds
+            except OSError:
+                continue  # marker raced away: its txn committed/aborted
+            if young:
+                protected.add(os.path.basename(marker))
+            else:
+                os.remove(marker)  # presumed crashed — staging reclaimed below
         removed = []
         for staged in glob.glob(os.path.join(self.root, "tables", "*", "_txn_*")):
-            if os.path.normpath(staged) not in live:
-                shutil.rmtree(staged, ignore_errors=True)
-                removed.append(staged)
+            if os.path.normpath(staged) in live:
+                continue
+            # dir name is _txn_<id>_<seq>; <id> is fixed-width hex
+            txn_id = os.path.basename(staged)[len("_txn_"):].rsplit("_", 1)[0]
+            if txn_id in protected:
+                continue
+            shutil.rmtree(staged, ignore_errors=True)
+            removed.append(staged)
         for n in commits:
             if n in needed:
                 continue

@@ -76,15 +76,22 @@ _RUN_FOLD = (
 )
 
 #: adjacent word bigrams as strings ('w1 w2'); empty when < 2 words.
+#: The short-doc branch MUST be an explicit empty array: Spark's
+#: sequence(1, 0) is a DECREMENTING [1, 0], so without the guard a
+#: 1-word doc reaches element_at(ws, 0) and throws at runtime (the
+#: DuckDB twin's range(1, 1) is already empty).
 _BIGRAMS = (
-    "transform(sequence(1, greatest(size({ws}) - 1, 0)),"
-    " i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
+    "if(size({ws}) < 2, array(),"
+    " transform(sequence(1, size({ws}) - 1),"
+    " i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))))"
 )
 
-#: 4-word shingles; empty when the doc has < NGRAM_WORDS words.
+#: 4-word shingles; empty when the doc has < NGRAM_WORDS words (same
+#: decrementing-sequence guard as _BIGRAMS — slice(ws, 0, n) throws).
 _SHINGLES = (
-    f"transform(sequence(1, greatest(size({{ws}}) - {NGRAM_WORDS - 1}, 0)),"
-    f" i -> concat_ws(' ', slice({{ws}}, i, {NGRAM_WORDS})))"
+    f"if(size({{ws}}) < {NGRAM_WORDS}, array(),"
+    f" transform(sequence(1, size({{ws}}) - {NGRAM_WORDS - 1}),"
+    f" i -> concat_ws(' ', slice({{ws}}, i, {NGRAM_WORDS}))))"
 )
 _SHINGLES_DUCK = (
     f"list_transform(range(1, greatest(len({{ws}}) - {NGRAM_WORDS - 2}, 1)),"
@@ -442,7 +449,7 @@ ORACLE = {
     "length_histogram": f"""
         SELECT CAST(floor(n_chars / {LEN_BUCKET}) * {LEN_BUCKET} AS BIGINT) AS bucket_lo,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents
         GROUP BY 1

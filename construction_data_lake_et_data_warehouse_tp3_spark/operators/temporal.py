@@ -291,7 +291,7 @@ ORACLE = {
     # session_window must produce identical sessions
     "session_window_stats": f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL THEN 1
                         WHEN epoch(ts) - epoch(lag(ts) OVER w)
                              > {SESSION_GAP_MINUTES * 60} THEN 1
@@ -300,8 +300,12 @@ ORACLE = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
+            -- cumsum MUST use the same (ts, event_id) tie-break as the
+            -- flag window: with duplicate timestamps a ts-only ROWS frame
+            -- can sort the flagged row after its tie and split a session
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS session_id
             FROM flagged

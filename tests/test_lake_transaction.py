@@ -136,7 +136,9 @@ class TestVacuum:
         crashed = lh.begin()
         crashed.write("dim", _df(spark, [(9, "ghost")]))
 
-        removed = lh.vacuum(keep_snapshots=2)
+        # min_txn_age_seconds=0 simulates the crash-retention window having
+        # passed — at the default threshold this staging would be protected
+        removed = lh.vacuum(keep_snapshots=2, min_txn_age_seconds=0.0)
         # crashed staging + the v1 dim state are gone
         assert any("_txn_" + crashed.txn_id in p for p in removed)
         staged_left = glob.glob(os.path.join(str(tmp_path / "lh"), "tables", "*", "_txn_*"))
@@ -147,3 +149,33 @@ class TestVacuum:
         assert lh.read("fact").collect()[0].v == "f0"
         latest = lh.latest_snapshot()
         assert lh.read("dim", latest - 1).collect()[0].v == "v2"
+
+    def test_vacuum_protects_in_flight_txn(self, spark, tmp_path):
+        """A concurrent vacuum must NOT delete the staging of a live
+        (begun, not yet committed) transaction — its later commit() would
+        publish a manifest pointing at deleted data."""
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        t0 = lh.begin()
+        t0.write("dim", _df(spark, [(1, "v1")]))
+        t0.commit()
+        inflight = lh.begin()
+        inflight.write("dim", _df(spark, [(2, "v2")]))
+
+        removed = lh.vacuum(keep_snapshots=2)  # default retention window
+        assert not any("_txn_" + inflight.txn_id in p for p in removed)
+        snap = inflight.commit()  # still publishable after the vacuum
+        assert lh.read("dim", snap).collect()[0].v == "v2"
+
+    def test_abort_releases_marker_and_staging(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        t0 = lh.begin()
+        t0.write("dim", _df(spark, [(1, "v1")]))
+        t0.commit()
+        doomed = lh.begin()
+        doomed.write("dim", _df(spark, [(9, "ghost")]))
+        doomed.abort()
+        staged_left = glob.glob(
+            os.path.join(str(tmp_path / "lh"), "tables", "*", "_txn_*")
+        )
+        assert all("_txn_" + doomed.txn_id not in p for p in staged_left)
+        assert lh.read("dim").collect()[0].v == "v1"

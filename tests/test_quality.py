@@ -66,6 +66,37 @@ class TestQualitySemantics:
         }
         assert via_table == via_slice
 
+    def test_short_doc_shingles_and_bigrams_are_empty(self, spark):
+        """Docs with fewer words than the n-gram width must yield an EMPTY
+        array, not an error: Spark's sequence(1, 0) is a decrementing
+        [1, 0], so an unguarded generator throws INVALID_ARRAY_INDEX /
+        INVALID_PARAMETER_VALUE.START on any corpus with a short doc
+        (the bundled corpus never has one — production corpora do)."""
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"), (5, "")],
+            "doc_id INT, text STRING",
+        )
+        rows = docs.select(
+            "doc_id",
+            F.expr(quality._SHINGLES.format(ws=quality.TOKENS)).alias("sh"),
+            F.expr(quality._BIGRAMS.format(ws=quality.TOKENS)).alias("bg"),
+        ).collect()
+        by_id = {r.doc_id: r for r in rows}
+        assert by_id[1].sh == [] and by_id[1].bg == []
+        assert by_id[2].sh == [] and by_id[2].bg == ["a b"]
+        assert by_id[3].sh == [] and by_id[3].bg == ["a b", "b c"]
+        assert by_id[4].sh == ["a b c d"]
+        assert by_id[5].sh == [] and by_id[5].bg == []
+
+    def test_decontaminate_handles_short_eval_docs(self, spark):
+        """decontaminate(eval_docs=...) is the advertised production entry
+        point — a 1-word eval doc must not crash the shingle generator."""
+        ev = spark.createDataFrame([(999_999, "hi")], "doc_id BIGINT, text STRING")
+        rows = quality.decontaminate(spark, SF_DIR, eval_docs=ev).collect()
+        assert rows == []  # no 4-word shingle can overlap
+
     def test_pii_scrub_finds_injected_pii(self, spark):
         rows = quality.pii_scrub(spark, SF_DIR).collect()
         assert rows
