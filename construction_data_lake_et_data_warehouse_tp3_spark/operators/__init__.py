@@ -45,58 +45,16 @@ _MODULES = (
 # back.  (CORRECTNESS_r01/r02 each contained exactly 50 rows while the
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
-    # new in r04 — never driver-checked
+    # r4's one red row — oracle typing fixed in r5, needs its green row
+    "length_histogram",
+    # new/reworked in r5 — never driver-checked in current form
+    "median_order_value_approx_check",
+    "product_purchase_counts_approx_check",
     "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
     "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
     "tpch_q16",
     "tpch_q20",
-    "tpch_q21",
-    "pack_sequences",
-    "mixture_resample",
-    "edit_distance_pairs",
-    "triangle_participation",
-    "lm_surprisal",
-    "substring_dup_pairs",
-    "kmeans_embeddings",
-    "ivf_kmeans_topk",
-    "training_manifest",
-    "resample_daily_revenue",
-    "session_window_stats",
-    "dq_audit_orders",
-    "unpivot_status_revenue",
-    "hopping_window_events",
-    "ranking_windows_showcase",
-    "pagerank_products",
-    "tpch_q7",
-    "tpch_q14",
-    "tpch_q8",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "quality_filters",
-    "decontaminate",
-    "repetition_stats",
-    "pii_scrub",
-    "domain_mix",
-    "length_histogram",
-    # green in r01/r02 but rotated out of the r03 artifact — refresh
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "event_sessions",
-    "asof_latest_order",
-    "daily_event_stats",
-    "dedup_exact",
-    "minhash_lsh_candidates",
-    "scalar_datetime_ops",
+    # latest green row is CORRECTNESS_r02 — two rounds of churn unchecked
     "events_json_props",
     "tfidf_top_terms",
     "deterministic_sample",
@@ -109,6 +67,59 @@ _DRIVER_PRIORITY = (
     "array_functions_showcase",
     "median_order_value",
     "median_order_value_approx",
+    "product_purchase_counts_approx",
+    # latest green row is CORRECTNESS_r03 — longest-unchecked refresh
+    # (r4 greens rotate to the back; 49 r3 + the above ≈ fills the ~50-row
+    # artifact over r5/r6)
+    "user_transaction_summary",
+    "user_transaction_summary_eur",
+    "payment_method_totals",
+    "product_purchase_counts",
+    "amount_bucket_histogram",
+    "anonymize_stream",
+    "blacklist_filter",
+    "retention_candidates",
+    "projection_pushdown",
+    "union_transactions",
+    "payment_method_lookup",
+    "fk_miss_detection",
+    "star_schema_revenue",
+    "top_orders_limit",
+    "latest_version_per_feed",
+    "top_event_per_user",
+    "rollup_revenue",
+    "rolling_7d_revenue",
+    "grouping_sets_revenue",
+    "above_avg_orders",
+    "order_status_matrix",
+    "cube_revenue",
+    "time_bucket_rollup",
+    "string_functions_showcase",
+    "repeat_buyers_intersect",
+    "open_only_buyers_except",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_bucketed",
+    "lsh_buckets",
+    "token_count",
+    "bpe_token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_verified_dups",
+    "simhash_hamming_pairs",
+    "ann_ivf_topk",
+    "word_freq_topk",
+    "pandas_scalar_norm",
+    "pandas_udaf_value_stats",
+    "apply_in_pandas_group_stats",
+    "multimodal_features",
+    "ppm_pixel_stats",
+    "dup_clusters",
+    "corpus_curation",
+    "stratified_sample",
 )
 
 

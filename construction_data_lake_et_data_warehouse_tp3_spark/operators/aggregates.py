@@ -202,6 +202,40 @@ def product_purchase_counts_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: relative tolerance for the HLL++ bounds check — approx_count_distinct's
+#: default rsd is 0.05 (one standard deviation); 3σ + slack keeps the
+#: check deterministic-in-practice while still meaning something.
+APPROX_DISTINCT_EPS = 0.20
+
+
+def product_purchase_counts_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed bounds check of the HLL++ sketch: per brand (~25
+    groups, large counts), compute exact AND approximate distinct buyers
+    in one aggregation and emit the accuracy claim as a boolean. The
+    driver hash-checks exact values + the claim; the raw estimate stays
+    rows-only in product_purchase_counts_approx."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    li = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    g = li.groupBy(F.col("p_brand").alias("product_category")).agg(
+        F.count("*").alias("purchase_count"),
+        F.countDistinct("o_custkey").alias("unique_buyers"),
+        F.approx_count_distinct("o_custkey").alias("unique_buyers_approx"),
+    )
+    return g.select(
+        "product_category",
+        "purchase_count",
+        "unique_buyers",
+        (
+            F.abs(F.col("unique_buyers_approx") - F.col("unique_buyers"))
+            <= F.lit(APPROX_DISTINCT_EPS) * F.col("unique_buyers")
+        ).alias("within_tolerance"),
+    )
+
+
 def amount_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#31 bucketed histogram: CASE bucket on amount → group counts
     (amount_bucket domain kafka_producer.py:49)."""
@@ -222,6 +256,7 @@ QUERIES = {
     "payment_method_totals": payment_method_totals,
     "product_purchase_counts": product_purchase_counts,
     "product_purchase_counts_approx": product_purchase_counts_approx,
+    "product_purchase_counts_approx_check": product_purchase_counts_approx_check,
     "amount_bucket_histogram": amount_bucket_histogram,
 }
 
@@ -237,6 +272,18 @@ MS_PRICE = money_sum_sql("l_extendedprice")
 MA_PRICE = money_avg_sql("l_extendedprice")
 
 ORACLE = {
+    # bounds-check twin: oracle asserts the exact values + the tolerance
+    # CLAIM (literal TRUE); Spark computes the boolean from its live HLL
+    "product_purchase_counts_approx_check": """
+        SELECT p_brand AS product_category,
+               count(*) AS purchase_count,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS unique_buyers,
+               TRUE AS within_tolerance
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
     "user_transaction_summary": f"""
         WITH txn AS ({_USER_TXN_SQL})
         SELECT user_id, user_name, user_email, user_country, user_city,

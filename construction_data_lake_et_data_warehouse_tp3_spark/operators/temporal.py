@@ -247,11 +247,42 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def median_order_value_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (single-pass sketch) — the at-scale swap-in;
-    rows-only checked (approximate)."""
+    rows-only checked (approximate; the oracle-backed claim lives in
+    median_order_value_approx_check)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.expr("approx_percentile(o_totalprice, 0.5)").alias("median_value_approx"),
         F.count("*").alias("n_orders"),
+    )
+
+
+#: relative tolerance for the approx-median bounds check; Spark's
+#: approx_percentile default accuracy (1e4) keeps the rank error far
+#: inside this on any group of > a few hundred rows.
+APPROX_MEDIAN_EPS = 0.02
+
+
+def median_order_value_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed bounds check of the approx-percentile sketch: the
+    estimate itself is nondeterministic-ish across engines, but the CLAIM
+    "approx within 2% of exact" is deterministic — emit it as a boolean
+    beside the oracle-checkable exact values, so the driver hash-verifies
+    the sketch's accuracy contract rather than skipping it (rows-only).
+    One pass computes both aggregates; no extra scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx_med"),
+        F.count("*").alias("n_orders"),
+    )
+    return g.select(
+        "o_orderstatus",
+        F.round("exact_med", 2).alias("median_value"),
+        "n_orders",
+        (
+            F.abs(F.col("approx_med") - F.col("exact_med"))
+            <= F.lit(APPROX_MEDIAN_EPS) * F.abs(F.col("exact_med"))
+        ).alias("within_tolerance"),
     )
 
 
@@ -265,6 +296,7 @@ QUERIES = {
     "asof_latest_order": asof_latest_order,
     "median_order_value": median_order_value,
     "median_order_value_approx": median_order_value_approx,
+    "median_order_value_approx_check": median_order_value_approx_check,
 }
 
 ORACLE = {
@@ -391,6 +423,16 @@ ORACLE = {
             FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events) e
             JOIN orders o ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS DATE) <= e.event_date
         ) WHERE rn = 1
+    """,
+    # the oracle asserts the CLAIM (within_tolerance literal TRUE) plus the
+    # exact values; Spark computes the boolean from its live sketch
+    "median_order_value_approx_check": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_value,
+               count(*) AS n_orders,
+               TRUE AS within_tolerance
+        FROM orders
+        GROUP BY o_orderstatus
     """,
     "median_order_value": """
         SELECT o_orderstatus,

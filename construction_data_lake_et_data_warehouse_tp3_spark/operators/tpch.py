@@ -10,9 +10,11 @@ NATION_3/NATION_8 and q22's anti-join tests for no LARGE order.
 The testdata carries no partsupp table and no l_commitdate /
 l_receiptdate / l_shipmode columns, so the queries that need them keep
 their published PLAN SHAPE with stand-in semantics:
-- q2/q11/q16/q20: the supplier–part relation is the DISTINCT
-  (l_partkey, l_suppkey) pairs observed in lineitem; "supply cost" is the
-  minimum observed unit price, "stock value" the lineitem revenue.
+- q2/q11/q16/q20 run the published column-for-column partsupp form over
+  the deterministic synthetic `partsupp` relation
+  (sources/registry.load_partsupp: lineitem-observed (part, supplier)
+  pairs + hash-derived ps_supplycost/ps_availqty in the spec domains;
+  the DuckDB oracles read the identical PARTSUPP_SQL CTE).
 - q4/q12/q21: "received late" becomes "shipped >N days after the order
   date" (l_shipdate vs o_orderdate); q12 groups by l_returnflag in place
   of l_shipmode.
@@ -48,7 +50,15 @@ from ..functions.scalar import (
     ratio_avg,
     ratio_avg_sql,
 )
-from ..sources.registry import load_table
+from ..sources.registry import PARTSUPP_SQL, load_partsupp, load_table
+
+#: Q11 threshold: keep parts whose stock value exceeds 1/Q11_DENOM of the
+#: national total (published form is fraction 0.0001/SF; fixed here since
+#: the testdata SF is in the dir path). Expressed as an integer
+#: denominator so the threshold compare runs in BIGINT cents on both
+#: engines — a float `sum(double) * 0.001` cutoff would be addition-order
+#: dependent in the last ulp.
+Q11_DENOM = 1000
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,19 +463,22 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum-cost supplier (TPC-H Q2 shape): for each STANDARD size-15
-    part, the Asian supplier(s) offering the lowest observed unit price.
-    The correlated MIN subquery of the published query becomes a per-part
-    window MIN over the (partkey, suppkey) aggregation: one narrow
-    re-shuffle of the already-aggregated (tiny) frame replaces a second
-    base-table aggregate plus self-join. Supplier/nation/region dims
-    broadcast; the unit price min is a pure selection (no summation), so
-    the double compares identically across engines."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Minimum-cost supplier (TPC-H Q2, published partsupp shape): for
+    each STANDARD size-15 part, the Asian supplier(s) offering the lowest
+    ps_supplycost. partsupp is the deterministic synthetic relation
+    (sources/registry.load_partsupp — hash-derived cost/availqty over
+    lineitem-observed pairs; the oracle reads the identical CTE). The
+    correlated MIN subquery of the published query becomes a per-part
+    window MIN over the filtered partsupp: one narrow shuffle of the
+    (already small) qualified rows replaces a second partsupp scan plus
+    self-join. Supplier/nation/region dims broadcast; the cost min is a
+    pure selection (no summation), so the double compares identically
+    across engines."""
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    ps = load_partsupp(spark, sf_dir)
     asia_nations = (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name") == "ASIA")
@@ -476,33 +489,30 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     target_parts = part.where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_brand", "p_retailprice")
-    # observed supply cost: min unit price per (part, Asian supplier).
-    # The correlated per-part MIN is a window over the SAME partkey
-    # grouping — Spark reuses the (partkey, suppkey) shuffle's
-    # partitioning, so the whole correlated subquery costs one extra
-    # sort, not a self-join with its own pair of shuffles.
+    ).select("p_partkey", "p_brand")
+    # min-cost-per-part as a window over the filtered frame — Spark
+    # reuses the partkey partitioning, so the correlated subquery costs
+    # one extra sort, not a second scan + self-join.
     from pyspark.sql.window import Window
 
-    costs = (
-        li.join(F.broadcast(target_parts.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(asia_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
-    )
-    min_cost = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    costs = ps.join(
+        F.broadcast(target_parts.select("p_partkey")), ps.ps_partkey == F.col("p_partkey")
+    ).join(
+        F.broadcast(asia_supp.select("s_suppkey")), ps.ps_suppkey == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    min_cost = F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
     return (
         costs.withColumn("min_cost", min_cost)
-        .where(F.col("supply_cost") == F.col("min_cost"))
-        .join(F.broadcast(asia_supp), costs.l_suppkey == asia_supp.s_suppkey)
-        .join(F.broadcast(target_parts), costs.l_partkey == target_parts.p_partkey)
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(asia_supp), costs.ps_suppkey == asia_supp.s_suppkey)
+        .join(F.broadcast(target_parts), costs.ps_partkey == target_parts.p_partkey)
         .select(
             F.col("s_acctbal"),
             F.col("s_name"),
             F.col("n_name"),
-            F.col("l_partkey").alias("part_id"),
+            F.col("ps_partkey").alias("part_id"),
             F.col("p_brand"),
-            money_round("supply_cost").alias("supply_cost"),
+            money_round("ps_supplycost").alias("supply_cost"),
         )
         .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("part_id"))
         .limit(100)
@@ -576,30 +586,37 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Important-stock identification (TPC-H Q11 shape): per-part lineitem
-    revenue from NATION_5 suppliers, keeping parts above 2× the mean part
-    value. The published query's scalar-subquery threshold is a broadcast
-    1-row aggregate over the ALREADY-aggregated per-part frame (no second
-    corpus scan); a mean-relative threshold replaces the fixed fraction so
-    the predicate stays non-degenerate at every scale factor."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Important-stock identification (TPC-H Q11, published partsupp
+    shape): per-part sum(ps_supplycost × ps_availqty) held by NATION_5
+    suppliers, keeping parts above FRACTION of the national total. The
+    published query's scalar-subquery threshold is a broadcast 1-row
+    aggregate over the ALREADY-aggregated per-part frame (no second
+    partsupp scan). ps_supplycost is 2-decimal exact and ps_availqty is
+    an int, so the products fixed-point-sum identically on both engines."""
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    ps = load_partsupp(spark, sf_dir)
     n5_supp = supplier.join(
         F.broadcast(nation.where(F.col("n_name") == "NATION_5").select("n_nationkey")),
         supplier.s_nationkey == F.col("n_nationkey"),
         "left_semi",
     ).select("s_suppkey")
-    per_part = (
-        li.join(F.broadcast(n5_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
-        .groupBy(F.col("l_partkey").alias("part_id"))
-        .agg(money_sum("l_extendedprice").alias("stock_value"))
+    pair_cents = (
+        F.round(F.col("ps_supplycost") * 100).cast("bigint") * F.col("ps_availqty")
     )
-    threshold = per_part.agg((F.avg("stock_value") * 2.0).alias("cutoff"))
+    per_part = (
+        ps.join(F.broadcast(n5_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("ps_partkey").alias("part_id"))
+        .agg(F.sum(pair_cents).alias("stock_cents"))
+    )
+    threshold = per_part.agg(F.sum("stock_cents").alias("total_cents"))
     return (
         per_part.crossJoin(F.broadcast(threshold))
-        .where(F.col("stock_value") > F.col("cutoff"))
-        .select("part_id", "stock_value")
+        .where(F.col("stock_cents") * Q11_DENOM > F.col("total_cents"))
+        .select(
+            "part_id",
+            (F.col("stock_cents").cast("double") / 100).alias("stock_value"),
+        )
     )
 
 
@@ -646,63 +663,64 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts/supplier relationship (TPC-H Q16 shape): distinct supplier
-    count per (brand, type, size) over the supplier–part pairs observed in
-    lineitem, excluding low-balance suppliers (the complaint filter).
-    The pair extraction is a groupBy on (partkey, suppkey) — the count
-    distinct then reuses that partial; the excluded-supplier set is a
-    broadcast anti-join; the part dim broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Parts/supplier relationship (TPC-H Q16, published partsupp shape):
+    distinct supplier count per (brand, type, size) over partsupp,
+    excluding low-balance suppliers (the complaint filter). The part-dim
+    filter broadcasts onto partsupp; the excluded-supplier set is a
+    broadcast anti-join; the only shuffle is the final 3-key distinct
+    aggregation."""
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
+    ps = load_partsupp(spark, sf_dir)
     target = part.where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = supplier.where(F.col("s_acctbal") < 1000.0).select("s_suppkey")
-    pairs = (
-        li.join(F.broadcast(target.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    pairs = ps.select("ps_partkey", "ps_suppkey").join(
+        F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
-        pairs.join(F.broadcast(target), pairs.l_partkey == target.p_partkey)
+        pairs.join(F.broadcast(target), pairs.ps_partkey == target.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
 
 
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Potential-part-promotion (TPC-H Q20 shape): Asian suppliers that
-    shipped more than 30% of some blue part's total 1996 volume ('has
-    excess stock'). The per-pair and per-part aggregations share the
-    partkey shuffle; qualifying suppkeys semi-join the supplier dim.
-    Quantities are integers, so the 0.3× threshold compare is exact."""
+    """Potential-part-promotion (TPC-H Q20, published partsupp shape):
+    Asian suppliers holding excess stock of a blue part —
+    ps_availqty > 0.5 × that pair's total 1996 shipped quantity. The
+    correlated quantity subquery is the per-pair lineitem aggregation
+    joined back on the SAME (partkey, suppkey) key (an inner join: a pair
+    with no 1996 shipments makes the published comparison NULL → excluded);
+    qualifying suppkeys semi-join the supplier dim. Quantities and
+    availqty are integers, so the 0.5× compare is exact."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    ps = load_partsupp(spark, sf_dir)
     blue_parts = part.where(F.col("p_name").like("blue%")).select("p_partkey")
-    y96 = li.where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).join(F.broadcast(blue_parts), li.l_partkey == F.col("p_partkey"))
-    # per-part total as a window over the pair aggregation: one narrow
-    # re-shuffle of the aggregated frame instead of a second base-table
-    # aggregate + self-join (which would re-scan y96 entirely)
-    from pyspark.sql.window import Window
-
-    pair_qty = y96.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("pair_qty")
+    pair_qty = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(blue_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
     )
-    part_qty = F.sum("pair_qty").over(Window.partitionBy("l_partkey"))
     dominant = (
-        pair_qty.withColumn("part_qty", part_qty)
-        .where(F.col("pair_qty") > 0.3 * F.col("part_qty"))
-        .select("l_suppkey")
+        ps.join(
+            pair_qty,
+            (ps.ps_partkey == pair_qty.l_partkey)
+            & (ps.ps_suppkey == pair_qty.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("pair_qty"))
+        .select("ps_suppkey")
         .distinct()
     )
     asia_keys = (
@@ -711,7 +729,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey")
     )
     return (
-        supplier.join(F.broadcast(dominant), supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        supplier.join(F.broadcast(dominant), supplier.s_suppkey == F.col("ps_suppkey"), "left_semi")
         .join(F.broadcast(asia_keys), supplier.s_nationkey == F.col("n_nationkey"), "left_semi")
         .select(F.col("s_name").alias("supplier_name"), F.col("s_acctbal"))
         .orderBy("supplier_name")
@@ -958,7 +976,8 @@ ORACLE = {
         LIMIT 20
     """,
     "tpch_q2": f"""
-        WITH asia_supp AS (
+        WITH partsupp AS ({PARTSUPP_SQL}),
+        asia_supp AS (
             SELECT s_suppkey, s_name, s_acctbal, n_name
             FROM supplier
             JOIN nation ON s_nationkey = n_nationkey
@@ -970,20 +989,18 @@ ORACLE = {
             FROM part WHERE p_size = 15 AND p_type = 'STANDARD'
         ),
         costs AS (
-            SELECT l_partkey, l_suppkey,
-                   min(l_extendedprice / l_quantity) AS supply_cost
-            FROM lineitem
-            JOIN target_parts ON l_partkey = p_partkey
-            JOIN asia_supp ON l_suppkey = s_suppkey
-            GROUP BY 1, 2
+            SELECT ps_partkey, ps_suppkey, ps_supplycost
+            FROM partsupp
+            JOIN target_parts ON ps_partkey = p_partkey
+            JOIN asia_supp ON ps_suppkey = s_suppkey
         )
-        SELECT s_acctbal, s_name, n_name, l_partkey AS part_id, p_brand,
-               {money_round_sql('supply_cost')} AS supply_cost
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS part_id, p_brand,
+               {money_round_sql('ps_supplycost')} AS supply_cost
         FROM costs
-        JOIN asia_supp ON l_suppkey = s_suppkey
-        JOIN target_parts ON l_partkey = p_partkey
-        WHERE supply_cost = (SELECT min(supply_cost) FROM costs c2
-                             WHERE c2.l_partkey = costs.l_partkey)
+        JOIN asia_supp ON ps_suppkey = s_suppkey
+        JOIN target_parts ON ps_partkey = p_partkey
+        WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM costs c2
+                               WHERE c2.ps_partkey = costs.ps_partkey)
         ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, part_id ASC
         LIMIT 100
     """,
@@ -1012,19 +1029,22 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     "tpch_q11": f"""
-        WITH per_part AS (
-            SELECT l_partkey AS part_id,
-                   {money_sum_sql('l_extendedprice')} AS stock_value
-            FROM lineitem
-            WHERE l_suppkey IN (
+        WITH partsupp AS ({PARTSUPP_SQL}),
+        per_part AS (
+            SELECT ps_partkey AS part_id,
+                   sum(CAST(round(ps_supplycost * 100) AS BIGINT)
+                       * ps_availqty) AS stock_cents
+            FROM partsupp
+            WHERE ps_suppkey IN (
                 SELECT s_suppkey FROM supplier
                 JOIN nation ON s_nationkey = n_nationkey
                 WHERE n_name = 'NATION_5')
             GROUP BY 1
         )
-        SELECT part_id, stock_value
+        SELECT part_id, CAST(stock_cents AS DOUBLE) / 100 AS stock_value
         FROM per_part
-        WHERE stock_value > (SELECT avg(stock_value) * 2.0 FROM per_part)
+        WHERE stock_cents * {Q11_DENOM}
+                  > (SELECT CAST(sum(stock_cents) AS BIGINT) FROM per_part)
     """,
     "tpch_q12": """
         SELECT l_returnflag AS ship_group,
@@ -1050,33 +1070,28 @@ ORACLE = {
         )
         GROUP BY 1
     """,
-    "tpch_q16": """
+    "tpch_q16": f"""
+        WITH partsupp AS ({PARTSUPP_SQL})
         SELECT p_brand, p_type, p_size,
-               count(DISTINCT l_suppkey) AS supplier_cnt
-        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-        JOIN part ON l_partkey = p_partkey
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
         WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
           AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-          AND l_suppkey NOT IN
+          AND ps_suppkey NOT IN
               (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
         GROUP BY 1, 2, 3
     """,
-    "tpch_q20": """
-        WITH y96 AS (
-            SELECT l_partkey, l_suppkey, l_quantity
+    "tpch_q20": f"""
+        WITH partsupp AS ({PARTSUPP_SQL}),
+        pair_qty AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             WHERE p_name LIKE 'blue%'
               AND l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
-        ),
-        pair_qty AS (
-            SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
-            FROM y96 GROUP BY 1, 2
-        ),
-        part_qty AS (
-            SELECT l_partkey AS t_partkey, sum(l_quantity) AS part_qty
-            FROM y96 GROUP BY 1
+            GROUP BY 1, 2
         )
         SELECT s_name AS supplier_name, s_acctbal
         FROM supplier
@@ -1084,9 +1099,10 @@ ORACLE = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
           AND s_suppkey IN (
-              SELECT l_suppkey FROM pair_qty
-              JOIN part_qty ON l_partkey = t_partkey
-              WHERE pair_qty > 0.3 * part_qty)
+              SELECT ps_suppkey FROM partsupp
+              JOIN pair_qty ON ps_partkey = l_partkey
+                           AND ps_suppkey = l_suppkey
+              WHERE ps_availqty > 0.5 * pair_qty)
         ORDER BY supplier_name
     """,
     "tpch_q21": """

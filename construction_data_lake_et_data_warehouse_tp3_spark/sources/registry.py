@@ -88,7 +88,62 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Synthetic partsupp hash constants (shared by the Spark builder and the
+#: DuckDB oracle CTE below — the two derivations MUST stay bit-identical).
+PS_AVAIL_A, PS_AVAIL_B = 2654435761, 40503
+PS_COST_A, PS_COST_B = 7919, 104729
+
+
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic `partsupp`: the testdata ships no partsupp
+    table (TESTDATA.md), so the TPC-H queries that need one (q2/q11/q16/
+    q20) derive it from the DISTINCT (l_partkey, l_suppkey) pairs observed
+    in lineitem, with hash-derived columns in the published domains:
+
+    - ps_availqty   ∈ [1, 9999]     (TPC-H spec range)
+    - ps_supplycost ∈ [1.00, 1000.00), 2-decimal exact
+
+    Both are pure integer arithmetic on the key pair — no RNG, no floats
+    until the final /100.0 — so Spark and DuckDB (PARTSUPP_SQL) produce
+    bit-identical values and every consumer stays oracle-checkable. At
+    scale the derivation is one distinct over a 16-byte key pair; a real
+    deployment swaps this loader for a parquet scan of the real table and
+    the four consumers are column-for-column the published queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").cast("bigint").alias("ps_partkey"),
+        F.col("l_suppkey").cast("bigint").alias("ps_suppkey"),
+    ).distinct()
+    avail = 1 + (
+        F.col("ps_partkey") * PS_AVAIL_A + F.col("ps_suppkey") * PS_AVAIL_B
+    ) % 9999
+    cost_cents = (
+        F.col("ps_partkey") * PS_COST_A + F.col("ps_suppkey") * PS_COST_B
+    ) % 99900
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        avail.cast("int").alias("ps_availqty"),
+        (1.0 + cost_cents / F.lit(100.0)).alias("ps_supplycost"),
+    )
+
+
+#: DuckDB twin of load_partsupp — splice into oracles as
+#: `WITH partsupp AS ({PARTSUPP_SQL})`.
+PARTSUPP_SQL = f"""
+    SELECT ps_partkey, ps_suppkey,
+           CAST(1 + (ps_partkey * {PS_AVAIL_A} + ps_suppkey * {PS_AVAIL_B})
+                    % 9999 AS INT) AS ps_availqty,
+           1.0 + ((ps_partkey * {PS_COST_A} + ps_suppkey * {PS_COST_B})
+                  % 99900) / 100.0 AS ps_supplycost
+    FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS ps_partkey,
+                          CAST(l_suppkey AS BIGINT) AS ps_suppkey
+          FROM lineitem)
+"""
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    load_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
