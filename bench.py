@@ -60,7 +60,27 @@ HEADLINE = (
     "pack_sequences",
     "kmeans_embeddings",
     "training_manifest",
+    # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
 )
+
+#: Iterative graph queries are dominated by the co-purchase graph BUILD
+#: (the lineitem self-join is quadratic in items-per-order and the edge
+#: set at sf0.1 swamps the 2-iteration loop). They are benched at the
+#: SIBLING sf0.01 so a regression stays visible without the build cost
+#: drowning the headline total — the key carries the sf suffix so the
+#: number can't be misread as same-sf.
+GRAPH_QUERIES = ("pagerank_products", "triangle_participation")
 
 
 def main() -> None:
@@ -75,13 +95,21 @@ def main() -> None:
     # errors is recorded and skipped — one bad plan must never zero out
     # the whole round's numbers (BENCH_r03 died entirely on one
     # AnalysisException).
+    graph_sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(graph_sf_dir):
+        graph_sf_dir = sf_dir
+    graph_tag = graph_sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    workload = [(name, name, sf_dir) for name in HEADLINE] + [
+        (f"{name}@{graph_tag}", name, graph_sf_dir) for name in GRAPH_QUERIES
+    ]
+
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for key, name, qdir in workload:
         try:
-            registry[name](spark, sf_dir).count()
+            registry[name](spark, qdir).count()
         except Exception as exc:  # noqa: BLE001 - record and move on
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {key}: FAILED {errors[key]}", file=sys.stderr)
 
     # min-of-3 per query: single-shot timings at this scale carry
     # 50-100% host/session noise (r1→r2 judged tpch_q5 +77% on unchanged
@@ -92,20 +120,20 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        if name in errors:
+    for key, name, qdir in workload:
+        if key in errors:
             continue
         fn = registry[name]
         samples = []
         for _ in range(repeats):
             start = time.monotonic()
-            df = fn(spark, sf_dir)
+            df = fn(spark, qdir)
             n = df.count()
             samples.append(time.monotonic() - start)
         samples.sort()
-        timings[name] = round(samples[0], 3)
-        rows[name] = n
-        print(f"# {name}: {timings[name]}s min of {samples} ({n} rows)", file=sys.stderr)
+        timings[key] = round(samples[0], 3)
+        rows[key] = n
+        print(f"# {key}: {timings[key]}s min of {samples} ({n} rows)", file=sys.stderr)
 
     try:
         streaming_rate = _streaming_ingest_rate(spark)

@@ -62,6 +62,13 @@ def pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N_ITERS integer-exact PageRank iterations from the uniform init,
     top-TOP_K products by final rank (part_id tiebreak). `rank` is the
     display division rank_int/SCALE rounded to 6."""
+    # EAGER on purpose: constructing this DataFrame runs a job. The edge
+    # set is reused N_ITERS+1 times inside the loop, and per-iteration
+    # ranks also localCheckpoint — together they keep the iterated plan's
+    # depth CONSTANT across iterations (locked by
+    # test_graph.test_pagerank_iterated_plan_depth_constant). Lazy lineage
+    # replay here would re-derive the self-join every iteration and grow
+    # the plan; do not "optimize" the eager=True away.
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     nodes = edges.select(F.col("src").alias("pid")).distinct()

@@ -303,27 +303,55 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenizer — every curation stage composed into ONE plan:
 
     1. quality gate (quality_signals — map-only),
-    2. exact-dup survivorship (min doc_id per content hash — one
-       32-byte-key shuffle),
+    2. exact-dup survivorship (min doc_id per content hash — a window
+       over the SAME frame, one 32-byte-key shuffle, no second scan),
     3. decontamination (drop the eval slice itself AND every doc sharing
-       a 4-word shingle with it — broadcast left-anti),
+       a 4-word shingle with it — arrays_overlap against a broadcast
+       1-row eval-shingle array, evaluated MAP-SIDE before any shuffle so
+       the wide shingle array never crosses an exchange),
     4. domain-mix weight (per-source resampling factor — broadcast of
        ~|sources| rows).
 
-    Output: (doc_id, source, n_words, weight). At 100 TB the corpus is
-    touched by stages 1-2 once each (the decontaminate subtree re-derives
-    shingles for the small eval dim), and every join against the corpus
-    is broadcast or hash-on-32-bytes — no pairwise blowup anywhere."""
+    Output: (doc_id, source, n_words, weight). At 100 TB the corpus text
+    is scanned ONCE: gate signals, content hash, and the contamination
+    flag all compute in that single pass (Spark expands shared subtrees
+    into repeated scans, so the r4 shape — groupBy survivors + broadcast
+    anti-join — cost two extra corpus scans; asserted by
+    test_training_manifest_single_corpus_text_scan). The remaining
+    documents scans read the tiny eval slice and the pruned source
+    column. Trade documented: the eval shingles ride one collected array
+    instead of a broadcast hash relation — right while the eval set is
+    benchmark-sized; a benchmark so big it strains one array should go
+    back to the broadcast-join form of decontaminate()."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = quality_signals(docs, carry=("source",)).withColumn("h", F.md5("text"))
-    survivors = sig.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    contaminated = decontaminate(spark, sf_dir).select("doc_id")
+    eval_ngrams = (
+        docs.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng"))
+        .agg(F.collect_set("ng").alias("ev"))
+    )
+    sig = (
+        quality_signals(docs, carry=("source",))
+        .withColumn("h", F.md5("text"))
+        .withColumn("ngs", F.expr(_SHINGLES.format(ws=TOKENS)))
+    )
+    flagged = sig.crossJoin(F.broadcast(eval_ngrams)).select(
+        "doc_id",
+        "source",
+        "n_words",
+        "keep",
+        "h",
+        F.arrays_overlap("ngs", "ev").alias("contaminated"),
+    )
     weights = domain_mix(spark, sf_dir).select("source", "sample_weight")
+    min_doc = F.min("doc_id").over(Window.partitionBy("h"))
     return (
-        sig.where("keep")
+        flagged.withColumn("min_doc", min_doc)
+        .where("keep")
         .where(F.col("doc_id") % EVAL_MOD != 0)
-        .join(survivors, ["h", "doc_id"], "left_semi")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .where(F.col("doc_id") == F.col("min_doc"))
+        .where(~F.col("contaminated"))
         .join(F.broadcast(weights), "source")
         .select("doc_id", "source", "n_words", F.col("sample_weight").alias("weight"))
     )

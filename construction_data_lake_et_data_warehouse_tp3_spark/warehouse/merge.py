@@ -109,6 +109,11 @@ def merge_into(
     updates = dedupe_updates(updates, keys, order_by)
     if stamp_updated_at:
         updates = updates.withColumn("updated_at", F.current_timestamp())
+    # the updates subtree (often a full aggregation pipeline) is consumed
+    # twice — the row count and the result write; persist so it computes
+    # once. current_timestamp is also frozen by this, so every written row
+    # carries one stamp per merge.
+    updates = updates.persist()
 
     if table.exists():
         target = table.read()
@@ -146,6 +151,9 @@ def merge_into(
     else:
         result = updates
 
-    n = updates.count()
-    table.overwrite(result)
+    try:
+        n = updates.count()
+        table.overwrite(result)
+    finally:
+        updates.unpersist()
     return n

@@ -29,3 +29,18 @@ def spark():
     session = builder.getOrCreate()
     yield session
     session.stop()
+
+
+@pytest.fixture(scope="session")
+def plain_warehouse(spark, tmp_path_factory):
+    """One parquet sync_warehouse pass at sf0.001, shared READ-ONLY by the
+    JDBC-parity, atomic-parity, and replay tests — each full pass is ~8 s
+    of micro-jobs, so sharing the baseline cuts three passes from the
+    suite. A test that mutates warehouse state must copytree first."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.warehouse.star import (
+        sync_warehouse,
+    )
+
+    root = str(tmp_path_factory.mktemp("shared_wh"))
+    counts = sync_warehouse(spark, SF_DIR, root, snapshot_version=1)
+    return root, counts

@@ -57,18 +57,21 @@ def _rows_sans_stamp(df):
     return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
 
 
-def test_jdbc_sync_matches_parquet_path_and_is_idempotent(spark, tmp_path, jdbc_fake):
+def test_jdbc_sync_matches_parquet_path_and_is_idempotent(
+    spark, tmp_path, jdbc_fake, plain_warehouse
+):
     """One flow, both contracts (merged from two tests — each sync is
     ~8 s of micro-jobs, and the idempotence re-sync can reuse the same
-    JDBC state the parity check just built)."""
+    JDBC state the parity check just built). The parquet baseline comes
+    from the shared session fixture (read-only here)."""
     store, writes = jdbc_fake
-    parquet_out = sync_warehouse(spark, SF_DIR, str(tmp_path / "wh"))
+    parquet_root, parquet_out = plain_warehouse
     jdbc_out = sync_warehouse(
         spark, SF_DIR, str(tmp_path / "unused"), mode="jdbc", jdbc_url=URL
     )
     assert jdbc_out == parquet_out  # same per-table merge counts
 
-    parquet_wh = Warehouse(spark, str(tmp_path / "wh"))
+    parquet_wh = Warehouse(spark, parquet_root)
     jdbc_wh = Warehouse(spark, str(tmp_path / "unused2"), mode="jdbc", jdbc_url=URL)
     first = {}
     for name in WAREHOUSE_TABLES:

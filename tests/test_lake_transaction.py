@@ -80,7 +80,7 @@ class TestSnapshots:
 
 
 class TestAtomicWarehouseSync:
-    def test_atomic_sync_matches_plain_sync(self, spark, tmp_path):
+    def test_atomic_sync_matches_plain_sync(self, spark, tmp_path, plain_warehouse):
         """sync_warehouse_atomic runs the identical MERGE logic through
         TxnTable staging: same rows per table as the plain path, all five
         tables published in ONE snapshot, and a re-sync lands a second
@@ -88,18 +88,17 @@ class TestAtomicWarehouseSync:
         from construction_data_lake_et_data_warehouse_tp3_spark.warehouse.star import (
             WAREHOUSE_TABLES,
             Warehouse,
-            sync_warehouse,
             sync_warehouse_atomic,
         )
 
         sf = "/root/testdata/sf0.001"
-        plain_counts = sync_warehouse(spark, sf, str(tmp_path / "plain"))
+        plain_root, plain_counts = plain_warehouse
         atomic_counts, snap = sync_warehouse_atomic(spark, sf, str(tmp_path / "lh"))
         assert atomic_counts == plain_counts
 
         lh = Lakehouse(spark, str(tmp_path / "lh"))
         assert set(lh.tables(snap)) == set(WAREHOUSE_TABLES)
-        plain = Warehouse(spark, str(tmp_path / "plain"))
+        plain = Warehouse(spark, plain_root)
 
         def rows(df):
             cols = sorted(c for c in df.columns if c != "updated_at")

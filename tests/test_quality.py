@@ -167,6 +167,32 @@ class TestQualityPlans:
 
         assert has_broadcast_join(quality.training_manifest(spark, SF_DIR))
 
+    def test_training_manifest_single_corpus_text_scan(self, spark):
+        """The capstone's only corpus-wide text work — gate signals,
+        content hash, contamination flag — must live in ONE documents
+        scan. The other documents scans in the plan are the eval slice
+        (doc_id % EVAL_MOD pushed to the scan) and the pruned source
+        column for domain_mix; a scan that reads text WITHOUT the eval
+        pushdown beyond the first is a regression to the r4 three-scan
+        shape."""
+        plan = (
+            quality.training_manifest(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        text_scans = [
+            line
+            for line in plan.splitlines()
+            if "FileScan parquet" in line
+            and "documents.parquet" in line
+            and "text#" in line.split("FileScan")[1][:120]  # ReadSchema cols
+        ]
+        # scans whose pushed filters lack the eval modulo — exactly one
+        # such scan may read text
+        full = [line for line in text_scans if "97" not in line]
+        assert len(full) <= 1, plan
+
     def test_domain_mix_single_corpus_scan(self, spark):
         """The totals come from a window over the ~|sources| aggregated
         rows — the corpus parquet must appear in the plan exactly once

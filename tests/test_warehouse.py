@@ -85,9 +85,12 @@ class TestMerge:
 
 
 class TestStarSync:
-    def test_full_sync_and_replay(self, spark, tmp_path):
+    def test_full_sync_and_replay(self, spark, tmp_path, plain_warehouse):
+        import shutil
+
+        shared_root, counts = plain_warehouse
         root = str(tmp_path / "wh")
-        counts = sync_warehouse(spark, SF_DIR, root, snapshot_version=1)
+        shutil.copytree(shared_root, root)  # mutating test: copy, don't share
         assert counts["dim_users"] > 0
         assert counts["fact_user_transaction_summary"] > 0
         from construction_data_lake_et_data_warehouse_tp3_spark.warehouse.star import (
