@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = (
     # r4's one red row — oracle typing fixed in r5, needs its green row
     "length_histogram",
     # new/reworked in r5 — never driver-checked in current form
+    "wav_audio_stats",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

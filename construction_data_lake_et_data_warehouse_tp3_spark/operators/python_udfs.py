@@ -141,12 +141,40 @@ def ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free AUDIO decode end to end — the waveform twin of
+    ppm_pixel_stats: every document becomes a genuine RIFF/WAVE PCM16-mono
+    clip assembled JVM-side (constant 44-byte header + 24 md5-derived
+    samples), and the mapInPandas kernel walks the RIFF chunks, validates
+    the fmt, and computes peak / mean-|s| / zero-crossings over the
+    little-endian int16 samples with numpy.
+
+    Oracle-checked exactly: each sample is b[2k] + 256·b[2k+1] sign-folded
+    at 32768, every byte re-derivable from the md5 hex digits, so DuckDB
+    reproduces peak/mean/crossings bit-for-bit (integer sums; the one
+    division /24.0 happens identically on both engines before round)."""
+    from .multimodal import synthetic_wav_media, wav_waveform_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_wav_media(docs, "doc_id", "text")
+    stats = wav_waveform_stats(media)
+    return stats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "peak_abs",
+        F.round("mean_abs", 4).alias("mean_abs"),
+        "zero_crossings",
+    )
+
+
 QUERIES = {
     "pandas_scalar_norm": pandas_scalar_norm,
     "pandas_udaf_value_stats": pandas_udaf_value_stats,
     "apply_in_pandas_group_stats": apply_in_pandas_group_stats,
     "multimodal_features": multimodal_features,
     "ppm_pixel_stats": ppm_pixel_stats,
+    "wav_audio_stats": wav_audio_stats,
 }
 
 ORACLE = {
@@ -206,5 +234,37 @@ ORACLE = {
                round(list_sum(list_transform(range(0, 16),
                      j -> ('0x' || substr(hx, (3 * j + 2) * 2 + 1, 2))::BIGINT)) / 16.0, 4) AS b_mean
         FROM h
+    """,
+    # PCM16-LE samples re-derived from the md5 hex digits: sample k is
+    # b[2k] + 256*b[2k+1], sign-folded at 32768 — the same ints the WAV
+    # kernel reads out of the RIFF data chunk
+    "wav_audio_stats": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5(text || '1') || md5(text || '2') AS hx
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id,
+                   list_transform(range(0, 24),
+                     k -> ('0x' || substr(hx, (2 * k) * 2 + 1, 2))::BIGINT
+                          + 256 * ('0x' || substr(hx, (2 * k + 1) * 2 + 1, 2))::BIGINT
+                   ) AS raw
+            FROM h
+        ),
+        sig AS (
+            SELECT media_id,
+                   list_transform(raw, r -> r - 65536 * CAST(r >= 32768 AS BIGINT)) AS sm
+            FROM s
+        )
+        SELECT media_id,
+               24 AS n_samples,
+               8000 AS sample_rate,
+               CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak_abs,
+               round(CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT)
+                     / 24.0, 4) AS mean_abs,
+               CAST(len(list_filter(range(1, 24),
+                    k -> (sm[k] < 0) != (sm[k + 1] < 0))) AS INT) AS zero_crossings
+        FROM sig
     """,
 }

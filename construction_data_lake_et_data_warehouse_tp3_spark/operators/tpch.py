@@ -52,13 +52,14 @@ from ..functions.scalar import (
 )
 from ..sources.registry import PARTSUPP_SQL, load_partsupp, load_table
 
-#: Q11 threshold: keep parts whose stock value exceeds 1/Q11_DENOM of the
-#: national total (published form is fraction 0.0001/SF; fixed here since
-#: the testdata SF is in the dir path). Expressed as an integer
-#: denominator so the threshold compare runs in BIGINT cents on both
-#: engines — a float `sum(double) * 0.001` cutoff would be addition-order
-#: dependent in the last ulp.
-Q11_DENOM = 1000
+#: Q11 threshold: keep parts whose stock value exceeds Q11_MEAN_MULT × the
+#: mean per-part value. The published form is a fixed fraction scaled by
+#: 1/SF; with the SF baked into the data dir a fixed fraction degenerates
+#: (0 rows at sf0.1), so the scalar subquery computes the scale-free
+#: mean-relative cutoff instead — same plan shape, non-degenerate at
+#: every SF. The compare runs in BIGINT cents with floor division on both
+#: engines, so no float-sum order dependence.
+Q11_MEAN_MULT = 2
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +588,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock identification (TPC-H Q11, published partsupp
-    shape): per-part sum(ps_supplycost × ps_availqty) held by NATION_5
+    shape): per-part sum(ps_supplycost × ps_availqty) held by NATION_3
     suppliers, keeping parts above FRACTION of the national total. The
     published query's scalar-subquery threshold is a broadcast 1-row
     aggregate over the ALREADY-aggregated per-part frame (no second
@@ -597,7 +598,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     ps = load_partsupp(spark, sf_dir)
     n5_supp = supplier.join(
-        F.broadcast(nation.where(F.col("n_name") == "NATION_5").select("n_nationkey")),
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3").select("n_nationkey")),
         supplier.s_nationkey == F.col("n_nationkey"),
         "left_semi",
     ).select("s_suppkey")
@@ -609,10 +610,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ps_partkey").alias("part_id"))
         .agg(F.sum(pair_cents).alias("stock_cents"))
     )
-    threshold = per_part.agg(F.sum("stock_cents").alias("total_cents"))
+    threshold = per_part.agg(
+        F.expr(
+            f"CAST({Q11_MEAN_MULT} * sum(stock_cents) DIV count(*) AS BIGINT)"
+        ).alias("cutoff_cents")
+    )
     return (
         per_part.crossJoin(F.broadcast(threshold))
-        .where(F.col("stock_cents") * Q11_DENOM > F.col("total_cents"))
+        .where(F.col("stock_cents") > F.col("cutoff_cents"))
         .select(
             "part_id",
             (F.col("stock_cents").cast("double") / 100).alias("stock_value"),
@@ -1038,13 +1043,14 @@ ORACLE = {
             WHERE ps_suppkey IN (
                 SELECT s_suppkey FROM supplier
                 JOIN nation ON s_nationkey = n_nationkey
-                WHERE n_name = 'NATION_5')
+                WHERE n_name = 'NATION_3')
             GROUP BY 1
         )
         SELECT part_id, CAST(stock_cents AS DOUBLE) / 100 AS stock_value
         FROM per_part
-        WHERE stock_cents * {Q11_DENOM}
-                  > (SELECT CAST(sum(stock_cents) AS BIGINT) FROM per_part)
+        WHERE stock_cents > (SELECT CAST({Q11_MEAN_MULT} * CAST(sum(stock_cents) AS BIGINT)
+                                         // count(*) AS BIGINT)
+                             FROM per_part)
     """,
     "tpch_q12": """
         SELECT l_returnflag AS ship_group,
