@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = (
     "length_histogram",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
+    "bigram_surprisal",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

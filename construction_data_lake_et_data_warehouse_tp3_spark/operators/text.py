@@ -243,6 +243,67 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document — the conditional upgrade of
+    lm_surprisal: score each adjacent word pair by
+    −ln((c(w1,w2)+1) / (c(w1·)+V)) (add-1 smoothing over vocab V, KenLM
+    backoff's simplest cousin), mean per doc. Bigram repetition is a
+    stronger boilerplate signal than unigram rarity: templated docs score
+    LOW (their pairs are corpus-frequent), OCR soup scores HIGH.
+
+    Exactness: same integer micro-nat discipline as lm_surprisal — ln once
+    per bigram TYPE, rounded, integer per-doc sums. c(w1·) counts bigram
+    occurrences with first word w1 (so conditionals normalize). Scale:
+    bigram derivation is map-side from the token array (no per-token
+    shuffle); the model is two hash aggregations + one vocab count (swap
+    countDistinct for approx_count_distinct at open-vocab scale); scoring
+    is a shuffle join on the bigram string. Docs with <2 words have no
+    bigrams and drop out (identical on the oracle side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg_expr = (
+        f"transform(sequence(1, size(ws) - 1),"
+        f" i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    bgs = (
+        docs.select("doc_id", F.expr(TOKENS).alias("ws"))
+        .where(F.expr("size(ws) >= 2"))
+        .select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
+    )
+    c2 = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        bgs.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        c2.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(-F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) * 1e6)
+            .cast("bigint")
+            .alias("sur_int"),
+        )
+    )
+    return (
+        bgs.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("sur_int").alias("sum_sur"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("sum_sur") / F.col("n_bigrams") / 1e6, 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
@@ -250,6 +311,7 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "lm_surprisal": lm_surprisal,
+    "bigram_surprisal": bigram_surprisal,
 }
 
 _HITS_DUCK = {
@@ -364,6 +426,40 @@ ORACLE = {
                round(CAST(sum(sur_int) AS BIGINT) / count(*) / 1e6, 4)
                    AS avg_surprisal
         FROM tokens JOIN scored USING (tok)
+        GROUP BY 1
+    """,
+    # same micro-nat discipline, conditional model: −ln((c2+1)/(c1+V))
+    # once per bigram TYPE; c1 counts bigram occurrences by first word
+    "bigram_surprisal": f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+        ),
+        bgs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+            FROM base WHERE len(ws) >= 2
+        ),
+        c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY 1),
+        c1 AS (
+            SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+            FROM bgs GROUP BY 1
+        ),
+        vocab AS (
+            SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest({TOKENS_DUCK}) AS tok FROM documents)
+        ),
+        scored AS (
+            SELECT bg,
+                   CAST(round(-ln((c2 + 1) / (c1 + v)) * 1e6) AS BIGINT)
+                       AS sur_int
+            FROM c2
+            JOIN c1 ON split_part(bg, ' ', 1) = w1, vocab
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(sur_int) AS BIGINT) / count(*) / 1e6, 4)
+                   AS avg_surprisal
+        FROM bgs JOIN scored USING (bg)
         GROUP BY 1
     """,
 }

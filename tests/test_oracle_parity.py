@@ -20,13 +20,18 @@ TABLES = (
 ).split()
 
 
+_DUCK = None
+
+
 def _duck_connection():
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
-        )
-    return con
+    global _DUCK
+    if _DUCK is None:
+        _DUCK = duckdb.connect()
+        for name in TABLES:
+            _DUCK.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+            )
+    return _DUCK
 
 
 def _normalize(value):
