@@ -3,8 +3,10 @@ from .dedup_stream import StreamingDeduper  # noqa: F401
 from .ingest import (  # noqa: F401
     dedup_redelivered,
     ingest_stream_to_lake,
+    ingest_with_dlq,
     json_feed_schema,
     parse_kafka_json,
+    split_dead_letters,
     streaming_user_totals,
     windowed_user_totals,
 )

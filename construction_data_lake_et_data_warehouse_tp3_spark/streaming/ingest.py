@@ -151,6 +151,95 @@ def parse_kafka_json(raw: DataFrame, topic: str) -> DataFrame:
     ).select("payload.*")
 
 
+def split_dead_letters(
+    raw: DataFrame, topic: str, required: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split for JSON ingest: `from_json` (PERMISSIVE) nulls
+    the payload struct for malformed bytes, and parse_kafka_json silently
+    drops the information — a production pipeline must QUARANTINE those
+    records instead (the reference's consumer would crash the whole loop
+    on one bad message, kafka_consumer_datalake.py:26 json.loads).
+
+    Returns (good, dead) sharing ONE parse of the value bytes:
+    - good: typed payload columns, rows whose JSON parsed AND carry every
+      `required` column non-null;
+    - dead: (raw_value, topic, reason, rejected_at) — reason is
+      'malformed_json' or 'missing_required:<col>' (first missing wins).
+
+    Works identically on static and streaming frames (pure column
+    expressions, no state). Malformed-JSON detection uses PERMISSIVE
+    mode's columnNameOfCorruptRecord — `payload IS NULL` alone misses
+    '{'-prefixed garbage, for which from_json returns an all-null struct
+    rather than a null one."""
+    schema = json_feed_schema(topic)
+    corrupt_col = "_corrupt_record"
+    schema_with_corrupt = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+    )
+    value_str = F.col("value").cast("string")
+    reason = F.when(
+        F.col("payload").isNull() | F.col(f"payload.{corrupt_col}").isNotNull(),
+        F.lit("malformed_json"),
+    )
+    for col in required:
+        reason = reason.when(
+            F.col(f"payload.{col}").isNull(), F.lit(f"missing_required:{col}")
+        )
+    parsed = raw.select(
+        value_str.alias("__raw"),
+        F.from_json(
+            value_str,
+            schema_with_corrupt,
+            {"columnNameOfCorruptRecord": corrupt_col},
+        ).alias("payload"),
+    ).withColumn("__reason", reason)
+    good = parsed.where(F.col("__reason").isNull()).select(
+        *(f"payload.{f.name}" for f in schema.fields)
+    )
+    dead = parsed.where(F.col("__reason").isNotNull()).select(
+        F.col("__raw").alias("raw_value"),
+        F.lit(topic).alias("topic"),
+        F.col("__reason").alias("reason"),
+        F.current_timestamp().alias("rejected_at"),
+    )
+    return good, dead
+
+
+def ingest_with_dlq(
+    stream: DataFrame,
+    topic: str,
+    path: str,
+    dlq_path: str,
+    checkpoint: str,
+    required: tuple[str, ...] = (),
+):
+    """Streaming ingest with quarantine: one foreachBatch parses each
+    micro-batch ONCE and lands good rows in the partitioned lake sink and
+    rejects in the dead-letter dir — a second source read (two separate
+    queries) would double the Kafka egress. The good path inherits the
+    foreachBatch at-least-once contract; downstream exact-once consumers
+    dedupe by key (dedup_redelivered) exactly as for the Kafka source
+    itself."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good, dead = split_dead_letters(batch_df, topic, required)
+        (
+            with_processing_date(good)
+            .write.mode("append")
+            .partitionBy("year", "month", "day")
+            .parquet(path)
+        )
+        if dead.limit(1).count():
+            dead.write.mode("append").parquet(dlq_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def with_processing_date(df: DataFrame) -> DataFrame:
     """Processing-time partition columns (kafka_consumer_datalake.py:35-38;
     SURVEY §7 risk 3: ingest date, not event time, is the default)."""

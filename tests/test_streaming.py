@@ -98,6 +98,72 @@ class TestIngest:
             json_feed_schema("nope")
 
 
+class TestDeadLetters:
+    def _wire(self, spark, values):
+        return spark.createDataFrame([(v,) for v in values], "value string")
+
+    def test_split_semantics(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming import (
+            split_dead_letters,
+        )
+
+        good_json = (
+            '{"transaction_id": "tx_1", "user_id": 7, "amount": 3.5,'
+            ' "currency": "EUR", "timestamp": "2026-01-01T00:00:00Z",'
+            ' "status": "completed"}'
+        )
+        missing_id = good_json.replace('"transaction_id": "tx_1", ', "")
+        raw = self._wire(
+            spark, [good_json, "{not json at all", "garbage", missing_id]
+        )
+        good, dead = split_dead_letters(
+            raw, "transaction_stream", required=("transaction_id",)
+        )
+        good_rows = good.collect()
+        dead_rows = {r.raw_value: r.reason for r in dead.collect()}
+        assert [r.transaction_id for r in good_rows] == ["tx_1"]
+        assert dead_rows["{not json at all"] == "malformed_json"
+        assert dead_rows["garbage"] == "malformed_json"
+        assert dead_rows[missing_id] == "missing_required:transaction_id"
+        assert all(r.topic == "transaction_stream" for r in dead.collect())
+
+    def test_streaming_dlq_end_to_end(self, spark, tmp_path):
+        """foreachBatch quarantine: good rows land partitioned in the
+        lake, rejects land in the DLQ dir with reasons — one source read."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming import (
+            ingest_with_dlq,
+        )
+
+        topic_dir = str(tmp_path / "topic")
+        good = generator.transaction_batch(spark, 20)
+        lines = [r["value"] for r in good.select(
+            F.to_json(F.struct(*good.columns)).alias("value")
+        ).collect()]
+        lines += ["BROKEN{{{", '{"user_id": 1}']  # malformed + missing id
+        import os
+
+        os.makedirs(topic_dir)
+        with open(os.path.join(topic_dir, "part-0.txt"), "w") as fh:
+            fh.write("\n".join(lines))
+
+        stream = spark.readStream.text(topic_dir).withColumnRenamed("value", "value")
+        query = ingest_with_dlq(
+            stream,
+            "transaction_stream",
+            str(tmp_path / "lake"),
+            str(tmp_path / "dlq"),
+            str(tmp_path / "ckpt"),
+            required=("transaction_id",),
+        )
+        query.awaitTermination(120)
+        lake = spark.read.parquet(str(tmp_path / "lake"))
+        dlq = spark.read.parquet(str(tmp_path / "dlq"))
+        assert lake.count() == 20
+        assert {"year", "month", "day"} <= set(lake.columns)
+        reasons = sorted(r.reason for r in dlq.collect())
+        assert reasons == ["malformed_json", "missing_required:transaction_id"]
+
+
 class TestStreamingAggregation:
     def test_unwindowed_update_mode(self, spark, tmp_path, tx_json_dir):
         """#66: running aggregate, update output — reference ksqlDB table
