@@ -1,3 +1,4 @@
+from .ann_stream import StreamingVectorIndex  # noqa: F401
 from .curation_stream import StreamingCurator  # noqa: F401
 from .dedup_stream import StreamingDeduper  # noqa: F401
 from .ingest import (  # noqa: F401
