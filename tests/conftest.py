@@ -25,7 +25,10 @@ def spark():
     )
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
-    builder = builder.config("spark.sql.shuffle.partitions", "8")
+    # 4 shuffle partitions: at sf0.001 every shuffle stage is scheduling-
+    # bound, not data-bound — 8→4 cut the full-suite wall clock ~10% with
+    # identical results (the engine itself runs 32+AQE in production)
+    builder = builder.config("spark.sql.shuffle.partitions", "4")
     session = builder.getOrCreate()
     yield session
     session.stop()
