@@ -479,7 +479,6 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    ps = load_partsupp(spark, sf_dir)
     asia_nations = (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name") == "ASIA")
@@ -491,16 +490,21 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_parts = part.where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand")
+    # part/supplier key sets pushed BELOW the partsupp distinct (the
+    # derived columns are key-pure, so filtering before ≡ joining after,
+    # and the distinct shuffles only qualifying pairs)
+    ps = load_partsupp(
+        spark,
+        sf_dir,
+        part_keys=target_parts.select("p_partkey"),
+        supp_keys=asia_supp.select("s_suppkey"),
+    )
     # min-cost-per-part as a window over the filtered frame — Spark
     # reuses the partkey partitioning, so the correlated subquery costs
     # one extra sort, not a second scan + self-join.
     from pyspark.sql.window import Window
 
-    costs = ps.join(
-        F.broadcast(target_parts.select("p_partkey")), ps.ps_partkey == F.col("p_partkey")
-    ).join(
-        F.broadcast(asia_supp.select("s_suppkey")), ps.ps_suppkey == F.col("s_suppkey")
-    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    costs = ps.select("ps_partkey", "ps_suppkey", "ps_supplycost")
     min_cost = F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
     return (
         costs.withColumn("min_cost", min_cost)
@@ -596,19 +600,19 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     an int, so the products fixed-point-sum identically on both engines."""
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    ps = load_partsupp(spark, sf_dir)
     n5_supp = supplier.join(
         F.broadcast(nation.where(F.col("n_name") == "NATION_3").select("n_nationkey")),
         supplier.s_nationkey == F.col("n_nationkey"),
         "left_semi",
     ).select("s_suppkey")
+    # the one-nation supplier set pushes below the partsupp distinct —
+    # ~1/|nations| of the corpus pairs ever reach the shuffle
+    ps = load_partsupp(spark, sf_dir, supp_keys=n5_supp)
     pair_cents = (
         F.round(F.col("ps_supplycost") * 100).cast("bigint") * F.col("ps_availqty")
     )
-    per_part = (
-        ps.join(F.broadcast(n5_supp), ps.ps_suppkey == F.col("s_suppkey"), "left_semi")
-        .groupBy(F.col("ps_partkey").alias("part_id"))
-        .agg(F.sum(pair_cents).alias("stock_cents"))
+    per_part = ps.groupBy(F.col("ps_partkey").alias("part_id")).agg(
+        F.sum(pair_cents).alias("stock_cents")
     )
     threshold = per_part.agg(
         F.expr(
@@ -676,13 +680,15 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation."""
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
-    ps = load_partsupp(spark, sf_dir)
     target = part.where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = supplier.where(F.col("s_acctbal") < 1000.0).select("s_suppkey")
+    # target-part keys push below the partsupp distinct; the (negative)
+    # supplier filter stays an anti-join above it
+    ps = load_partsupp(spark, sf_dir, part_keys=target.select("p_partkey"))
     pairs = ps.select("ps_partkey", "ps_suppkey").join(
         F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
     )
@@ -707,8 +713,10 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    ps = load_partsupp(spark, sf_dir)
     blue_parts = part.where(F.col("p_name").like("blue%")).select("p_partkey")
+    # blue-part keys push below the partsupp distinct — the correlated
+    # quantity join then runs qualifying-pairs × 1996-pairs only
+    ps = load_partsupp(spark, sf_dir, part_keys=blue_parts)
     pair_qty = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))

@@ -94,7 +94,12 @@ PS_AVAIL_A, PS_AVAIL_B = 2654435761, 40503
 PS_COST_A, PS_COST_B = 7919, 104729
 
 
-def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
+) -> DataFrame:
     """Deterministic synthetic `partsupp`: the testdata ships no partsupp
     table (TESTDATA.md), so the TPC-H queries that need one (q2/q11/q16/
     q20) derive it from the DISTINCT (l_partkey, l_suppkey) pairs observed
@@ -105,11 +110,30 @@ def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both are pure integer arithmetic on the key pair — no RNG, no floats
     until the final /100.0 — so Spark and DuckDB (PARTSUPP_SQL) produce
-    bit-identical values and every consumer stays oracle-checkable. At
-    scale the derivation is one distinct over a 16-byte key pair; a real
-    deployment swaps this loader for a parquet scan of the real table and
-    the four consumers are column-for-column the published queries."""
+    bit-identical values and every consumer stays oracle-checkable.
+
+    `part_keys` / `supp_keys` (1-column key frames) are FILTER PUSHDOWN
+    below the distinct: because the derived columns are pure functions of
+    the keys, `load_partsupp(...).join(keys)` ≡ `load_partsupp(...,
+    part_keys=keys)` — but Catalyst cannot push a join through a distinct
+    itself, and the unfiltered form shuffles every corpus pair. Consumers
+    with a selective dim predicate (q2's size-15 parts, q11's one-nation
+    suppliers) pass their key set so the broadcast semi-join lands on the
+    lineitem SCAN side and the distinct shuffles only qualifying pairs.
+    A real deployment swaps this loader for a parquet scan of the real
+    table (where the same predicates push down natively) and the four
+    consumers are column-for-column the published queries."""
     li = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        key = part_keys.columns[0]
+        li = li.join(
+            F.broadcast(part_keys), li.l_partkey == F.col(key), "left_semi"
+        )
+    if supp_keys is not None:
+        key = supp_keys.columns[0]
+        li = li.join(
+            F.broadcast(supp_keys), li.l_suppkey == F.col(key), "left_semi"
+        )
     pairs = li.select(
         F.col("l_partkey").cast("bigint").alias("ps_partkey"),
         F.col("l_suppkey").cast("bigint").alias("ps_suppkey"),
