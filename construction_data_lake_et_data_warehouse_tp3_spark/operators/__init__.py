@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = (
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",
+    "chunk_documents",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

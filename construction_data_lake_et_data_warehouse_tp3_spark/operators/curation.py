@@ -303,12 +303,44 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sliding-window chunking geometry: window length and stride in tokens
+#: (stride < window ⇒ CHUNK_TOKENS - CHUNK_STRIDE tokens of overlap).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the fine-tuning/embedding counterpart of
+    pack_sequences: cut each document into CHUNK_TOKENS-token windows
+    every CHUNK_STRIDE tokens (8-token overlap preserves context across
+    cuts), one output row per chunk with its token count and content
+    hash. Entirely map-side: the window starts come from a sequence()
+    over the token array, no shuffle anywhere — at 100 TB this is a pure
+    scan→explode pipeline that parallelizes per input split."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = f"sequence(1, size(ws), {CHUNK_STRIDE})"
+    return (
+        docs.select("doc_id", F.expr(TOKENS).alias("ws"))
+        .where(F.expr("size(ws) >= 1"))
+        .select("doc_id", "ws", F.explode(F.expr(starts)).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.expr(f"size(slice(ws, s, {CHUNK_TOKENS}))").alias("n_tokens"),
+            F.expr(f"md5(concat_ws(' ', slice(ws, s, {CHUNK_TOKENS})))").alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dup_clusters": dup_clusters,
     "corpus_curation": corpus_curation,
     "stratified_sample": stratified_sample,
     "pack_sequences": pack_sequences,
     "mixture_resample": mixture_resample,
+    "chunk_documents": chunk_documents,
 }
 
 _HITS_DUCK = {
@@ -321,6 +353,23 @@ _RATE_DUCK = "CASE " + " ".join(
 ) + f" ELSE {DEFAULT_RATE} END"
 
 ORACLE = {
+    # same geometry: starts 1, 1+stride, ... <= len; DuckDB slices are
+    # inclusive so [s : s+CHUNK-1] is the CHUNK_TOKENS-element window
+    "chunk_documents": f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+        ),
+        st AS (
+            SELECT doc_id, ws,
+                   unnest(range(1, len(ws) + 1, {CHUNK_STRIDE})) AS s
+            FROM base WHERE len(ws) >= 1
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(len(ws[s : s + {CHUNK_TOKENS - 1}]) AS INT) AS n_tokens,
+               md5(array_to_string(ws[s : s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+        FROM st
+    """,
     # WITH RECURSIVE reachability: walk(node, lbl) enumerates every label
     # reachable from each node through dup edges; min() per node is the
     # component's canonical id — the closed form of the Spark-side
