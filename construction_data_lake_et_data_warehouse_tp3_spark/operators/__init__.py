@@ -51,6 +51,8 @@ _DRIVER_PRIORITY = (
     "wav_audio_stats",
     "bigram_surprisal",
     "chunk_documents",
+    "interpolate_daily_revenue",
+    "status_priority_chisq",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

@@ -151,8 +151,45 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def status_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of order status × priority — the
+    statistical-testing shape (observed vs expected under independence,
+    per-cell χ² contribution). One corpus aggregation to the ~15 observed
+    cells; marginals and the total derive from THAT frame (no re-scan)
+    and broadcast back onto it.
+
+    Exactness: counts are integers; expected = row·(col/N) keeps every
+    op in the same order on both engines (and avoids the row·col int64
+    overflow a 10^12-row corpus would hit); outputs carry NO rounding
+    call, so the doubles are bit-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_obs")
+    )
+    row_t = obs.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("row_total"))
+    col_t = obs.groupBy("o_orderpriority").agg(F.sum("n_obs").alias("col_total"))
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    j = (
+        obs.join(F.broadcast(row_t), "o_orderstatus")
+        .join(F.broadcast(col_t), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.col("row_total") * (
+        F.col("col_total").cast("double") / F.col("n_total")
+    )
+    chi = (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected
+    return j.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_obs",
+        expected.alias("expected"),
+        chi.alias("chi2_cell"),
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
+    "status_priority_chisq": status_priority_chisq,
     "order_status_matrix": order_status_matrix,
     "unpivot_status_revenue": unpivot_status_revenue,
     "hopping_window_events": hopping_window_events,
@@ -162,6 +199,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    # expected written as row·(col/N) in BOTH engines: same IEEE op
+    # order, no int64 row·col overflow at scale, no rounding call
+    "status_priority_chisq": """
+        WITH obs AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_obs
+            FROM orders GROUP BY 1, 2
+        ),
+        row_t AS (SELECT o_orderstatus, CAST(sum(n_obs) AS BIGINT) AS row_total
+                  FROM obs GROUP BY 1),
+        col_t AS (SELECT o_orderpriority, CAST(sum(n_obs) AS BIGINT) AS col_total
+                  FROM obs GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs)
+        SELECT o_orderstatus, o_orderpriority, n_obs,
+               row_total * (CAST(col_total AS DOUBLE) / n_total) AS expected,
+               ((n_obs - row_total * (CAST(col_total AS DOUBLE) / n_total))
+                * (n_obs - row_total * (CAST(col_total AS DOUBLE) / n_total)))
+               / (row_total * (CAST(col_total AS DOUBLE) / n_total)) AS chi2_cell
+        FROM obs
+        JOIN row_t USING (o_orderstatus)
+        JOIN col_t USING (o_orderpriority), tot
+    """,
     "above_avg_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders

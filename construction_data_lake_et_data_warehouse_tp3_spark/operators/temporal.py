@@ -234,6 +234,55 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — the estimation counterpart of
+    resample_daily_revenue's zero-fill: a missing day between two present
+    days d_i, d_j takes v_i + (v_j − v_i)·k/gap. Same single-scan shape:
+    the dense axis comes from lead()-gap expansion over the aggregated
+    daily frame, so the window runs over ~|days| rows, never raw orders.
+
+    Exactness: revenues are summed as BIGINT cents; the interpolation is
+    int + (int·int)/int — one IEEE division and one add, identical on
+    both engines — and the output is cents/100.0 with NO rounding call,
+    so there is no half-way-rounding boundary to disagree on."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("src_day")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.orderBy("src_day")
+    expanded = (
+        daily.withColumn("next_day", F.lead("src_day").over(w))
+        .withColumn("next_cents", F.lead("cents").over(w))
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(src_day, coalesce(date_add(next_day, -1), src_day),"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+            "src_day",
+            "next_day",
+            "cents",
+            "next_cents",
+        )
+    )
+    k = F.datediff(F.col("day"), F.col("src_day"))
+    gap = F.datediff(F.col("next_day"), F.col("src_day"))
+    interp = F.col("cents") + (F.col("next_cents") - F.col("cents")) * k / gap
+    revenue = (
+        F.when(F.col("day") == F.col("src_day"), F.col("cents").cast("double"))
+        .otherwise(interp)
+        / 100.0
+    )
+    return expanded.select(
+        "day",
+        revenue.alias("revenue"),
+        (F.col("day") != F.col("src_day")).alias("interpolated"),
+    )
+
+
 def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per order status (oracle-checked);
     the 100 TB variant is median_order_value_approx below."""
@@ -291,6 +340,7 @@ QUERIES = {
     "scalar_datetime_ops": scalar_datetime_ops,
     "daily_event_stats": daily_event_stats,
     "resample_daily_revenue": resample_daily_revenue,
+    "interpolate_daily_revenue": interpolate_daily_revenue,
     "session_window_stats": session_window_stats,
     "event_sessions": event_sessions,
     "asof_latest_order": asof_latest_order,
@@ -349,6 +399,37 @@ ORACLE = {
                {money_sum_sql('value')} AS total_value
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    # same lead()-gap expansion; interpolation is int + (int·int)/int with
+    # no rounding call, so the doubles are bit-identical across engines
+    "interpolate_daily_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS src_day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        led AS (
+            SELECT src_day, cents,
+                   lead(src_day) OVER (ORDER BY src_day) AS next_day,
+                   lead(cents) OVER (ORDER BY src_day) AS next_cents
+            FROM daily
+        ),
+        days AS (
+            SELECT src_day, next_day, cents, next_cents,
+                   CAST(unnest(generate_series(CAST(src_day AS TIMESTAMP),
+                        CAST(coalesce(next_day - 1, src_day) AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS day
+            FROM led
+        )
+        SELECT day,
+               CASE WHEN day = src_day THEN CAST(cents AS DOUBLE)
+                    ELSE cents + (next_cents - cents)
+                         * date_diff('day', src_day, day)
+                         / date_diff('day', src_day, next_day)
+               END / 100.0 AS revenue,
+               day != src_day AS interpolated
+        FROM days
     """,
     # independent algorithm on purpose: the oracle joins a generate_series
     # calendar, the Spark side expands lead() gaps — same dense result.

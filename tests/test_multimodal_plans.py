@@ -274,6 +274,20 @@ class TestPlans:
         assert has_broadcast_join(df)
         assert shuffle_exchange_count(df) <= 2
 
+    def test_q2_partsupp_pushdown_below_distinct(self, spark):
+        """Locks the load_partsupp key-filter pushdown: both dim key sets
+        (size-15 parts, Asian suppliers) must semi-join the lineitem scan
+        BELOW the pair distinct — the unfiltered form shuffles every
+        corpus pair (590k vs 2.4k at sf0.1). Two LeftSemi joins in the
+        plan, both under the first aggregate."""
+        df = tpch.tpch_q2(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        first_agg = plan.find("HashAggregate")
+        semis = [i for i in range(len(plan)) if plan.startswith("LeftSemi", i)]
+        assert len(semis) >= 2, plan
+        # the distinct's aggregate appears before (above) the semi joins
+        assert all(i > first_agg for i in semis[:2])
+
     def test_q20_prefix_and_dates_pushed(self, spark):
         """Locks the q20 shape: the blue% prefix reaches the part scan as
         StringStartsWith and the 1996 window reaches lineitem; every
