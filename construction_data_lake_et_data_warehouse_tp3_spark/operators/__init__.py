@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = (
     "chunk_documents",
     "interpolate_daily_revenue",
     "status_priority_chisq",
+    "ppjoin_jaccard_pairs",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

@@ -208,6 +208,85 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PPJoin threshold θ = NUM/DEN (integer guards keep the compare exact).
+PPJOIN_NUM, PPJOIN_DEN = 1, 2
+
+
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT θ-Jaccard set-similarity join via prefix filtering (the
+    PPJoin family, Xiao et al. WWW'08) — the deterministic complement of
+    minhash: no probability of a missed pair, yet never all-pairs.
+
+    Prefix-filtering principle: order every doc's shingle set by (global
+    frequency asc, shingle) and keep the first m − ⌈θ·m⌉ + 1 entries.
+    Two docs with J ≥ θ overlap in ≥ max(⌈θ·m_a⌉, ⌈θ·m_b⌉) shingles, so
+    their prefixes MUST share one — candidates come from joining on
+    prefix shingles only, and the frequency-ascending order puts the
+    RAREST shingles in the prefix, keeping buckets small. Exact
+    intersection verify on candidates; the integer guard
+    (DEN+NUM)·i ≥ NUM·(m_a+m_b) ⇔ J ≥ θ avoids any float threshold.
+
+    Oracle: the brute-force all-pairs form — parity therefore PROVES
+    prefix-candidate completeness every round (same discipline as the
+    PassJoin edit-distance oracle). Scale: one shuffle on shingles for
+    counts, one per-doc sort of ~m entries, candidate buckets bounded by
+    rare-shingle frequencies; at 100 TB add the standard length filter
+    (skip pairs with m_a < θ·m_b) and positional filter refinements."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(WORD_SHINGLES).alias("ts"))
+    ex = t.select("doc_id", F.explode("ts").alias("s"))
+    cnt = ex.groupBy("s").agg(F.count("*").alias("cnt"))
+    ordered = (
+        ex.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cnt, s))), p -> p.s)"
+            ).alias("os"),
+            F.count("*").alias("m"),
+        )
+    )
+    ceil_tm = f"CAST((m * {PPJOIN_NUM} + {PPJOIN_DEN} - 1) DIV {PPJOIN_DEN} AS INT)"
+    pex = ordered.select(
+        "doc_id", F.explode(F.expr(f"slice(os, 1, m - {ceil_tm} + 1)")).alias("s")
+    )
+    cand = (
+        pex.alias("a")
+        .join(pex.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(ts_a, ts_b))").alias("i"),
+            F.expr("size(ts_a)").alias("ma"),
+            F.expr("size(ts_b)").alias("mb"),
+        )
+    )
+    return (
+        verified.where(
+            F.expr(f"{PPJOIN_DEN + PPJOIN_NUM} * i >= {PPJOIN_NUM} * (ma + mb)")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("ma") + F.col("mb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard similarity for pairs sharing ≥1 shingle, kept at
     J ≥ 0.2. At 100 TB this runs on LSH candidates only; standalone here so
@@ -451,6 +530,7 @@ QUERIES = {
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "simhash_signatures": simhash_signatures,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ppjoin_jaccard_pairs": ppjoin_jaccard_pairs,
     "edit_distance_pairs": edit_distance_pairs,
     "substring_dup_pairs": substring_dup_pairs,
 }
@@ -585,6 +665,25 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) >= 0.2
+    """,
+    # brute-force all-pairs twin: parity vs the prefix-filtered Spark plan
+    # proves candidate completeness (same discipline as PassJoin)
+    "ppjoin_jaccard_pairs": f"""
+        WITH t AS (
+            SELECT doc_id, {WORD_SHINGLES_DUCK} AS ts
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents)
+        ),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.ts, b.ts)) AS i,
+                   len(a.ts) AS ma, len(b.ts) AS mb
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (ma + mb - i) AS jaccard
+        FROM p
+        WHERE {PPJOIN_DEN + PPJOIN_NUM} * i >= {PPJOIN_NUM} * (ma + mb)
     """,
 }
 

@@ -38,3 +38,24 @@ def test_lsh_pipeline_recovers_exact_high_jaccard_pairs(spark):
     assert recall >= 0.9, f"LSH pipeline recall {recall:.2f}; missed {sorted(missed)}"
     # and verified pairs are sound: every piped pair exists in the exact scan
     assert piped <= exact
+
+
+def test_ppjoin_is_exact_not_approximate(spark):
+    """PPJoin's contract is EXACTNESS: its result must equal the exact
+    quadratic scan restricted to J ≥ θ — 100% recall AND precision (a
+    prefix bug shows up as a missing pair here before the oracle runs)."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
+        PPJOIN_DEN,
+        PPJOIN_NUM,
+        ppjoin_jaccard_pairs,
+    )
+
+    theta = PPJOIN_NUM / PPJOIN_DEN
+    # margin on both sides: ngram_jaccard_pairs rounds to 4 decimals, so
+    # a pair sitting exactly on θ could round across the threshold
+    scan = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(spark, SF_DIR).collect()}
+    got = {(r.doc_a, r.doc_b) for r in ppjoin_jaccard_pairs(spark, SF_DIR).collect()}
+    must_have = {p for p, j in scan.items() if j >= theta + 0.001}
+    assert must_have, "corpus should contain pairs above θ"
+    assert must_have <= got
+    assert all(scan.get(p, 0.0) >= theta - 0.001 for p in got)
