@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = (
     "interpolate_daily_revenue",
     "status_priority_chisq",
     "ppjoin_jaccard_pairs",
+    "y4m_video_stats",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

@@ -168,8 +168,30 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def y4m_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free VIDEO decode end to end — completing the
+    image (ppm_pixel_stats) / audio (wav_audio_stats) / video triple:
+    every document becomes a genuine 2-frame 4×4 YUV4MPEG2 clip
+    assembled JVM-side (ASCII stream header + FRAME markers + raw
+    Y/U/V planes), and the mapInPandas kernel parses the header, walks
+    the frame markers, and computes per-frame luma means over the raw
+    Y planes with numpy.
+
+    Oracle-checked exactly: every Y byte re-derives from the md5 hex
+    digits; frame means are sums of 16 ints / 16.0 (exact powers of two)
+    and the 2-frame mean and range stay exact — no rounding call."""
+    from .multimodal import synthetic_y4m_media, y4m_frame_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_y4m_media(docs, "doc_id", "text")
+    return y4m_frame_stats(media).select(
+        "media_id", "width", "height", "n_frames", "mean_luma", "luma_range"
+    )
+
+
 QUERIES = {
     "pandas_scalar_norm": pandas_scalar_norm,
+    "y4m_video_stats": y4m_video_stats,
     "pandas_udaf_value_stats": pandas_udaf_value_stats,
     "apply_in_pandas_group_stats": apply_in_pandas_group_stats,
     "multimodal_features": multimodal_features,
@@ -234,6 +256,29 @@ ORACLE = {
                round(list_sum(list_transform(range(0, 16),
                      j -> ('0x' || substr(hx, (3 * j + 2) * 2 + 1, 2))::BIGINT)) / 16.0, 4) AS b_mean
         FROM h
+    """,
+    # frame f's Y plane is digest bytes [f*24, f*24+16); frame mean =
+    # sum/16.0 (exact), 2-frame mean and range stay exact — the same
+    # values the y4m kernel reads out of the FRAME payloads
+    "y4m_video_stats": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5(text || '1') || md5(text || '2') AS hx
+            FROM documents
+        ),
+        fl AS (
+            SELECT media_id,
+                   list_transform(range(0, 2), f ->
+                       CAST(list_sum(list_transform(range(0, 16),
+                            i -> ('0x' || substr(hx, (f * 24 + i) * 2 + 1, 2))::BIGINT))
+                            AS BIGINT) / 16.0) AS lumas
+            FROM h
+        )
+        SELECT media_id, 4 AS width, 4 AS height, 2 AS n_frames,
+               (lumas[1] + lumas[2]) / 2 AS mean_luma,
+               greatest(lumas[1], lumas[2]) - least(lumas[1], lumas[2])
+                   AS luma_range
+        FROM fl
     """,
     # PCM16-LE samples re-derived from the md5 hex digits: sample k is
     # b[2k] + 256*b[2k+1], sign-folded at 32768 — the same ints the WAV

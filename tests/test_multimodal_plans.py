@@ -121,6 +121,46 @@ class TestMultimodal:
         assert row["peak_abs"] == max(abs(s) for s in expected)
         assert row["mean_abs"] == sum(abs(s) for s in expected) / 24
 
+    def test_decode_y4m_known_frames(self):
+        """The y4m kernel must do real container parsing: stream header
+        params, FRAME markers, C420 plane sizes, per-frame luma means."""
+        y0 = bytes(range(16))          # mean 7.5
+        y1 = bytes([100] * 16)         # mean 100.0
+        chroma = bytes(8)
+        clip = (
+            b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n"
+            + b"FRAME\n" + y0 + chroma
+            + b"FRAME\n" + y1 + chroma
+        )
+        w, h, n, mean, rng = multimodal.decode_y4m(clip)
+        assert (w, h, n) == (4, 4, 2)
+        assert mean == (7.5 + 100.0) / 2
+        assert rng == 100.0 - 7.5
+
+    def test_decode_y4m_rejects_malformed(self):
+        with pytest.raises(ValueError, match="YUV4MPEG2"):
+            multimodal.decode_y4m(b"RIFF....")
+        with pytest.raises(ValueError, match="W/H"):
+            multimodal.decode_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+        with pytest.raises(ValueError, match="unsupported chroma"):
+            multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(48))
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + bytes(5))
+
+    def test_y4m_roundtrip_spark(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([(7, "hello world")], "id long, seed string")
+        media = multimodal.synthetic_y4m_media(df, "id", "seed")
+        row = multimodal.y4m_frame_stats(media).collect()[0]
+        digest = b"".join(
+            hashlib.md5(f"hello world{sfx}".encode()).digest() for sfx in ("", "1", "2")
+        )
+        lumas = [sum(digest[f * 24 : f * 24 + 16]) / 16.0 for f in range(2)]
+        assert (row["width"], row["height"], row["n_frames"]) == (4, 4, 2)
+        assert row["mean_luma"] == sum(lumas) / 2
+        assert row["luma_range"] == max(lumas) - min(lumas)
+
     def test_frame_sample_plan_fanout(self, spark):
         media = multimodal.synthetic_media(spark, 9)  # 3 videos
         frames = multimodal.frame_sample_plan(media, every_ms=250)
