@@ -11,6 +11,6 @@ from .ingest import (  # noqa: F401
     streaming_user_totals,
     windowed_user_totals,
 )
-from .joins import interval_join_streams  # noqa: F401
+from .joins import enrich_stream_with_dim, interval_join_streams  # noqa: F401
 from .stateful import sessionize_stream  # noqa: F401
 from .warehouse_sink import stream_to_warehouse  # noqa: F401

@@ -59,3 +59,27 @@ def interval_join_streams(
         if c != key
     ]
     return joined.select(*keep)
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_left: str,
+    key_right: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the other canonical streaming
+    join: a live fact feed decorated with a batch dim table (the
+    reference does this per row over MySQL, sync_to_mysql.py:146-152; in
+    Structured Streaming the static side is simply joined and re-read
+    per micro-batch, so a dim refresh lands on the NEXT batch without
+    restarting the query).
+
+    The dim side carries a broadcast hint: stream-static joins cannot
+    shuffle the streaming side into a sort-merge join anyway, and the
+    hint pins the plan to BroadcastHashJoin even when stats are missing.
+    Default LEFT join keeps unmatched stream rows (null dim columns) —
+    FK misses flow through for downstream quarantine rather than
+    silently dropping revenue events (SURVEY §7 risk 1)."""
+    cond = F.col(key_left) == F.col(key_right)
+    return stream.join(F.broadcast(dim), cond, how)

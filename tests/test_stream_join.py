@@ -125,3 +125,48 @@ class TestStreamStreamJoin:
             assert "symmetricHashJoin" in progress, progress
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+class TestStreamStaticEnrichment:
+    def test_enrichment_broadcasts_and_keeps_misses(self, spark):
+        """Stream-static dim enrichment: matched rows carry dim columns,
+        FK misses survive the LEFT join with nulls (quarantine-able, not
+        silently dropped), and the static side broadcasts."""
+        import tempfile
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.joins import (
+            enrich_stream_with_dim,
+        )
+
+        root = tempfile.mkdtemp(prefix="tp3_enrich_")
+        try:
+            schema = "tx_id long, method string, amount double"
+            rows = [(1, "card", 10.0), (2, "paypal", 20.0), (3, "crypto", 30.0)]
+            _write_json(spark, rows, schema, f"{root}/src")
+            dim = spark.createDataFrame(
+                [("card", 101), ("paypal", 102)],
+                "payment_method_name string, payment_method_id int",
+            )
+            stream = spark.readStream.schema(schema).json(f"{root}/src")
+            enriched = enrich_stream_with_dim(
+                stream, dim, "method", "payment_method_name"
+            )
+            q = (
+                enriched.writeStream.format("memory")
+                .queryName("enrich_out")
+                .outputMode("append")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = {
+                r.tx_id: r.payment_method_id
+                for r in spark.sql("select * from enrich_out").collect()
+            }
+            assert got == {1: 101, 2: 102, 3: None}
+            # the dim side must be a broadcast join in the streaming plan
+            plan = enriched._jdf.queryExecution().analyzed().toString()
+            assert "ResolvedHint" in plan or "broadcast" in plan.lower()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
