@@ -161,18 +161,28 @@ def status_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts are integers; expected = row·(col/N) keeps every
     op in the same order on both engines (and avoids the row·col int64
     overflow a 10^12-row corpus would hit); outputs carry NO rounding
-    call, so the doubles are bit-identical."""
+    call, so the doubles are bit-identical.
+
+    Marginals are WINDOW sums over the aggregated cell frame, not
+    separate aggregations: deriving row/col/total as new aggregates of
+    `obs` makes Spark re-expand the shared subtree into FOUR corpus
+    scans (plan-locked at one); the windows run over ~|statuses×
+    priorities| rows, where even the unpartitioned total is trivially
+    single-partition-safe."""
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, sf_dir, "orders")
     obs = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_obs")
     )
-    row_t = obs.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("row_total"))
-    col_t = obs.groupBy("o_orderpriority").agg(F.sum("n_obs").alias("col_total"))
-    tot = obs.agg(F.sum("n_obs").alias("n_total"))
     j = (
-        obs.join(F.broadcast(row_t), "o_orderstatus")
-        .join(F.broadcast(col_t), "o_orderpriority")
-        .crossJoin(F.broadcast(tot))
+        obs.withColumn(
+            "row_total", F.sum("n_obs").over(Window.partitionBy("o_orderstatus"))
+        )
+        .withColumn(
+            "col_total", F.sum("n_obs").over(Window.partitionBy("o_orderpriority"))
+        )
+        .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
     )
     expected = F.col("row_total") * (
         F.col("col_total").cast("double") / F.col("n_total")

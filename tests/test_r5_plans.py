@@ -1,0 +1,58 @@
+"""Plan locks for the r5 operators: the shapes that make them viable at
+100 TB must not silently regress (same discipline as the q3/q5/minhash
+locks in test_multimodal_plans.py)."""
+
+from __future__ import annotations
+
+from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+    analytics,
+    curation,
+    python_udfs,
+    temporal,
+    text,
+)
+from construction_data_lake_et_data_warehouse_tp3_spark.plans import (
+    has_broadcast_join,
+    shuffle_exchange_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestR5Plans:
+    def test_chunk_documents_is_map_only(self, spark):
+        """Sliding-window chunking must stay a pure scan→explode pipeline:
+        zero shuffle exchanges (the small-input repartition of the
+        documents loader is round-robin, not a computed shuffle — assert
+        no HASH exchange appears)."""
+        df = curation.chunk_documents(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan
+
+    def test_media_decodes_single_python_stage(self, spark):
+        """Each real-decode operator runs exactly ONE Arrow-batched Python
+        stage (mapInPandas) — a second would mean blobs cross an exchange
+        or re-enter Python."""
+        for fn in (python_udfs.wav_audio_stats, python_udfs.y4m_video_stats):
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("MapInPandas") == 1, fn.__name__
+            assert "hashpartitioning" not in plan, fn.__name__
+
+    def test_interpolation_windows_over_aggregated_frame(self, spark):
+        """The lead() window must run over the ~|days| aggregated rows:
+        exactly one pre-window hash aggregate over orders, and ≤2
+        shuffles total (daily agg + the single-partition window)."""
+        df = temporal.interpolate_daily_revenue(spark, SF_DIR)
+        assert shuffle_exchange_count(df) <= 2
+
+    def test_chisq_single_corpus_scan(self, spark):
+        """Observed cells aggregate once; marginals/total are windows over
+        that ~15-row frame — exactly ONE orders scan in the plan (the
+        separate-aggregates form re-expanded the shared subtree into 4)."""
+        df = analytics.status_priority_chisq(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("orders.parquet") == 1
+
+    def test_bigram_surprisal_vocab_broadcasts(self, spark):
+        df = text.bigram_surprisal(spark, SF_DIR)
+        assert has_broadcast_join(df)  # the 1-row vocab count
