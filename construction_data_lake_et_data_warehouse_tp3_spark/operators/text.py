@@ -270,10 +270,14 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
     )
     c2 = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
+    # c(w1·) folds from the MODEL frame, not the corpus: Σ c2 over
+    # bigrams starting with w1 is identical to counting occurrences, and
+    # aggregating the vocabulary-sized c2 avoids re-expanding the corpus
+    # bigram subtree into a second full scan
     c1 = (
-        bgs.select(F.split("bg", " ").getItem(0).alias("w1"))
+        c2.select(F.split("bg", " ").getItem(0).alias("w1"), "c2")
         .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.sum("c2").alias("c1"))
     )
     vocab = (
         docs.select(F.explode(F.expr(TOKENS)).alias("tok"))
