@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = (
     "status_priority_chisq",
     "ppjoin_jaccard_pairs",
     "y4m_video_stats",
+    "event_funnel",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

@@ -197,9 +197,73 @@ def status_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: funnel stage sequence over the events table's event_type domain.
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+#: per-user funnel fold over the time-sorted event array: stage k's
+#: timestamp is the FIRST event of its type STRICTLY after stage k-1's
+#: (ties excluded on both engines). One pass, no per-stage re-scan.
+_FUNNEL_FOLD = (
+    "aggregate(evs,"
+    " named_struct('t1', CAST(NULL AS TIMESTAMP), 't2', CAST(NULL AS TIMESTAMP),"
+    "              't3', CAST(NULL AS TIMESTAMP)),"
+    " (a, e) -> named_struct("
+    f"   't1', IF(a.t1 IS NULL AND e.et = '{FUNNEL_STAGES[0]}', e.ts, a.t1),"
+    f"   't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL AND e.ts > a.t1"
+    f"            AND e.et = '{FUNNEL_STAGES[1]}', e.ts, a.t2),"
+    f"   't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL AND e.ts > a.t2"
+    f"            AND e.et = '{FUNNEL_STAGES[2]}', e.ts, a.t3)))"
+)
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → purchase): how many
+    users reach each stage IN ORDER, with the conversion rate vs stage 1.
+    A user advances only on an event strictly after their previous
+    stage's timestamp — the behavioral-analytics shape (Amplitude-style)
+    the relational surface was missing.
+
+    Plan: ONE shuffle (groupBy user collects the time-sorted event
+    array), then the three stage timestamps come from a single sequential
+    fold over that array — the naive form is one self-join per stage,
+    each re-scanning events (the oracle keeps that form, so the fold is
+    cross-checked every round). Conversion division is int/int → double,
+    identical on both engines; no rounding call."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(ts AS ts, event_type AS et)))"
+            ).alias("evs")
+        )
+        .select(F.expr(_FUNNEL_FOLD).alias("f"))
+    )
+    counts = per_user.agg(
+        F.count(F.col("f.t1")).alias("n1"),
+        F.count(F.col("f.t2")).alias("n2"),
+        F.count(F.col("f.t3")).alias("n3"),
+    )
+    stages = ", ".join(
+        f"struct('{name}' AS stage, {i + 1} AS stage_idx, n{i + 1} AS n_users)"
+        for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return (
+        counts.select(F.expr(f"explode(array({stages}))").alias("s"), "n1")
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_idx").alias("stage_idx"),
+            F.col("s.n_users").alias("n_users"),
+            (F.col("s.n_users") / F.col("n1")).alias("conversion"),
+        )
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "status_priority_chisq": status_priority_chisq,
+    "event_funnel": event_funnel,
     "order_status_matrix": order_status_matrix,
     "unpivot_status_revenue": unpivot_status_revenue,
     "hopping_window_events": hopping_window_events,
@@ -209,6 +273,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    # independent per-stage self-join form (the naive algorithm the fold
+    # replaces): stage k = min event strictly after stage k-1
+    "event_funnel": f"""
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+        ),
+        t2 AS (
+            SELECT e.user_id, min(ts) AS t2
+            FROM events e JOIN t1 USING (user_id)
+            WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts > t1 GROUP BY 1
+        ),
+        t3 AS (
+            SELECT e.user_id, min(ts) AS t3
+            FROM events e JOIN t2 USING (user_id)
+            WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts > t2 GROUP BY 1
+        ),
+        n AS (
+            SELECT (SELECT count(*) FROM t1) AS n1,
+                   (SELECT count(*) FROM t2) AS n2,
+                   (SELECT count(*) FROM t3) AS n3
+        )
+        SELECT s.stage, s.stage_idx,
+               CASE s.stage_idx WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                   AS n_users,
+               CAST(CASE s.stage_idx WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                    AS DOUBLE) / n1 AS conversion
+        FROM n, (VALUES ('{FUNNEL_STAGES[0]}', 1), ('{FUNNEL_STAGES[1]}', 2),
+                        ('{FUNNEL_STAGES[2]}', 3)) AS s(stage, stage_idx)
+    """,
     # expected written as row·(col/N) in BOTH engines: same IEEE op
     # order, no int64 row·col overflow at scale, no rounding call
     "status_priority_chisq": """
