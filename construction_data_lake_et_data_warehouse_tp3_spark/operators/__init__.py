@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = (
     "ppjoin_jaccard_pairs",
     "y4m_video_stats",
     "event_funnel",
+    "retention_cohorts",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

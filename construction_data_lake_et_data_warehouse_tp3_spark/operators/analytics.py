@@ -260,10 +260,55 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix — the funnel's longitudinal
+    companion: users grouped by their FIRST-activity month, tracked by
+    how many are active k months later, with the retention rate vs the
+    cohort's size. The standard product-analytics heatmap input.
+
+    Plan: dedupe to (user, month) first — ONE shuffle that also shrinks
+    the frame to |users|×|months| — then the cohort month is a window
+    min per user over that small frame and the matrix is one more
+    aggregation; cohort sizes come from the offset-0 rows of the SAME
+    frame (broadcast back), so events is scanned once. Rates are
+    int/int → double with no rounding call."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    user_months = (
+        events.select(
+            "user_id", F.date_trunc("month", "ts").cast("date").alias("m")
+        )
+        .distinct()
+    )
+    cohort = F.min("m").over(Window.partitionBy("user_id"))
+    matrix = (
+        user_months.withColumn("cohort_month", cohort)
+        .withColumn(
+            "month_offset", F.months_between("m", F.col("cohort_month")).cast("int")
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = matrix.where(F.col("month_offset") == 0).select(
+        "cohort_month", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_active",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "status_priority_chisq": status_priority_chisq,
     "event_funnel": event_funnel,
+    "retention_cohorts": retention_cohorts,
     "order_status_matrix": order_status_matrix,
     "unpivot_status_revenue": unpivot_status_revenue,
     "hopping_window_events": hopping_window_events,
@@ -302,6 +347,31 @@ ORACLE = {
                     AS DOUBLE) / n1 AS conversion
         FROM n, (VALUES ('{FUNNEL_STAGES[0]}', 1), ('{FUNNEL_STAGES[1]}', 2),
                         ('{FUNNEL_STAGES[2]}', 3)) AS s(stage, stage_idx)
+    """,
+    "retention_cohorts": """
+        WITH um AS (
+            SELECT DISTINCT user_id, date_trunc('month', ts)::DATE AS m
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, m,
+                   min(m) OVER (PARTITION BY user_id) AS cohort_month
+            FROM um
+        ),
+        matrix AS (
+            SELECT cohort_month,
+                   date_diff('month', cohort_month, m) AS month_offset,
+                   count(*) AS n_active
+            FROM c GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_month, n_active AS cohort_size
+            FROM matrix WHERE month_offset = 0
+        )
+        SELECT cohort_month, CAST(month_offset AS INT) AS month_offset,
+               n_active,
+               CAST(n_active AS DOUBLE) / cohort_size AS retention
+        FROM matrix JOIN sizes USING (cohort_month)
     """,
     # expected written as row·(col/N) in BOTH engines: same IEEE op
     # order, no int64 row·col overflow at scale, no rounding call
