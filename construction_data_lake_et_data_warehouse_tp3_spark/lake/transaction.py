@@ -251,6 +251,27 @@ class Lakehouse:
         read). Markers older than the threshold are presumed crashed and
         reclaimed along with their staging; pass 0 only when no writer
         can be live (maintenance windows, tests)."""
+        # Scan active markers BEFORE resolving commits/live: a transaction
+        # that commits mid-vacuum clears its marker, and if markers were
+        # read last it would be neither live (manifest landed after the
+        # commit scan) nor protected — its freshly published staging
+        # would be deleted. Marker-first ordering closes that window; the
+        # staged-dir age guard below covers transactions begun after this
+        # scan.
+        now = time.time()
+        protected: set[str] = set()
+        for marker in glob.glob(os.path.join(self._active_dir, "*")):
+            try:
+                young = (now - os.path.getmtime(marker)) < min_txn_age_seconds
+            except OSError:
+                continue  # marker raced away: its txn committed/aborted
+            if young:
+                protected.add(os.path.basename(marker))
+            else:
+                try:  # presumed crashed — staging reclaimed below
+                    os.remove(marker)
+                except FileNotFoundError:
+                    pass  # cleared by a concurrent commit/abort/vacuum
         commits = self._committed_snapshots()
         retained = commits[-keep_snapshots:] if keep_snapshots else []
         needed: set[int] = set(retained)
@@ -269,17 +290,6 @@ class Lakehouse:
             for n in retained
             for path in self.tables(snapshot=n).values()
         }
-        now = time.time()
-        protected: set[str] = set()
-        for marker in glob.glob(os.path.join(self._active_dir, "*")):
-            try:
-                young = (now - os.path.getmtime(marker)) < min_txn_age_seconds
-            except OSError:
-                continue  # marker raced away: its txn committed/aborted
-            if young:
-                protected.add(os.path.basename(marker))
-            else:
-                os.remove(marker)  # presumed crashed — staging reclaimed below
         removed = []
         for staged in glob.glob(os.path.join(self.root, "tables", "*", "_txn_*")):
             if os.path.normpath(staged) in live:
@@ -288,6 +298,11 @@ class Lakehouse:
             txn_id = os.path.basename(staged)[len("_txn_"):].rsplit("_", 1)[0]
             if txn_id in protected:
                 continue
+            try:  # a txn begun AFTER the marker scan: its staging is young
+                if (now - os.path.getmtime(staged)) < min_txn_age_seconds:
+                    continue
+            except OSError:
+                continue  # already being cleaned up elsewhere
             shutil.rmtree(staged, ignore_errors=True)
             removed.append(staged)
         for n in commits:

@@ -229,6 +229,11 @@ def decode_wav(content: bytes) -> tuple[int, int, int, float, int]:
         cid = content[pos:pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
         body = content[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # the container declares more bytes than the buffer holds —
+            # raise like the y4m twin instead of silently computing
+            # stats over a partial payload
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size}")
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":

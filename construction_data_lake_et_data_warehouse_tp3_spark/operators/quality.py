@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from .text import TOKENS, TOKENS_DUCK, _STOP_SQL
+from .text import _BIGRAMS, TOKENS, TOKENS_DUCK, _STOP_SQL
 
 #: quality_filters thresholds (Gopher-rule shapes, scaled to the synthetic
 #: corpus: single-line word-soup docs of ~25-80 words).
@@ -73,17 +73,6 @@ _RUN_FOLD = (
     "   'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, CAST(1 AS BIGINT))),"
     "   'nd', a.nd + IF(x = a.prev, CAST(0 AS BIGINT), CAST(1 AS BIGINT))),"
     " a -> named_struct('best', a.best, 'nd', a.nd))"
-)
-
-#: adjacent word bigrams as strings ('w1 w2'); empty when < 2 words.
-#: The short-doc branch MUST be an explicit empty array: Spark's
-#: sequence(1, 0) is a DECREMENTING [1, 0], so without the guard a
-#: 1-word doc reaches element_at(ws, 0) and throws at runtime (the
-#: DuckDB twin's range(1, 1) is already empty).
-_BIGRAMS = (
-    "if(size({ws}) < 2, array(),"
-    " transform(sequence(1, size({ws}) - 1),"
-    " i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))))"
 )
 
 #: 4-word shingles; empty when the doc has < NGRAM_WORDS words (same

@@ -16,6 +16,19 @@ from ..sources.registry import load_table
 from .dedup import CHAR_SHINGLES_DUCK as _CHAR_SHINGLES_DUCK
 from .dedup import TOKENS, TOKENS_DUCK  # shared def lives dedup-side (import order)
 
+#: adjacent word bigrams as strings ('w1 w2'); empty when < 2 words.
+#: The short-doc branch MUST be an explicit empty array: Spark's
+#: sequence(1, 0) is a DECREMENTING [1, 0], so without the guard a
+#: 1-word doc reaches element_at(ws, 0) and throws at runtime (the
+#: DuckDB twin's range(1, 1) is already empty). Shared by
+#: quality.repetition_stats and bigram_surprisal — ONE definition, so a
+#: bigram-derivation fix can never apply to one and not the other.
+_BIGRAMS = (
+    "if(size({ws}) < 2, array(),"
+    " transform(sequence(1, size({ws}) - 1),"
+    " i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))))"
+)
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -260,14 +273,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a shuffle join on the bigram string. Docs with <2 words have no
     bigrams and drop out (identical on the oracle side)."""
     docs = load_table(spark, sf_dir, "documents")
-    bg_expr = (
-        f"transform(sequence(1, size(ws) - 1),"
-        f" i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
-    )
     bgs = (
         docs.select("doc_id", F.expr(TOKENS).alias("ws"))
         .where(F.expr("size(ws) >= 2"))
-        .select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS.format(ws="ws"))).alias("bg"))
     )
     c2 = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
     # c(w1·) folds from the MODEL frame, not the corpus: Σ c2 over

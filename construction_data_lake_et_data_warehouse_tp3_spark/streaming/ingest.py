@@ -213,24 +213,30 @@ def ingest_with_dlq(
     checkpoint: str,
     required: tuple[str, ...] = (),
 ):
-    """Streaming ingest with quarantine: one foreachBatch parses each
-    micro-batch ONCE and lands good rows in the partitioned lake sink and
-    rejects in the dead-letter dir — a second source read (two separate
-    queries) would double the Kafka egress. The good path inherits the
-    foreachBatch at-least-once contract; downstream exact-once consumers
-    dedupe by key (dedup_redelivered) exactly as for the Kafka source
-    itself."""
+    """Streaming ingest with quarantine: one foreachBatch READS each
+    micro-batch once (persisted for the duration of the batch) and lands
+    good rows in the partitioned lake sink and rejects in the dead-letter
+    dir — two separate queries would double the Kafka egress, and an
+    unpersisted batch would re-read the source per sink action. The
+    column-level from_json runs per sink over the cached rows (cheap CPU,
+    zero extra egress). The good path inherits the foreachBatch
+    at-least-once contract; downstream exact-once consumers dedupe by key
+    (dedup_redelivered) exactly as for the Kafka source itself."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        good, dead = split_dead_letters(batch_df, topic, required)
-        (
-            with_processing_date(good)
-            .write.mode("append")
-            .partitionBy("year", "month", "day")
-            .parquet(path)
-        )
-        if dead.limit(1).count():
-            dead.write.mode("append").parquet(dlq_path)
+        batch = batch_df.persist()
+        try:
+            good, dead = split_dead_letters(batch, topic, required)
+            (
+                with_processing_date(good)
+                .write.mode("append")
+                .partitionBy("year", "month", "day")
+                .parquet(path)
+            )
+            if dead.limit(1).count():
+                dead.write.mode("append").parquet(dlq_path)
+        finally:
+            batch.unpersist()
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -112,8 +112,10 @@ def merge_into(
     # the updates subtree (often a full aggregation pipeline) is consumed
     # twice — the row count and the result write; persist so it computes
     # once. current_timestamp is also frozen by this, so every written row
-    # carries one stamp per merge.
-    updates = updates.persist()
+    # carries one stamp per merge. Keep a dedicated handle: the
+    # updated_at-carry branch below REBINDS `updates`, and unpersisting
+    # the rebound frame would leak the cached one for the session.
+    updates = persisted = updates.persist()
 
     if table.exists():
         target = table.read()
@@ -155,5 +157,5 @@ def merge_into(
         n = updates.count()
         table.overwrite(result)
     finally:
-        updates.unpersist()
+        persisted.unpersist()
     return n

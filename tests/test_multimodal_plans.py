@@ -101,6 +101,15 @@ class TestMultimodal:
         )
         with pytest.raises(ValueError, match="unsupported"):
             multimodal.decode_wav(stereo)
+        # declared data size larger than the buffer: must raise, never
+        # compute stats over a partial payload
+        cut = (
+            b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 100) + b"\x00\x00"
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_wav(cut)
 
     def test_wav_roundtrip_spark(self, spark):
         """JVM-side WAV assembly → pandas kernel decode: the header the

@@ -189,8 +189,9 @@ class TestQualityPlans:
             and "text#" in line.split("FileScan")[1][:120]  # ReadSchema cols
         ]
         # scans whose pushed filters lack the eval modulo — exactly one
-        # such scan may read text
-        full = [line for line in text_scans if "97" not in line]
+        # such scan may read text. Match the modulo PREDICATE, not a bare
+        # "97" substring (expression ids like text#197 would false-match)
+        full = [line for line in text_scans if "% 97" not in line]
         assert len(full) <= 1, plan
 
     def test_domain_mix_single_corpus_scan(self, spark):
