@@ -290,6 +290,10 @@ class Lakehouse:
             for n in retained
             for path in self.tables(snapshot=n).values()
         }
+        # a txn_id appearing in any committed manifest is definitively
+        # DONE — its unreferenced staging (superseded re-stages) is
+        # reclaimable immediately, no age heuristic needed
+        done_txns = {self._manifest(n).get("txn_id") for n in commits}
         removed = []
         for staged in glob.glob(os.path.join(self.root, "tables", "*", "_txn_*")):
             if os.path.normpath(staged) in live:
@@ -298,11 +302,12 @@ class Lakehouse:
             txn_id = os.path.basename(staged)[len("_txn_"):].rsplit("_", 1)[0]
             if txn_id in protected:
                 continue
-            try:  # a txn begun AFTER the marker scan: its staging is young
-                if (now - os.path.getmtime(staged)) < min_txn_age_seconds:
-                    continue
-            except OSError:
-                continue  # already being cleaned up elsewhere
+            if txn_id not in done_txns:
+                try:  # txn begun AFTER the marker scan: staging is young
+                    if (now - os.path.getmtime(staged)) < min_txn_age_seconds:
+                        continue
+                except OSError:
+                    continue  # already being cleaned up elsewhere
             shutil.rmtree(staged, ignore_errors=True)
             removed.append(staged)
         for n in commits:
