@@ -197,12 +197,17 @@ def status_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: funnel stage sequence over the events table's event_type domain.
+#: funnel stage sequence over the events table's event_type domain, and
+#: the conversion window: each stage must land within FUNNEL_WINDOW_DAYS
+#: of the previous one (an unwindowed funnel is degenerate on a dense
+#: event stream — every long-lived user eventually does everything).
 FUNNEL_STAGES = ("signup", "view", "purchase")
+FUNNEL_WINDOW_DAYS = 3
 
 #: per-user funnel fold over the time-sorted event array: stage k's
 #: timestamp is the FIRST event of its type STRICTLY after stage k-1's
-#: (ties excluded on both engines). One pass, no per-stage re-scan.
+#: and within the window (ties excluded on both engines). One pass, no
+#: per-stage re-scan.
 _FUNNEL_FOLD = (
     "aggregate(evs,"
     " named_struct('t1', CAST(NULL AS TIMESTAMP), 't2', CAST(NULL AS TIMESTAMP),"
@@ -210,8 +215,10 @@ _FUNNEL_FOLD = (
     " (a, e) -> named_struct("
     f"   't1', IF(a.t1 IS NULL AND e.et = '{FUNNEL_STAGES[0]}', e.ts, a.t1),"
     f"   't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL AND e.ts > a.t1"
+    f"            AND e.ts <= a.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY"
     f"            AND e.et = '{FUNNEL_STAGES[1]}', e.ts, a.t2),"
     f"   't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL AND e.ts > a.t2"
+    f"            AND e.ts <= a.t2 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY"
     f"            AND e.et = '{FUNNEL_STAGES[2]}', e.ts, a.t3)))"
 )
 
@@ -328,12 +335,14 @@ ORACLE = {
         t2 AS (
             SELECT e.user_id, min(ts) AS t2
             FROM events e JOIN t1 USING (user_id)
-            WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts > t1 GROUP BY 1
+            WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts > t1
+              AND ts <= t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY GROUP BY 1
         ),
         t3 AS (
             SELECT e.user_id, min(ts) AS t3
             FROM events e JOIN t2 USING (user_id)
-            WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts > t2 GROUP BY 1
+            WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts > t2
+              AND ts <= t2 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY GROUP BY 1
         ),
         n AS (
             SELECT (SELECT count(*) FROM t1) AS n1,
