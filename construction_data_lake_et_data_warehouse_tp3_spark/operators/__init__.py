@@ -57,6 +57,8 @@ _DRIVER_PRIORITY = (
     "y4m_video_stats",
     "event_funnel",
     "retention_cohorts",
+    "rfm_segments",
+    "basket_lift",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

@@ -311,11 +311,101 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order, vs
+    the corpus max date), frequency (order count), monetary (revenue) —
+    each quartile-scored 1-4 with ntile. The classic CRM segmentation
+    shape on the relational side.
+
+    Determinism: ntile ordering carries the customer key as tiebreak, so
+    bucket boundaries are identical on both engines. The three global
+    ntile windows run over the ~|customers| aggregated rows in one
+    partition — fine at warehouse cardinalities; at 10^9 customers swap
+    ntile for approx-quantile cutoffs (the aggregation below is
+    unchanged). Monetary uses fixed-point money_sum; recency is an
+    integer date diff; no rounding anywhere else."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        money_sum("o_totalprice").alias("monetary"),
+    )
+    maxd = per_cust.agg(F.max("last_order").alias("maxd"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "customer_id",
+        F.datediff("maxd", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("customer_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("customer_id"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("customer_id"))
+    return base.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+
+
+#: basket-lift minimum pair support and result depth.
+LIFT_MIN_SUPPORT = 3
+LIFT_TOP_K = 50
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: for part pairs co-occurring in ≥
+    LIFT_MIN_SUPPORT orders, lift = P(a,b) / (P(a)·P(b)) — computed as
+    double(n_ab)·N / n_a / n_b (that exact op order on both engines:
+    double-first avoids the n_ab·N int64 overflow a 10^12-order corpus
+    would hit). Top-LIFT_TOP_K by lift with pair tiebreak.
+
+    Plan: distinct (order, part) once; pair counts via the same
+    self-join-on-order shape as the co-purchase graph (bounded by
+    items-per-order); item counts and the order total derive from the
+    SAME distinct frame; the support filter caps the rerank input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= LIFT_MIN_SUPPORT)
+    )
+    item_n = op.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n_item"))
+    total = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_orders") / F.col("n_a") / F.col("n_b")
+    )
+    return (
+        pair_n.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(total))
+        .select("part_a", "part_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(LIFT_TOP_K)
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "status_priority_chisq": status_priority_chisq,
     "event_funnel": event_funnel,
     "retention_cohorts": retention_cohorts,
+    "rfm_segments": rfm_segments,
+    "basket_lift": basket_lift,
     "order_status_matrix": order_status_matrix,
     "unpivot_status_revenue": unpivot_status_revenue,
     "hopping_window_events": hopping_window_events,
@@ -356,6 +446,52 @@ ORACLE = {
                     AS DOUBLE) / n1 AS conversion
         FROM n, (VALUES ('{FUNNEL_STAGES[0]}', 1), ('{FUNNEL_STAGES[1]}', 2),
                         ('{FUNNEL_STAGES[2]}', 3)) AS s(stage, stage_idx)
+    """,
+    "rfm_segments": f"""
+        WITH per_cust AS (
+            SELECT o_custkey AS customer_id,
+                   max(CAST(o_orderdate AS DATE)) AS last_order,
+                   count(*) AS frequency,
+                   {money_sum_sql('o_totalprice')} AS monetary
+            FROM orders GROUP BY 1
+        ),
+        base AS (
+            SELECT customer_id,
+                   date_diff('day', last_order,
+                             (SELECT max(last_order) FROM per_cust))
+                       AS recency_days,
+                   frequency, monetary
+            FROM per_cust
+        )
+        SELECT customer_id, CAST(recency_days AS INT) AS recency_days,
+               frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days ASC, customer_id ASC)
+                    AS INT) AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, customer_id ASC)
+                    AS INT) AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, customer_id ASC)
+                    AS INT) AS m_score
+        FROM base
+    """,
+    "basket_lift": f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pair_n AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_ab
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {LIFT_MIN_SUPPORT}
+        ),
+        item_n AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY 1),
+        total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+        SELECT part_a, part_b, n_ab,
+               CAST(n_ab AS DOUBLE) * n_orders / na.n_item / nb.n_item AS lift
+        FROM pair_n
+        JOIN item_n na ON na.l_partkey = part_a
+        JOIN item_n nb ON nb.l_partkey = part_b, total
+        ORDER BY lift DESC, part_a ASC, part_b ASC
+        LIMIT {LIFT_TOP_K}
     """,
     "retention_cohorts": """
         WITH um AS (
