@@ -268,9 +268,10 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly cohort retention matrix — the funnel's longitudinal
-    companion: users grouped by their FIRST-activity month, tracked by
-    how many are active k months later, with the retention rate vs the
+    """Weekly cohort retention matrix — the funnel's longitudinal
+    companion: users grouped by their FIRST-activity week, tracked by
+    how many are active k weeks later (the events corpus spans one
+    month, so a monthly grain would be a single degenerate cell), with the retention rate vs the
     cohort's size. The standard product-analytics heatmap input.
 
     Plan: dedupe to (user, month) first — ONE shuffle that also shrinks
@@ -282,29 +283,30 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
-    user_months = (
+    user_weeks = (
         events.select(
-            "user_id", F.date_trunc("month", "ts").cast("date").alias("m")
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
         )
         .distinct()
     )
-    cohort = F.min("m").over(Window.partitionBy("user_id"))
+    cohort = F.min("w").over(Window.partitionBy("user_id"))
     matrix = (
-        user_months.withColumn("cohort_month", cohort)
+        user_weeks.withColumn("cohort_week", cohort)
         .withColumn(
-            "month_offset", F.months_between("m", F.col("cohort_month")).cast("int")
+            "week_offset",
+            F.expr("CAST(datediff(w, cohort_week) DIV 7 AS INT)"),
         )
-        .groupBy("cohort_month", "month_offset")
+        .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
     )
-    sizes = matrix.where(F.col("month_offset") == 0).select(
-        "cohort_month", F.col("n_active").alias("cohort_size")
+    sizes = matrix.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
     )
     return (
-        matrix.join(F.broadcast(sizes), "cohort_month")
+        matrix.join(F.broadcast(sizes), "cohort_week")
         .select(
-            "cohort_month",
-            "month_offset",
+            "cohort_week",
+            "week_offset",
             "n_active",
             (F.col("n_active") / F.col("cohort_size")).alias("retention"),
         )
@@ -354,7 +356,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: basket-lift minimum pair support and result depth.
-LIFT_MIN_SUPPORT = 3
+LIFT_MIN_SUPPORT = 2
 LIFT_TOP_K = 50
 
 
@@ -494,29 +496,29 @@ ORACLE = {
         LIMIT {LIFT_TOP_K}
     """,
     "retention_cohorts": """
-        WITH um AS (
-            SELECT DISTINCT user_id, date_trunc('month', ts)::DATE AS m
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w
             FROM events
         ),
         c AS (
-            SELECT user_id, m,
-                   min(m) OVER (PARTITION BY user_id) AS cohort_month
-            FROM um
+            SELECT user_id, w,
+                   min(w) OVER (PARTITION BY user_id) AS cohort_week
+            FROM uw
         ),
         matrix AS (
-            SELECT cohort_month,
-                   date_diff('month', cohort_month, m) AS month_offset,
+            SELECT cohort_week,
+                   date_diff('day', cohort_week, w) // 7 AS week_offset,
                    count(*) AS n_active
             FROM c GROUP BY 1, 2
         ),
         sizes AS (
-            SELECT cohort_month, n_active AS cohort_size
-            FROM matrix WHERE month_offset = 0
+            SELECT cohort_week, n_active AS cohort_size
+            FROM matrix WHERE week_offset = 0
         )
-        SELECT cohort_month, CAST(month_offset AS INT) AS month_offset,
+        SELECT cohort_week, CAST(week_offset AS INT) AS week_offset,
                n_active,
                CAST(n_active AS DOUBLE) / cohort_size AS retention
-        FROM matrix JOIN sizes USING (cohort_month)
+        FROM matrix JOIN sizes USING (cohort_week)
     """,
     # expected written as row·(col/N) in BOTH engines: same IEEE op
     # order, no int64 row·col overflow at scale, no rounding call
