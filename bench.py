@@ -70,6 +70,8 @@ HEADLINE = (
     "interpolate_daily_revenue",
     "event_funnel",
     "retention_cohorts",
+    "rfm_segments",
+    "basket_lift",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -1,5 +1,9 @@
-"""Remaining relational surface: scalar subqueries, conditional
-aggregation, CUBE grouping sets, string-function projection.
+"""Remaining relational surface plus the behavioral/statistical layer:
+scalar subqueries, conditional aggregation, CUBE grouping sets,
+string-function projection, hopping windows, hypertable rollup — and the
+product-analytics shapes a warehouse team runs on top (r5): windowed
+conversion funnel, weekly retention cohorts, RFM segmentation,
+market-basket lift, chi-square contingency.
 
 These round out the SQL shapes a warehouse user expects beyond the
 reference's literal operator list (all Catalyst built-ins; no custom
