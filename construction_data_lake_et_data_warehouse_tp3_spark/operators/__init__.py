@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = (
     "retention_cohorts",
     "rfm_segments",
     "basket_lift",
+    "revenue_anomalies",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

@@ -283,6 +283,61 @@ def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: anomaly threshold in sigmas.
+ANOMALY_SIGMAS = 2
+
+
+def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly detection: flag days whose revenue deviates
+    from the corpus mean by more than ANOMALY_SIGMAS standard deviations
+    — the monitoring shape a warehouse team alerts on.
+
+    Exactness discipline: naive variance via n·Σx² − (Σx)² overflows
+    int64 on large corpora, and a distributed double sum is
+    addition-order dependent — so μ and σ² fold SEQUENTIALLY over the
+    COLLECTED sorted daily-cents array (≈|days| values, trivially
+    driver-side-free but single-row), the same fixed-order trick the
+    k-means distance folds use. Both engines fold the identical sorted
+    list, so every double is bit-identical; the only comparison is
+    |x−μ| > k·σ with those shared values, and no rounding call exists
+    anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    # μ from the EXACT integer cent sum (order-free) divided once; only
+    # the squared-deviation sum needs a float fold, done sequentially
+    # over the sorted list on both engines (Spark aggregate() ≙ DuckDB
+    # list_reduce, both strict left folds)
+    stats = daily.agg(
+        F.sum("cents").alias("s"),
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("cents")).alias("xs"),
+    ).select(
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        "xs",
+    ).select(
+        "mu",
+        F.expr(
+            "sqrt(aggregate(xs, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + (x - mu) * (x - mu)) / size(xs))"
+        ).alias("sigma"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .where(
+            F.abs(F.col("cents") - F.col("mu"))
+            > F.lit(ANOMALY_SIGMAS) * F.col("sigma")
+        )
+        .select(
+            "day",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            (F.col("mu") / 100).alias("mean_revenue"),
+            ((F.col("cents") - F.col("mu")) / F.col("sigma")).alias("z_score"),
+        )
+    )
+
+
 def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per order status (oracle-checked);
     the 100 TB variant is median_order_value_approx below."""
@@ -341,6 +396,7 @@ QUERIES = {
     "daily_event_stats": daily_event_stats,
     "resample_daily_revenue": resample_daily_revenue,
     "interpolate_daily_revenue": interpolate_daily_revenue,
+    "revenue_anomalies": revenue_anomalies,
     "session_window_stats": session_window_stats,
     "event_sessions": event_sessions,
     "asof_latest_order": asof_latest_order,
@@ -399,6 +455,41 @@ ORACLE = {
                {money_sum_sql('value')} AS total_value
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    # μ = exact BIGINT cent sum / n (one division, order-free); the
+    # squared-deviation sum folds SEQUENTIALLY over the same sorted list
+    # on both engines — DuckDB list_reduce and Spark aggregate() are both
+    # strict left folds, so σ is bit-identical (list_sum's internal
+    # summation order is NOT guaranteed, hence list_reduce + a prepended
+    # 0.0 seed)
+    "revenue_anomalies": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        arr AS (
+            SELECT list_sort(list(cents)) AS xs,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   count(*) AS n
+            FROM daily
+        ),
+        s AS (SELECT CAST(s AS DOUBLE) / n AS mu, xs FROM arr),
+        st AS (
+            SELECT mu,
+                   sqrt(list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(xs, x -> (x - mu) * (x - mu))),
+                        (a, b) -> a + b) / len(xs)) AS sigma
+            FROM s
+        )
+        SELECT day,
+               CAST(cents AS DOUBLE) / 100 AS revenue,
+               mu / 100 AS mean_revenue,
+               (cents - mu) / sigma AS z_score
+        FROM daily, st
+        WHERE abs(cents - mu) > {ANOMALY_SIGMAS} * sigma
     """,
     # same lead()-gap expansion; interpolation is int + (int·int)/int with
     # no rounding call, so the doubles are bit-identical across engines
