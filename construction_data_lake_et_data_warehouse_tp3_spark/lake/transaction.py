@@ -273,6 +273,9 @@ class Lakehouse:
                 except FileNotFoundError:
                     pass  # cleared by a concurrent commit/abort/vacuum
         commits = self._committed_snapshots()
+        # one read per manifest for the whole vacuum (the winner loop,
+        # done_txns, and live-set resolution all need them)
+        manifests = {n: self._manifest(n) for n in commits}
         retained = commits[-keep_snapshots:] if keep_snapshots else []
         needed: set[int] = set(retained)
         # a retained snapshot may resolve a table through an OLDER
@@ -281,19 +284,24 @@ class Lakehouse:
         for n in retained:
             winner: dict[str, int] = {}
             for c in (c for c in commits if c <= n):
-                for table in self._manifest(c)["tables"]:
+                for table in manifests[c]["tables"]:
                     winner[table] = c
             needed.update(winner.values())
         # staged dirs: only what the retained snapshots actually SEE lives
-        live = {
-            os.path.normpath(path)
-            for n in retained
-            for path in self.tables(snapshot=n).values()
-        }
+        live = set()
+        for n in retained:
+            resolved: dict[str, str] = {}
+            for c in (c for c in commits if c <= n):  # ascending: later wins
+                for table, rel in manifests[c]["tables"].items():
+                    resolved[table] = rel
+            live.update(
+                os.path.normpath(os.path.join(self.root, rel))
+                for rel in resolved.values()
+            )
         # a txn_id appearing in any committed manifest is definitively
         # DONE — its unreferenced staging (superseded re-stages) is
         # reclaimable immediately, no age heuristic needed
-        done_txns = {self._manifest(n).get("txn_id") for n in commits}
+        done_txns = {m.get("txn_id") for m in manifests.values()}
         removed = []
         for staged in glob.glob(os.path.join(self.root, "tables", "*", "_txn_*")):
             if os.path.normpath(staged) in live:

@@ -274,13 +274,14 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix — the funnel's longitudinal
     companion: users grouped by their FIRST-activity week, tracked by
-    how many are active k weeks later (the events corpus spans one
-    month, so a monthly grain would be a single degenerate cell), with the retention rate vs the
-    cohort's size. The standard product-analytics heatmap input.
+    how many are active k weeks later, with the retention rate vs the
+    cohort's size. The standard product-analytics heatmap input. (The
+    events corpus spans one month, so a monthly grain would be a single
+    degenerate cell — hence weeks.)
 
-    Plan: dedupe to (user, month) first — ONE shuffle that also shrinks
-    the frame to |users|×|months| — then the cohort month is a window
-    min per user over that small frame and the matrix is one more
+    Plan: dedupe to (user, week) first — ONE shuffle that also shrinks
+    the frame to |users|×|weeks| — then the cohort week is a window min
+    per user over that small frame and the matrix is one more
     aggregation; cohort sizes come from the offset-0 rows of the SAME
     frame (broadcast back), so events is scanned once. Rates are
     int/int → double with no rounding call."""
@@ -375,15 +376,13 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join-on-order shape as the co-purchase graph (bounded by
     items-per-order); item counts and the order total derive from the
     SAME distinct frame; the support filter caps the rerank input."""
+    from .graph import order_item_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    op, pairs = order_item_pairs(li)
     pair_n = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        pairs.groupBy(
+            F.col("src").alias("part_a"), F.col("dst").alias("part_b")
         )
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= LIFT_MIN_SUPPORT)

@@ -31,22 +31,28 @@ DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as a ratio
 TOP_K = 20
 
 
+def order_item_pairs(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(op, pairs): the distinct (order, part) frame and the canonical
+    src<dst co-occurrence pair STREAM (one row per order-pair instance)
+    — the shared base of the co-purchase graph builders here and
+    analytics.basket_lift, so the canonical-orientation logic lives in
+    exactly one place."""
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return op, pairs
+
+
 def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges in canonical orientation (src < dst),
     deduplicated across orders — half the rows through the distinct's
     shuffle vs deduping both orientations."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    _, pairs = order_item_pairs(load_table(spark, sf_dir, "lineitem"))
+    return pairs.distinct()
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:

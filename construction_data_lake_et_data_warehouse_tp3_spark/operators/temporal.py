@@ -234,6 +234,16 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_cents(orders: DataFrame) -> DataFrame:
+    """(day, cents) daily revenue in exact BIGINT cents — the shared base
+    frame of interpolate_daily_revenue and revenue_anomalies (ONE
+    definition, so the cents-rounding discipline can't diverge between
+    the two; their oracles splice the matching SQL)."""
+    return orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+
+
 def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill with LINEAR interpolation — the estimation counterpart of
     resample_daily_revenue's zero-fill: a missing day between two present
@@ -248,9 +258,7 @@ def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("src_day")).agg(
-        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
-    )
+    daily = _daily_cents(orders).withColumnRenamed("day", "src_day")
     w = Window.orderBy("src_day")
     expanded = (
         daily.withColumn("next_day", F.lead("src_day").over(w))
@@ -302,9 +310,7 @@ def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x−μ| > k·σ with those shared values, and no rounding call exists
     anywhere."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
-    )
+    daily = _daily_cents(orders)
     # μ from the EXACT integer cent sum (order-free) divided once; only
     # the squared-deviation sum needs a float fold, done sequentially
     # over the sorted list on both engines (Spark aggregate() ≙ DuckDB
