@@ -304,17 +304,18 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
     )
-    sizes = matrix.where(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_active").alias("cohort_size")
-    )
-    return (
-        matrix.join(F.broadcast(sizes), "cohort_week")
-        .select(
-            "cohort_week",
-            "week_offset",
-            "n_active",
-            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
-        )
+    # cohort size = the offset-0 row's count, fetched as a WINDOW over
+    # the matrix frame — a separate filtered aggregate would re-expand
+    # the whole events subtree into a second corpus scan (plan-locked)
+    size_w = Window.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(size_w)
+    return matrix.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.col("n_active") / cohort_size).alias("retention"),
     )
 
 
@@ -339,10 +340,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         money_sum("o_totalprice").alias("monetary"),
     )
-    maxd = per_cust.agg(F.max("last_order").alias("maxd"))
-    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+    # corpus max date as a window over the aggregated per-customer frame
+    # (a separate agg + crossJoin re-expands the orders subtree into a
+    # second corpus scan); the global window is no worse than the ntile
+    # windows below, which are already global by the quartile contract
+    maxd = F.max("last_order").over(Window.partitionBy())
+    base = per_cust.select(
         "customer_id",
-        F.datediff("maxd", "last_order").alias("recency_days"),
+        F.datediff(maxd, F.col("last_order")).alias("recency_days"),
         "frequency",
         "monetary",
     )
@@ -379,6 +384,11 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import order_item_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
+    # `op` feeds four consumers (both join sides, item counts, the order
+    # total); the static plan re-expands it, but every copy ends in the
+    # IDENTICAL distinct exchange, which Spark's exchange reuse dedupes
+    # at runtime (same situation as ppjoin's ordered index — measured
+    # faster than materializing)
     op, pairs = order_item_pairs(li)
     pair_n = (
         pairs.groupBy(

@@ -314,15 +314,19 @@ def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # μ from the EXACT integer cent sum (order-free) divided once; only
     # the squared-deviation sum needs a float fold, done sequentially
     # over the sorted list on both engines (Spark aggregate() ≙ DuckDB
-    # list_reduce, both strict left folds)
-    stats = daily.agg(
-        F.sum("cents").alias("s"),
-        F.count("*").alias("n"),
-        F.sort_array(F.collect_list("cents")).alias("xs"),
+    # list_reduce, both strict left folds). μ/σ attach as WINDOWS over
+    # the aggregated daily frame — a separate agg + crossJoin re-expands
+    # the orders subtree into a second corpus scan (plan-locked); the
+    # per-row sorted array is |days|², bounded forever (≤10k days).
+    g = Window.partitionBy()
+    stats = daily.select(
+        "day",
+        "cents",
+        (F.sum("cents").over(g).cast("double") / F.count("*").over(g)).alias("mu"),
+        F.sort_array(F.collect_list("cents").over(g)).alias("xs"),
     ).select(
-        (F.col("s").cast("double") / F.col("n")).alias("mu"),
-        "xs",
-    ).select(
+        "day",
+        "cents",
         "mu",
         F.expr(
             "sqrt(aggregate(xs, CAST(0.0 AS DOUBLE),"
@@ -330,8 +334,7 @@ def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sigma"),
     )
     return (
-        daily.crossJoin(F.broadcast(stats))
-        .where(
+        stats.where(
             F.abs(F.col("cents") - F.col("mu"))
             > F.lit(ANOMALY_SIGMAS) * F.col("sigma")
         )

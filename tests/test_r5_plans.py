@@ -56,3 +56,20 @@ class TestR5Plans:
     def test_bigram_surprisal_vocab_broadcasts(self, spark):
         df = text.bigram_surprisal(spark, SF_DIR)
         assert has_broadcast_join(df)  # the 1-row vocab count
+
+    def test_behavioral_ops_single_corpus_scan(self, spark):
+        """Funnel/cohort/RFM/anomaly queries must derive every scalar
+        (cohort sizes, max date, μ/σ) as WINDOWS over their one
+        aggregated frame — a separate aggregate re-expands the corpus
+        subtree into a second scan (the chisq bug class)."""
+        for fn, table in (
+            (analytics.event_funnel, "events.parquet"),
+            (analytics.retention_cohorts, "events.parquet"),
+            (analytics.rfm_segments, "orders.parquet"),
+            (temporal.revenue_anomalies, "orders.parquet"),
+            (temporal.interpolate_daily_revenue, "orders.parquet"),
+        ):
+            plan = (
+                fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count(table) == 1, fn.__name__
