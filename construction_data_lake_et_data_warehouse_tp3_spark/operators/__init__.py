@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = (
     "rfm_segments",
     "basket_lift",
     "revenue_anomalies",
+    "dau_wau_stickiness",
     "median_order_value_approx_check",
     "product_purchase_counts_approx_check",
     "tpch_q2",

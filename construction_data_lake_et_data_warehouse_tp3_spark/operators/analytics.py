@@ -414,8 +414,47 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day ("stickiness", the DAU/MAU
+    cousin sized to this corpus's one-month span) — the engagement ratio
+    behind every growth dashboard.
+
+    Trailing DISTINCT users can't ride a RANGE window (no windowed count
+    distinct), and a day-spine range self-join fans out |user-days|×
+    |days| — instead each (user, day) activity CONTRIBUTES itself to
+    days d..d+6 map-side (a 7× explode) and WAU is a plain distinct
+    count per contribution day. One dedupe shuffle + two distinct
+    aggregations; the expansion factor is the window length, constant.
+    Days beyond the last activity day are clipped so every output day is
+    a real activity day; stickiness is int/int → double, no rounding."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    dau = user_days.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")  # inner: only real activity days emit
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
+    "dau_wau_stickiness": dau_wau_stickiness,
     "status_priority_chisq": status_priority_chisq,
     "event_funnel": event_funnel,
     "retention_cohorts": retention_cohorts,
@@ -461,6 +500,28 @@ ORACLE = {
                     AS DOUBLE) / n1 AS conversion
         FROM n, (VALUES ('{FUNNEL_STAGES[0]}', 1), ('{FUNNEL_STAGES[1]}', 2),
                         ('{FUNNEL_STAGES[2]}', 3)) AS s(stage, stage_idx)
+    """,
+    # WAU via the same contribution expansion (activity on d counts for
+    # days d..d+6); inner join keeps only real activity days
+    "dau_wau_stickiness": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d
+            FROM events
+        ),
+        dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+                FROM ud GROUP BY 1),
+        contrib AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                        CAST(d + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM ud
+        ),
+        wau AS (SELECT day, count(DISTINCT user_id) AS wau
+                FROM contrib GROUP BY 1)
+        SELECT day, dau, wau,
+               CAST(dau AS DOUBLE) / wau AS stickiness
+        FROM dau JOIN wau USING (day)
     """,
     "rfm_segments": f"""
         WITH per_cust AS (
