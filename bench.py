@@ -72,6 +72,8 @@ HEADLINE = (
     "retention_cohorts",
     "rfm_segments",
     "basket_lift",
+    "winsorized_order_stats",
+    "scd2_user_state_history",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -35,6 +35,7 @@ _MODULES = (
     "quality",
     "clustering",
     "graph",
+    "statistics",
 )
 
 
@@ -47,6 +48,11 @@ _MODULES = (
 _DRIVER_PRIORITY = (
     # r4's one red row — oracle typing fixed in r5, needs its green row
     "length_histogram",
+    # new in r5b — never driver-checked
+    "winsorized_order_stats",
+    "benford_first_digit",
+    "mom_revenue_growth",
+    "scd2_user_state_history",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

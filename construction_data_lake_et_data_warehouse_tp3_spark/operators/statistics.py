@@ -1,0 +1,258 @@
+"""Robust-statistics and longitudinal warehouse shapes (r5):
+
+- winsorized per-group stats (percentile-disc clamp bounds, the robust
+  twin of the plain AVG aggregates in aggregates.py),
+- Benford first-digit audit (data-quality screen on monetary columns,
+  complementing dq_audit_orders' rule checks with a distributional one),
+- month-over-month revenue growth (LAG-based period-over-period deltas),
+- SCD2 state history (type-2 slowly-changing-dimension build with
+  change compaction — the warehouse-dimension counterpart of the MERGE
+  upserts in warehouse/star.py, reference sync_to_mysql.py:61's
+  overwrite-sync made history-preserving).
+
+All integer fixed-point (cents / basis points) so every output hashes
+identically against the DuckDB oracle; all single-shuffle plans that
+survive a 100× scale-up (window partitions are group keys, never
+global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: winsorization clamp quantiles (percentile_disc semantics: the
+#: smallest value whose cume_dist reaches the quantile — exact and
+#: tie-stable, unlike interpolating percentile_cont).
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+#: Benford expected first-digit shares in basis points:
+#: round(log10(1 + 1/d) * 10000) for d = 1..9.  Literal on both engines
+#: so no float log10 can diverge; the nine values sum to exactly 10000.
+BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized revenue stats: order values clamped to the
+    group's [p05, p95] before averaging, so a handful of whale orders
+    can't swing the mean.
+
+    Plan: ONE shuffle on the group key.  cume_dist runs per row inside
+    the (priority) window; the clamp bounds are unbounded window-MINs
+    over the SAME partitioning (no second Exchange — Catalyst reuses the
+    sort), and the final groupBy aggregates on the already-partitioned
+    key.  At 100 TB the window partition is a priority bucket, never a
+    global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    wcd = Window.partitionBy("o_orderpriority").orderBy("cents")
+    wall = Window.partitionBy("o_orderpriority")
+    lo = F.min(F.when(F.col("cd") >= WINSOR_LO, F.col("cents"))).over(wall)
+    hi = F.min(F.when(F.col("cd") >= WINSOR_HI, F.col("cents"))).over(wall)
+    clamped = (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .withColumn("cd", F.cume_dist().over(wcd))
+        .withColumn("p05_cents", lo)
+        .withColumn("p95_cents", hi)
+        .withColumn(
+            "wcents",
+            F.least(F.greatest(F.col("cents"), F.col("p05_cents")), F.col("p95_cents")),
+        )
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.min("p05_cents").alias("p05_cents"),
+        F.min("p95_cents").alias("p95_cents"),
+        F.sum("wcents").alias("winsorized_sum_cents"),
+        F.expr("sum(wcents) DIV count(*)").alias("winsorized_avg_cents"),
+    )
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed vs expected first
+    significant digit distribution, deviation in basis points.
+
+    The first digit is taken from the decimal string of the BIGINT cents
+    value (exact on both engines; prices ≥ 0.01 so cents ≥ 1 and the
+    cents leading digit IS the price's first significant digit).  One
+    9-group aggregation; the grand total rides a 9-row window, and the
+    expected shares are a broadcast literal array — nothing global."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_orders"))
+    bp = ", ".join(str(b) for b in BENFORD_BP)
+    return (
+        counts.withColumn(
+            # the OVER () total runs on the 9 post-agg rows, not the corpus
+            "observed_bp", F.expr("(n_orders * 10000) DIV sum(n_orders) OVER ()")
+        )
+        .withColumn("expected_bp", F.expr(f"element_at(array({bp}), digit)"))
+        .withColumn("deviation_bp", F.col("observed_bp") - F.col("expected_bp"))
+        .select("digit", "n_orders", "observed_bp", "expected_bp", "deviation_bp")
+    )
+
+
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in basis points (LAG over the
+    monthly rollup; the first month's growth is NULL).
+
+    The window runs over ~80 post-aggregation month rows — a global
+    ORDER BY on the *rollup*, not the fact table, so it stays O(months)
+    no matter the corpus size.  Growth uses integer DIV (truncation
+    toward zero on both engines) — no float division to drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias("revenue_cents"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("revenue_cents").over(w))
+        .withColumn(
+            "growth_bp",
+            F.expr("((revenue_cents - prev_cents) * 10000) DIV prev_cents"),
+        )
+        .select("month", "revenue_cents", "prev_cents", "growth_bp")
+    )
+
+
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build over the event stream:
+    each user's `event_type` is treated as a dimension attribute, and
+    the history is compacted to one row per *state change* with
+    [valid_from, valid_to) validity and an is_current flag — the
+    history-preserving counterpart of the reference's overwrite sync
+    (sync_to_mysql.py:61) and the MERGE upserts in warehouse/star.py.
+
+    Plan: one shuffle on user_id; the change-detect LAG and the
+    post-filter LEAD/ROW_NUMBER windows share the same (user_id)
+    partitioning and (ts, event_id) sort, so Catalyst plans a single
+    Exchange.  Tie-break on event_id makes duplicate-timestamp order
+    deterministic (same discipline as session_window_stats)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "ts", "event_id", F.col("event_type").alias("state"))
+        .withColumn("prev_state", F.lag("state").over(w))
+        .where(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "version",
+            "state",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+QUERIES = {
+    "winsorized_order_stats": winsorized_order_stats,
+    "benford_first_digit": benford_first_digit,
+    "mom_revenue_growth": mom_revenue_growth,
+    "scd2_user_state_history": scd2_user_state_history,
+}
+
+_BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
+
+ORACLE = {
+    "winsorized_order_stats": f"""
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        cd AS (
+            SELECT o_orderpriority, cents,
+                   cume_dist() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY cents) AS cd
+            FROM c
+        ),
+        b AS (
+            SELECT o_orderpriority, cents,
+                   min(CASE WHEN cd >= {WINSOR_LO} THEN cents END)
+                       OVER (PARTITION BY o_orderpriority) AS p05_cents,
+                   min(CASE WHEN cd >= {WINSOR_HI} THEN cents END)
+                       OVER (PARTITION BY o_orderpriority) AS p95_cents
+            FROM cd
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               min(p05_cents) AS p05_cents,
+               min(p95_cents) AS p95_cents,
+               CAST(sum(least(greatest(cents, p05_cents), p95_cents)) AS BIGINT)
+                   AS winsorized_sum_cents,
+               CAST(sum(least(greatest(cents, p05_cents), p95_cents))
+                    // count(*) AS BIGINT) AS winsorized_avg_cents
+        FROM b
+        GROUP BY o_orderpriority
+    """,
+    "benford_first_digit": f"""
+        WITH d AS (
+            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders
+        ),
+        g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit)
+        SELECT digit,
+               n_orders,
+               CAST((n_orders * 10000) // sum(n_orders) OVER () AS BIGINT)
+                   AS observed_bp,
+               CAST(list_extract({_BENFORD_LIST}, digit) AS INTEGER)
+                   AS expected_bp,
+               CAST((n_orders * 10000) // sum(n_orders) OVER ()
+                    - list_extract({_BENFORD_LIST}, digit) AS BIGINT)
+                   AS deviation_bp
+        FROM g
+    """,
+    "mom_revenue_growth": """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT month,
+               revenue_cents,
+               lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+               CAST(((revenue_cents - lag(revenue_cents) OVER (ORDER BY month))
+                     * 10000) // lag(revenue_cents) OVER (ORDER BY month)
+                    AS BIGINT) AS growth_bp
+        FROM m
+    """,
+    "scd2_user_state_history": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type AS state,
+                   lag(event_type) OVER w AS prev_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, ts, event_id, state
+            FROM flagged
+            WHERE prev_state IS NULL OR prev_state <> state
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               state,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+}

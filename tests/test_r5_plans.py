@@ -8,6 +8,7 @@ from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
     analytics,
     curation,
     python_udfs,
+    statistics,
     temporal,
     text,
 )
@@ -73,3 +74,35 @@ class TestR5Plans:
                 fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
             )
             assert plan.count(table) == 1, fn.__name__
+
+
+class TestStatisticsPlans:
+    """Locks for operators/statistics.py (r5b): the winsorize/SCD2
+    single-shuffle claims and the tiny-frame-only global windows."""
+
+    def test_winsorized_single_shuffle_single_scan(self, spark):
+        """cume_dist, both clamp-bound windows, and the final groupBy all
+        share the (priority) partitioning: ONE exchange, ONE scan."""
+        df = statistics.winsorized_order_stats(spark, SF_DIR)
+        assert shuffle_exchange_count(df) == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("orders.parquet") == 1
+
+    def test_scd2_single_shuffle(self, spark):
+        """Change-detect LAG and post-filter LEAD/ROW_NUMBER share the
+        (user_id, ts, event_id) sort: ONE exchange, ONE events scan."""
+        df = statistics.scd2_user_state_history(spark, SF_DIR)
+        assert shuffle_exchange_count(df) == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("events.parquet") == 1
+
+    def test_global_windows_post_aggregation_only(self, spark):
+        """benford/MoM use an un-partitioned window — legal ONLY because
+        it runs over the ≤9-digit / ~80-month aggregated frame. Lock the
+        aggregate-before-window order via the single corpus scan and the
+        ≤2-shuffle bound (group agg + tiny window)."""
+        for fn in (statistics.benford_first_digit, statistics.mom_revenue_growth):
+            df = fn(spark, SF_DIR)
+            assert shuffle_exchange_count(df) <= 2, fn.__name__
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("orders.parquet") == 1, fn.__name__
