@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = (
     "benford_first_digit",
     "mom_revenue_growth",
     "scd2_user_state_history",
+    "event_transition_matrix",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

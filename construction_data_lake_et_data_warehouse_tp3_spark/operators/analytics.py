@@ -452,8 +452,44 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the clickstream: for
+    each (from_state → to_state) pair of consecutive events per user,
+    the transition count and row-conditional probability in basis
+    points — the navigation-flow summary behind "what do users do after
+    X" dashboards (funnel's unordered cousin).
+
+    Plan: one (user_id) shuffle for the LAG, one (from, to) aggregation,
+    then the per-from row total rides a window over the ~|states|²
+    aggregated frame (≤ 25 rows) — never a second corpus pass.  Integer
+    DIV for the probability (truncation matches DuckDB `//`).  The
+    (ts, event_id) tie-break keeps duplicate-timestamp transitions
+    deterministic (same discipline as session_window_stats)."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.expr(
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    pairs = (
+        events.select(w.alias("from_state"), F.col("event_type").alias("to_state"))
+        .where(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n_transitions")
+    )
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.expr(
+            "(n_transitions * 10000) DIV sum(n_transitions)"
+            " OVER (PARTITION BY from_state)"
+        ).alias("probability_bp"),
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
+    "event_transition_matrix": event_transition_matrix,
     "dau_wau_stickiness": dau_wau_stickiness,
     "status_priority_chisq": status_priority_chisq,
     "event_funnel": event_funnel,
@@ -469,6 +505,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_transition_matrix": """
+        WITH seq AS (
+            SELECT user_id, event_type AS to_state,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_state
+            FROM events
+        ),
+        counts AS (
+            SELECT from_state, to_state, count(*) AS n_transitions
+            FROM seq WHERE from_state IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_state, to_state, n_transitions,
+               CAST((n_transitions * 10000)
+                    // sum(n_transitions) OVER (PARTITION BY from_state)
+                    AS BIGINT) AS probability_bp
+        FROM counts
+    """,
     # independent per-stage self-join form (the naive algorithm the fold
     # replaces): stage k = min event strictly after stage k-1
     "event_funnel": f"""
