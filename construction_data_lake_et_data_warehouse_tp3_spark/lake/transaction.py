@@ -326,3 +326,82 @@ class Lakehouse:
                 if os.path.exists(path):
                     os.remove(path)
         return removed
+
+    # ---- change data feed ------------------------------------------------
+
+    def diff(
+        self,
+        table: str,
+        from_snapshot: int,
+        to_snapshot: int,
+        keys: list[str] | tuple[str, ...],
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots (Delta CDF-shaped):
+        one row per key whose state changed, with `_change_type` in
+        {'insert', 'update', 'delete'} and the non-key columns packed as
+        `_before` / `_after` structs (null on insert / delete
+        respectively). Unchanged rows are dropped.
+
+        If both snapshots resolve the table to the SAME staged directory
+        (no transaction rewrote it in between), the answer is empty by
+        manifest metadata alone — no scan, no join; commit cost stays
+        independent of data volume. Otherwise: one full-outer equi-join
+        on the key (two scans, one shuffle), null-safe struct equality
+        for update detection — the downstream-sync primitive ("what
+        changed since the snapshot I last exported?") the reference's
+        full-table MySQL re-sync (sync_to_mysql.py:117) lacks."""
+        from pyspark.sql import functions as F
+
+        def _resolve_or_none(snapshot: int) -> str | None:
+            try:
+                return os.path.normpath(self._resolve(table, snapshot))
+            except KeyError:
+                return None
+
+        old_dir = _resolve_or_none(from_snapshot)
+        new_dir = _resolve_or_none(to_snapshot)
+        if new_dir is None and old_dir is None:
+            raise KeyError(f"table {table!r} exists at neither snapshot")
+
+        def _packed(path: str, alias: str) -> DataFrame:
+            df = self.spark.read.parquet(path)
+            value_cols = [c for c in df.columns if c not in keys]
+            return df.select(*keys, F.struct(*value_cols).alias(alias))
+
+        if old_dir == new_dir:  # metadata-only fast path: nothing changed
+            empty = _packed(new_dir, "_after").limit(0)
+            return empty.select(
+                *keys,
+                F.lit(None).cast("string").alias("_change_type"),
+                F.col("_after").alias("_before"),
+                "_after",
+            )
+        if old_dir is None:  # table born between the snapshots
+            new = _packed(new_dir, "_after")
+            return new.select(
+                *keys,
+                F.lit("insert").alias("_change_type"),
+                F.lit(None).cast(new.schema["_after"].dataType).alias("_before"),
+                "_after",
+            )
+        if new_dir is None:  # table dropped (no manifest covers it anymore)
+            old = _packed(old_dir, "_before")
+            return old.select(
+                *keys,
+                F.lit("delete").alias("_change_type"),
+                "_before",
+                F.lit(None).cast(old.schema["_before"].dataType).alias("_after"),
+            )
+        old = _packed(old_dir, "_before")
+        new = _packed(new_dir, "_after")
+        joined = old.join(new, list(keys), "full_outer")
+        return (
+            joined.withColumn(
+                "_change_type",
+                F.when(F.col("_before").isNull(), F.lit("insert"))
+                .when(F.col("_after").isNull(), F.lit("delete"))
+                .when(~F.col("_before").eqNullSafe(F.col("_after")), F.lit("update")),
+            )
+            .where(F.col("_change_type").isNotNull())
+            .select(*keys, "_change_type", "_before", "_after")
+        )

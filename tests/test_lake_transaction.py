@@ -178,3 +178,50 @@ class TestVacuum:
         )
         assert all("_txn_" + doomed.txn_id not in p for p in staged_left)
         assert lh.read("dim").collect()[0].v == "v1"
+
+
+class TestChangeDataFeed:
+    """Lakehouse.diff: snapshot-to-snapshot CDC (insert/update/delete,
+    unchanged dropped, metadata-only fast path when nothing rewrote the
+    table)."""
+
+    def _two_snapshots(self, spark, tmp_path):
+        lh = Lakehouse(spark, str(tmp_path / "lh"))
+        t1 = lh.begin()
+        t1.write("users", _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        s1 = t1.commit()
+        t2 = lh.begin()
+        t2.write("users", _df(spark, [(2, "b"), (3, "X"), (4, "d")]))
+        s2 = t2.commit()
+        return lh, s1, s2
+
+    def test_insert_update_delete_detected(self, spark, tmp_path):
+        lh, s1, s2 = self._two_snapshots(spark, tmp_path)
+        rows = {r["id"]: r for r in lh.diff("users", s1, s2, ["id"]).collect()}
+        assert set(rows) == {1, 3, 4}  # id=2 unchanged → dropped
+        assert rows[1]["_change_type"] == "delete"
+        assert rows[1]["_before"]["v"] == "a" and rows[1]["_after"] is None
+        assert rows[3]["_change_type"] == "update"
+        assert (rows[3]["_before"]["v"], rows[3]["_after"]["v"]) == ("c", "X")
+        assert rows[4]["_change_type"] == "insert"
+        assert rows[4]["_before"] is None and rows[4]["_after"]["v"] == "d"
+
+    def test_untouched_table_diff_is_metadata_only(self, spark, tmp_path):
+        lh, s1, s2 = self._two_snapshots(spark, tmp_path)
+        t3 = lh.begin()
+        t3.write("other", _df(spark, [(9, "z")]))
+        s3 = t3.commit()
+        d = lh.diff("users", s2, s3, ["id"])
+        # same staged dir at both snapshots → empty, and the plan must be
+        # a scanless local limit (no join was built)
+        assert d.count() == 0
+        assert "Join" not in d._jdf.queryExecution().executedPlan().toString()
+
+    def test_table_born_between_snapshots_is_all_inserts(self, spark, tmp_path):
+        lh, s1, s2 = self._two_snapshots(spark, tmp_path)
+        t3 = lh.begin()
+        t3.write("other", _df(spark, [(9, "z")]))
+        s3 = t3.commit()
+        d = lh.diff("other", s1, s3, ["id"]).collect()
+        assert [(r["id"], r["_change_type"]) for r in d] == [(9, "insert")]
+        assert d[0]["_before"] is None and d[0]["_after"]["v"] == "z"
