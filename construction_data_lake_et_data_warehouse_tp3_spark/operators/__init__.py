@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = (
     "mom_revenue_growth",
     "scd2_user_state_history",
     "event_transition_matrix",
+    "cluster_representatives",
+    "leakage_safe_split",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

@@ -151,24 +151,101 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    ratio = F.col("n_stop") / F.col("n_tokens").cast("double")
     scored = docs.select(
         "doc_id",
         _pred_lang().alias("predicted_lang"),
         F.expr(f"size({TOKENS})").alias("n_tokens"),
-        F.expr(f"size(filter({TOKENS}, x -> x IN ({_STOP_SQL})))").alias("n_stop"),
-    ).select(
-        "doc_id",
-        "predicted_lang",
-        "n_tokens",
-        F.round(F.least(F.lit(1.0), F.col("n_tokens") / F.lit(50.0)) * (1 - ratio), 4).alias(
-            "quality_score"
-        ),
+        _quality_score().alias("quality_score"),
     )
     return (
         scored.join(survivors, "doc_id", "left_semi")
         .where((F.col("predicted_lang") != "unknown") & (F.col("quality_score") >= MIN_QUALITY))
         .select("doc_id", "predicted_lang", "n_tokens", "quality_score")
+    )
+
+
+#: train share for the leakage-safe split, in basis points of the
+#: md5 coin space (9000/10000 = 90% train).
+LEAK_TRAIN_BP = 9000
+
+
+def _quality_score() -> F.Column:
+    """The corpus_curation quality score (length ramp × stopword share),
+    shared so representative selection ranks by the SAME number the
+    curation gate uses."""
+    n_tok = F.expr(f"size({TOKENS})")
+    n_stop = F.expr(f"size(filter({TOKENS}, x -> x IN ({_STOP_SQL})))")
+    return F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(50.0))
+        * (1 - n_stop / n_tok.cast("double")),
+        4,
+    )
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dup-cluster survivor selection by QUALITY: instead of
+    dup_clusters' smallest-doc_id canonical, keep each cluster's
+    highest-quality member (ties → smallest doc_id) — what a curation
+    pipeline actually wants to retain from a near-dup group.
+
+    Plan: the cluster labels come from the LSH→verify→connected-
+    components pipeline (bounded, never all-pairs); quality is map-side
+    on the corpus scan; the inner join prunes to dup docs and the
+    row_number window partitions on cluster_id — shuffles carry only the
+    dup-doc subset. Ranking uses the same round-4 double both engines
+    compute bit-identically (corpus_curation parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    labels = dup_clusters(spark, sf_dir)
+    scored = docs.select("doc_id", _quality_score().alias("quality_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        labels.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("quality_score").alias("rep_quality"),
+        )
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split: every member of a dup cluster
+    lands on the SAME side (the split coin is thrown on the cluster id,
+    not the doc id), so a near-duplicate of a training document can never
+    leak into eval — the contamination mode a naive per-doc split allows.
+    Unclustered docs coin on their own id; the coin is the same md5
+    idiom as stratified_sample (deterministic, engine-portable, no
+    rand()).
+
+    Plan: one LEFT join of the corpus onto the (small) dup-label set,
+    then map-side hashing — the label side is broadcastable whenever the
+    dup fraction is small, and the fallback is a doc_id equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    coin = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(split_key AS STRING)), 1, 6), 16, 10)"
+        " AS BIGINT), 10000)"
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("split_key")
+        )
+        .select(
+            "doc_id",
+            "split_key",
+            F.when(coin < LEAK_TRAIN_BP, F.lit("train"))
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+        )
     )
 
 
@@ -336,6 +413,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dup_clusters": dup_clusters,
+    "cluster_representatives": cluster_representatives,
+    "leakage_safe_split": leakage_safe_split,
     "corpus_curation": corpus_curation,
     "stratified_sample": stratified_sample,
     "pack_sequences": pack_sequences,
@@ -392,6 +471,66 @@ ORACLE = {
         SELECT c.doc_id, c.cluster_id, s.cluster_size,
                c.doc_id = c.cluster_id AS is_canonical
         FROM comp c JOIN csizes s USING (cluster_id)
+    """,
+    # same walk CTE as dup_clusters + the corpus_curation quality score;
+    # row_number picks each cluster's best (quality DESC, doc_id ASC)
+    "cluster_representatives": f"""
+        WITH RECURSIVE {duck_verified_dups_cte()},
+        dedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        dnodes AS (SELECT DISTINCT src AS node FROM dedges),
+        walk(node, lbl) AS (
+            SELECT node, node FROM dnodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN dedges e ON e.src = w.node
+        ),
+        comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+        csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+        q AS (
+            SELECT doc_id,
+                   round(least(CAST(1.0 AS DOUBLE),
+                               len({TOKENS_DUCK}) / CAST(50.0 AS DOUBLE))
+                         * (1 - len(list_filter({TOKENS_DUCK}, x -> x IN ({_STOP_SQL})))
+                              / CAST(len({TOKENS_DUCK}) AS DOUBLE)), 4) AS quality_score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id, s.cluster_size, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality_score DESC, c.doc_id ASC)
+                       AS rn
+            FROM comp c JOIN csizes s USING (cluster_id) JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
+               quality_score AS rep_quality
+        FROM ranked WHERE rn = 1
+    """,
+    "leakage_safe_split": f"""
+        WITH RECURSIVE {duck_verified_dups_cte()},
+        dedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        dnodes AS (SELECT DISTINCT src AS node FROM dedges),
+        walk(node, lbl) AS (
+            SELECT node, node FROM dnodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN dedges e ON e.src = w.node
+        ),
+        comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+        keyed AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 6))::BIGINT
+                         % 10000 < {LEAK_TRAIN_BP}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM keyed
     """,
     "corpus_curation": f"""
         WITH surv AS (
