@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = (
     "event_transition_matrix",
     "cluster_representatives",
     "leakage_safe_split",
+    "label_centroids",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

@@ -185,9 +185,44 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) in exact int64
+    micro-units — the building block of centroid classifiers, domain
+    drift monitors, and the IVF coarse quantizer, computed as a plain
+    aggregation instead of an iterative fit.
+
+    Plan: posexplode fans each vector into 64 (label, dim, micro) rows
+    map-side; ONE partial-aggregated shuffle on the (label, dim) key —
+    cardinality |labels|×64, independent of corpus size — then integer
+    mean via DIV (truncation matches DuckDB `//`). No doubles anywhere,
+    so sums are order-free and the oracle matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+            )
+        ).alias("dim", "x"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.count("*").alias("n_vectors"), F.sum("x").alias("sum_micro"))
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            "sum_micro",
+            F.expr("sum_micro DIV n_vectors").alias("centroid_micro"),
+        )
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "ivf_kmeans_topk": ivf_kmeans_topk,
+    "label_centroids": label_centroids,
 }
 
 _V_DUCK = f"""
@@ -251,6 +286,23 @@ _TRAIN_DUCK = f"""
 _COS_DIM = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * cv[i]))"
 
 ORACLE = {
+    # generate_subscripts zips with unnest in DuckDB; -1 aligns with
+    # posexplode's 0-based dim
+    "label_centroids": f"""
+        WITH ex AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {SCALE})
+                        AS BIGINT) AS x
+            FROM embeddings
+        )
+        SELECT label, dim,
+               count(*) AS n_vectors,
+               CAST(sum(x) AS BIGINT) AS sum_micro,
+               CAST(sum(x) // count(*) AS BIGINT) AS centroid_micro
+        FROM ex
+        GROUP BY label, dim
+    """,
     # the Spark loop unrolled: init → (assign → exact-int update) × 2 →
     # final assignment stats. Same quantization, same fold order, same
     # tiebreaks — the values must match exactly, not approximately.
