@@ -74,6 +74,9 @@ HEADLINE = (
     "basket_lift",
     "winsorized_order_stats",
     "scd2_user_state_history",
+    "event_transition_matrix",
+    "label_centroids",
+    "leakage_safe_split",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

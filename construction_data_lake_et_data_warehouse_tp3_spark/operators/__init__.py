@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     "cluster_representatives",
     "leakage_safe_split",
     "label_centroids",
+    "quantize_embeddings",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

@@ -219,10 +219,51 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 post-training quantization of the embedding column
+    (the 4×-compression step before shipping vectors to an ANN index),
+    with per-vector audit stats instead of the raw codes.
+
+    All arithmetic is integer: components go to micro-units, the scale is
+    the vector's max |component|, and each code is
+    sign · (|x|·254 + s) DIV (2s) — integer round-half-away-from-zero, so
+    no double division can disagree at midpoints. Entirely map-side
+    (scan → expression fold, zero shuffles); emits per-vector scale,
+    code-sum / L1 checksums, and the saturation count (|q| = 127)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vint = (
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(f"{vint}").alias("vi"),
+    ).select(
+        "vec_id",
+        F.expr("aggregate(vi, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))").alias(
+            "scale_micro"
+        ),
+        F.expr("vi"),
+    ).where(F.col("scale_micro") > 0).select(
+        "vec_id",
+        "scale_micro",
+        F.expr(
+            "transform(vi, x -> CAST(CASE WHEN x < 0 THEN -1 ELSE 1 END"
+            " * ((abs(x) * 254 + scale_micro) DIV (2 * scale_micro)) AS BIGINT))"
+        ).alias("q"),
+    ).select(
+        "vec_id",
+        "scale_micro",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("sum_q"),
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").alias("l1_q"),
+        F.expr("size(filter(q, x -> abs(x) = 127))").alias("n_saturated"),
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "ivf_kmeans_topk": ivf_kmeans_topk,
     "label_centroids": label_centroids,
+    "quantize_embeddings": quantize_embeddings,
 }
 
 _V_DUCK = f"""
@@ -302,6 +343,33 @@ ORACLE = {
                CAST(sum(x) // count(*) AS BIGINT) AS centroid_micro
         FROM ex
         GROUP BY label, dim
+    """,
+    "quantize_embeddings": f"""
+        WITH vi AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> abs(x)),
+                               (a, x) -> greatest(a, x)) AS scale_micro
+            FROM vi
+        ),
+        q AS (
+            SELECT vec_id, scale_micro,
+                   list_transform(v, x ->
+                       CAST(CASE WHEN x < 0 THEN -1 ELSE 1 END
+                            * ((abs(x) * 254 + scale_micro)
+                               // (2 * scale_micro)) AS BIGINT)) AS codes
+            FROM sc WHERE scale_micro > 0
+        )
+        SELECT vec_id, scale_micro,
+               CAST(list_sum(codes) AS BIGINT) AS sum_q,
+               CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1_q,
+               CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INT) AS n_saturated
+        FROM q
     """,
     # the Spark loop unrolled: init → (assign → exact-int update) × 2 →
     # final assignment stats. Same quantization, same fold order, same
