@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "leakage_safe_split",
     "label_centroids",
     "quantize_embeddings",
+    "degree_distribution",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

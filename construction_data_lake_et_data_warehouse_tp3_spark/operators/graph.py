@@ -151,7 +151,25 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (the power-law health
+    check run before any iterative graph algorithm — it is what tells
+    you whether PageRank/triangles need hub mitigation).
+
+    Plan: the canonical edge distinct is the only corpus-sized shuffle;
+    both orientations mirror map-side, then two small aggregations
+    (node→degree, degree→count). Output cardinality = |distinct
+    degrees|, tiny at any scale."""
+    canon = _canonical_edges(spark, sf_dir)
+    incident = canon.select(F.col("src").alias("node")).union(
+        canon.select(F.col("dst").alias("node"))
+    )
+    deg = incident.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 QUERIES = {
+    "degree_distribution": degree_distribution,
     "pagerank_products": pagerank_products,
     "triangle_participation": triangle_participation,
 }
@@ -176,6 +194,21 @@ def _iter_duck(prev: str, out: str) -> str:
 
 
 ORACLE = {
+    "degree_distribution": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT src AS node FROM canon
+                  UNION ALL SELECT dst FROM canon)
+            GROUP BY node
+        )
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """,
     # the Spark loop unrolled with identical integer arithmetic: floor
     # division at every step, so the match is exact, not approximate.
     "pagerank_products": f"""
