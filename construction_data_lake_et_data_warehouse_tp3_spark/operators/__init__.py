@@ -59,6 +59,8 @@ _DRIVER_PRIORITY = (
     "label_centroids",
     "quantize_embeddings",
     "degree_distribution",
+    "order_gap_histogram",
+    "pareto_revenue_share",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",
     "bigram_surprisal",

@@ -159,7 +159,61 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-interval distribution: days between consecutive
+    orders of the same customer, histogrammed — the repeat-purchase
+    cadence behind churn models and replenishment forecasts.
+
+    Plan: one shuffle on o_custkey for the LAG (orderdate, orderkey
+    tie-break for same-day orders), then a tiny histogram aggregation
+    over |distinct gaps| groups. No floats anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+            ).alias("gap_days")
+        )
+    )
+    return gaps.groupBy("gap_days").agg(F.count("*").alias("n_gaps"))
+
+
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) curve: customers ranked into
+    revenue deciles, each decile's share of total revenue in basis
+    points — the "top 10% of customers drive X% of revenue" readout.
+
+    The ntile window runs over the per-customer AGGREGATED frame (same
+    contract as rfm_segments; at 10^9 customers swap for approx-quantile
+    revenue cutoffs so no single-partition sort exists). Shares are
+    integer cents → basis points via DIV; the grand total rides a 10-row
+    window."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr("(revenue_cents * 10000) DIV sum(revenue_cents) OVER ()"),
+        )
+    )
+
+
 QUERIES = {
+    "order_gap_histogram": order_gap_histogram,
+    "pareto_revenue_share": pareto_revenue_share,
     "winsorized_order_stats": winsorized_order_stats,
     "benford_first_digit": benford_first_digit,
     "mom_revenue_growth": mom_revenue_growth,
@@ -169,6 +223,43 @@ QUERIES = {
 _BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
 
 ORACLE = {
+    "order_gap_histogram": """
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate,
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                       AS prev_date
+            FROM orders
+        )
+        SELECT CAST(date_diff('day', CAST(prev_date AS DATE),
+                              CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+               count(*) AS n_gaps
+        FROM seq WHERE prev_date IS NOT NULL
+        GROUP BY 1
+    """,
+    "pareto_revenue_share": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        d AS (
+            SELECT cents,
+                   CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC)
+                        AS INT) AS decile
+            FROM per_cust
+        ),
+        g AS (
+            SELECT decile, count(*) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM d GROUP BY 1
+        )
+        SELECT decile, n_customers, revenue_cents,
+               CAST((revenue_cents * 10000) // sum(revenue_cents) OVER ()
+                    AS BIGINT) AS share_bp
+        FROM g
+    """,
     "winsorized_order_stats": f"""
         WITH c AS (
             SELECT o_orderpriority,
