@@ -106,3 +106,19 @@ class TestStatisticsPlans:
             assert shuffle_exchange_count(df) <= 2, fn.__name__
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert plan.count("orders.parquet") == 1, fn.__name__
+
+    def test_gap_histogram_single_corpus_shuffle(self, spark):
+        """LAG on (custkey) then a tiny gap-histogram agg: ≤2 exchanges,
+        one orders scan."""
+        df = statistics.order_gap_histogram(spark, SF_DIR)
+        assert shuffle_exchange_count(df) <= 2
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("orders.parquet") == 1
+
+    def test_pareto_ntile_over_aggregated_frame(self, spark):
+        """The decile window must sort the per-customer AGGREGATED frame,
+        never the fact table: one orders scan, and the plan's only sort
+        feeds the post-agg window."""
+        df = statistics.pareto_revenue_share(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("orders.parquet") == 1
