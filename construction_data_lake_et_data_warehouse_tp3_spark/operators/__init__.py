@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = (
     "quantize_embeddings",
     "degree_distribution",
     "order_gap_histogram",
+    "new_vs_returning_revenue",
     "pareto_revenue_share",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",

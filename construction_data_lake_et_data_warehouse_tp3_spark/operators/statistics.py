@@ -211,7 +211,39 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue split by NEW vs RETURNING customers (an order is
+    "new" iff it lands on its customer's first order date) — the
+    acquisition-vs-retention readout on every revenue dashboard.
+
+    Plan: one o_custkey shuffle for the first-date window (min over the
+    unbounded partition — no sort needed), then one day-grain
+    aggregation. Cents stay integer end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    flagged = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("first_day", F.min("day").over(w))
+        .withColumn("is_new", F.col("day") == F.col("first_day"))
+    )
+    return flagged.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(0)).alias(
+            "new_cents"
+        ),
+        F.sum(F.when(~F.col("is_new"), F.col("cents")).otherwise(0)).alias(
+            "returning_cents"
+        ),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new_orders"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_returning_orders"),
+    )
+
+
 QUERIES = {
+    "new_vs_returning_revenue": new_vs_returning_revenue,
     "order_gap_histogram": order_gap_histogram,
     "pareto_revenue_share": pareto_revenue_share,
     "winsorized_order_stats": winsorized_order_stats,
@@ -223,6 +255,27 @@ QUERIES = {
 _BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
 
 ORACLE = {
+    "new_vs_returning_revenue": """
+        WITH f AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(o_orderdate AS DATE)
+                       = min(CAST(o_orderdate AS DATE))
+                         OVER (PARTITION BY o_custkey) AS is_new
+            FROM orders
+        )
+        SELECT day,
+               CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+                   AS new_cents,
+               CAST(sum(CASE WHEN NOT is_new THEN cents ELSE 0 END) AS BIGINT)
+                   AS returning_cents,
+               CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new_orders,
+               CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returning_orders
+        FROM f
+        GROUP BY day
+    """,
     "order_gap_histogram": """
         WITH seq AS (
             SELECT o_custkey, o_orderdate,
