@@ -1,0 +1,118 @@
+"""Mathematical invariants for the r5 statistics/quantization operators —
+brute-force Python recomputation on the sf0.001 frame, independent of the
+DuckDB oracle (which shares SQL idioms and could share a blind spot)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from construction_data_lake_et_data_warehouse_tp3_spark.operators.clustering import (
+    SCALE,
+    quantize_embeddings,
+)
+from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+    WINSOR_HI,
+    WINSOR_LO,
+    winsorized_order_stats,
+    pareto_revenue_share,
+    benford_first_digit,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestWinsorizedInvariants:
+    def test_bounds_are_percentile_disc_by_brute_force(self, spark):
+        """p05/p95 must equal the smallest value whose cume_dist reaches
+        the quantile — recomputed with a plain Python sort."""
+        rows = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .select(
+                "o_orderpriority",
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+            )
+            .collect()
+        )
+        by_group: dict[str, list[int]] = {}
+        for r in rows:
+            by_group.setdefault(r["o_orderpriority"], []).append(r["c"])
+
+        def pdisc(xs, q):
+            # smallest x whose cume_dist (= rank of its LAST tie / n)
+            # reaches q — the percentile_disc definition
+            xs = sorted(xs)
+            n = len(xs)
+            for i, x in enumerate(xs):
+                last_tie = i
+                while last_tie + 1 < n and xs[last_tie + 1] == x:
+                    last_tie += 1
+                if (last_tie + 1) / n >= q:
+                    return x
+            return xs[-1]
+
+        got = {
+            r["o_orderpriority"]: (r["p05_cents"], r["p95_cents"])
+            for r in winsorized_order_stats(spark, SF_DIR).collect()
+        }
+        for grp, xs in by_group.items():
+            assert got[grp] == (pdisc(xs, WINSOR_LO), pdisc(xs, WINSOR_HI)), grp
+
+    def test_winsorized_mean_within_bounds(self, spark):
+        for r in winsorized_order_stats(spark, SF_DIR).collect():
+            assert r["p05_cents"] <= r["winsorized_avg_cents"] <= r["p95_cents"]
+
+
+class TestQuantizationInvariants:
+    def test_codes_bounded_and_reconstruction_error_half_step(self, spark):
+        """|q| ≤ 127 (saturation only AT the scale component), and the
+        reconstruction x̂ = q·s/127 is within half a quantization step of
+        the micro-unit component: |x − x̂| ≤ s/254 + 1 (the +1 absorbs
+        the integer floor in the code rounding)."""
+        vecs = {
+            r["vec_id"]: r["v"]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"transform(embedding,"
+                    f" x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+                ).alias("v"),
+            )
+            .collect()
+        }
+        out = {r["vec_id"]: r for r in quantize_embeddings(spark, SF_DIR).collect()}
+        assert set(out) == {vid for vid, v in vecs.items() if any(x != 0 for x in v)}
+        for vid, r in out.items():
+            s = r["scale_micro"]
+            assert s == max(abs(x) for x in vecs[vid])
+            codes = [
+                int(math.copysign((abs(x) * 254 + s) // (2 * s), x)) if x else 0
+                for x in vecs[vid]
+            ]
+            assert all(abs(q) <= 127 for q in codes)
+            assert r["sum_q"] == sum(codes)
+            assert r["l1_q"] == sum(abs(q) for q in codes)
+            assert r["n_saturated"] == sum(1 for q in codes if abs(q) == 127)
+            for x, q in zip(vecs[vid], codes):
+                assert abs(x - q * s / 127) <= s / 254 + 1
+
+
+class TestShareInvariants:
+    def test_pareto_shares_sum_and_monotonicity(self, spark):
+        rows = sorted(
+            pareto_revenue_share(spark, SF_DIR).collect(), key=lambda r: r["decile"]
+        )
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        # integer DIV floors each share: the sum is ≤ 10000 by < 10 units
+        total_bp = sum(r["share_bp"] for r in rows)
+        assert 10000 - 10 < total_bp <= 10000
+        revs = [r["revenue_cents"] for r in rows]
+        assert revs == sorted(revs, reverse=True)  # decile 1 = top spenders
+
+    def test_benford_shares_close_to_complete(self, spark):
+        rows = benford_first_digit(spark, SF_DIR).collect()
+        assert {r["digit"] for r in rows} <= set(range(1, 10))
+        total = sum(r["observed_bp"] for r in rows)
+        assert 10000 - len(rows) < total <= 10000
