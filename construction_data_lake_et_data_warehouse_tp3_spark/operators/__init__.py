@@ -61,6 +61,8 @@ _DRIVER_PRIORITY = (
     "degree_distribution",
     "order_gap_histogram",
     "new_vs_returning_revenue",
+    "dup_rate_by_source",
+    "weekday_revenue_profile",
     "pareto_revenue_share",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",

@@ -346,7 +346,42 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate: how much of each feed is
+    verbatim-duplicated content (within OR across sources) — the
+    provenance-level health metric that tells a curation pipeline which
+    feeds to distrust before any doc-level dedup runs.
+
+    Plan: ONE corpus shuffle on the 32-byte content hash produces the
+    (hash, source) counts; the corpus-wide copy total per hash is a
+    window over that AGGREGATED frame (same partitioning — no second
+    corpus pass), and the per-source rollup + basis-point rate are tiny.
+    A doc counts as duplicated iff its content occurs ≥ 2× corpus-wide."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(F.md5("text").alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.withColumn(
+        "h_total", F.sum("n").over(Window.partitionBy("h"))
+    )
+    return (
+        tot.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum(F.when(F.col("h_total") > 1, F.col("n")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .withColumn("dup_bp", F.expr("(n_dup_docs * 10000) DIV n_docs"))
+    )
+
+
 QUERIES = {
+    "dup_rate_by_source": dup_rate_by_source,
     "quality_filters": quality_filters,
     "training_manifest": training_manifest,
     "repetition_stats": repetition_stats,
@@ -358,6 +393,27 @@ QUERIES = {
 
 
 ORACLE = {
+    "dup_rate_by_source": """
+        WITH per AS (
+            SELECT md5(text) AS h, source, count(*) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT source, n,
+                   sum(n) OVER (PARTITION BY h) AS h_total
+            FROM per
+        ),
+        g AS (
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN h_total > 1 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_dup_docs
+            FROM tot GROUP BY 1
+        )
+        SELECT source, n_docs, n_dup_docs,
+               CAST((n_dup_docs * 10000) // n_docs AS BIGINT) AS dup_bp
+        FROM g
+    """,
     "quality_filters": f"""
         WITH t AS (
             SELECT doc_id,

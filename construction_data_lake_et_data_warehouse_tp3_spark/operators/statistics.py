@@ -242,7 +242,31 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: order count and revenue share per
+    ISO weekday (1 = Monday … 7 = Sunday) in basis points.
+
+    Spark's weekday() is 0-Monday-based and DuckDB's isodow is
+    1-Monday-based — the +1 here pins both to the ISO convention
+    explicitly (weekday-numbering drift across engines is a classic
+    silent-corruption bug). One 7-group aggregation; shares ride a 7-row
+    window."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        (F.weekday(F.col("o_orderdate").cast("date")) + 1).alias("dow_iso")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+            "revenue_cents"
+        ),
+    )
+    return g.withColumn(
+        "share_bp", F.expr("(revenue_cents * 10000) DIV sum(revenue_cents) OVER ()")
+    )
+
+
 QUERIES = {
+    "weekday_revenue_profile": weekday_revenue_profile,
     "new_vs_returning_revenue": new_vs_returning_revenue,
     "order_gap_histogram": order_gap_histogram,
     "pareto_revenue_share": pareto_revenue_share,
@@ -255,6 +279,19 @@ QUERIES = {
 _BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
 
 ORACLE = {
+    "weekday_revenue_profile": """
+        WITH g AS (
+            SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS dow_iso,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT dow_iso, n_orders, revenue_cents,
+               CAST((revenue_cents * 10000) // sum(revenue_cents) OVER ()
+                    AS BIGINT) AS share_bp
+        FROM g
+    """,
     "new_vs_returning_revenue": """
         WITH f AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
