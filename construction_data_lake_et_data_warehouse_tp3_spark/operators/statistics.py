@@ -82,7 +82,13 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-group aggregation; the grand total rides a 9-row window, and the
     expected shares are a broadcast literal array — nothing global."""
     orders = load_table(spark, sf_dir, "orders")
-    digits = orders.select(
+    # cents < 1 (zero/negative totals) have no first significant digit;
+    # filtering BEFORE element_at also keeps digit 0 from indexing the
+    # expected array out of range (the short-input class of bug the
+    # shingle generators guard against)
+    digits = orders.where(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) >= 1")
+    ).select(
         F.substring(
             F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
         )
@@ -118,8 +124,12 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         monthly.withColumn("prev_cents", F.lag("revenue_cents").over(w))
         .withColumn(
+            # NULLIF: a zero-revenue month must yield NULL growth, not a
+            # DuckDB division error / engine-divergent null
             "growth_bp",
-            F.expr("((revenue_cents - prev_cents) * 10000) DIV prev_cents"),
+            F.expr(
+                "((revenue_cents - prev_cents) * 10000) DIV nullif(prev_cents, 0)"
+            ),
         )
         .select("month", "revenue_cents", "prev_cents", "growth_bp")
     )
@@ -386,6 +396,7 @@ ORACLE = {
             SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                                        AS VARCHAR), 1, 1) AS INTEGER) AS digit
             FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1
         ),
         g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit)
         SELECT digit,
@@ -411,7 +422,7 @@ ORACLE = {
                revenue_cents,
                lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
                CAST(((revenue_cents - lag(revenue_cents) OVER (ORDER BY month))
-                     * 10000) // lag(revenue_cents) OVER (ORDER BY month)
+                     * 10000) // nullif(lag(revenue_cents) OVER (ORDER BY month), 0)
                     AS BIGINT) AS growth_bp
         FROM m
     """,
