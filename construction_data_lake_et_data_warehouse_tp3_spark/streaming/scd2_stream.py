@@ -54,6 +54,7 @@ class StreamingScd2:
         ts_col: str = "ts",
         state_col: str = "state",
         seq_col: str | None = None,
+        key_type: str = "long",
     ):
         self.spark = spark
         self.table = ParquetTable(spark, os.path.join(store_root, "scd2_history"))
@@ -61,6 +62,10 @@ class StreamingScd2:
         self.ts = ts_col
         self.state = state_col
         self.seq = seq_col
+        #: DDL type of the key column — only consulted for the empty
+        #: bootstrap frame before the store's first commit (afterwards the
+        #: store schema itself is authoritative)
+        self.key_type = key_type
 
     # ------------------------------------------------------------------
     def _compact(self, batch: DataFrame) -> DataFrame:
@@ -96,7 +101,9 @@ class StreamingScd2:
                 )
             )
         return self.spark.createDataFrame(
-            [], "k long, cur_state string, cur_valid_from timestamp, cur_version long"
+            [],
+            f"k {self.key_type}, cur_state string,"
+            " cur_valid_from timestamp, cur_version long",
         )
 
     # ------------------------------------------------------------------
