@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = (
     "new_vs_returning_revenue",
     "dup_rate_by_source",
     "weekday_revenue_profile",
+    "cms_heavy_hitters",
     "pareto_revenue_share",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",

@@ -153,11 +153,70 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(20)
 
 
+#: count-min sketch geometry: DEPTH independent md5-salted hash rows ×
+#: WIDTH buckets. 4×1024 cells = 32 KB of counters regardless of corpus
+#: size — the point of the sketch.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+_CMS_BUCKET = (
+    "pmod(CAST(conv(substr(md5(concat(CAST(d AS STRING), '|', token)), 1, 8),"
+    f" 16, 10) AS BIGINT), {CMS_WIDTH})"
+)
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: the corpus word frequencies folded
+    into a DEPTH×WIDTH counter grid (constant memory at any corpus
+    size), then the top-K words' sketch estimates read back beside their
+    exact counts — `overestimate` exposes the collision error, and the
+    CMS invariant estimate ≥ exact holds by construction.
+
+    Everything is deterministic (md5-salted buckets), so the DuckDB
+    oracle REPLAYS the sketch bit-for-bit — the accuracy claim is
+    hash-checked, not asserted probabilistically.
+
+    Plan: one token-key shuffle for exact counts; cells aggregate from
+    that frame as WEIGHTED increments (DEPTH rows per distinct word, not
+    per token instance); the 4096-cell grid broadcasts to the K probe
+    rows. At 100 TB: the grid is the only global state and it is 32 KB
+    — the map-side-combine profile of a streaming sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    salted = words.withColumn(
+        "d", F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})"))
+    ).withColumn("bucket", F.expr(_CMS_BUCKET))
+    cells = salted.groupBy("d", "bucket").agg(
+        F.sum("n_occurrences").alias("cell")
+    )
+    topk = words.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(CMS_TOP_K)
+    probes = topk.withColumn(
+        "d", F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})"))
+    ).withColumn("bucket", F.expr(_CMS_BUCKET))
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return topk.join(est, "token").select(
+        "token",
+        "n_occurrences",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_occurrences")).alias("overestimate"),
+    )
+
+
 QUERIES = {
     "minhash_verified_dups": minhash_verified_dups,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "word_freq_topk": word_freq_topk,
+    "cms_heavy_hitters": cms_heavy_hitters,
 }
 
 
@@ -261,5 +320,41 @@ ORACLE = {
         GROUP BY 1
         ORDER BY n_occurrences DESC, token ASC
         LIMIT 20
+    """,
+    # the sketch replayed exactly: same md5-salted buckets, same weighted
+    # cell sums, same min-over-depth readout
+    "cms_heavy_hitters": f"""
+        WITH words AS (
+            SELECT token, count(*) AS n_occurrences
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY 1
+        ),
+        salted AS (
+            SELECT token, n_occurrences, d,
+                   ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || token), 1, 8))
+                       ::BIGINT % {CMS_WIDTH} AS bucket
+            FROM words, unnest(range(0, {CMS_DEPTH})) AS s(d)
+        ),
+        cells AS (
+            SELECT d, bucket, CAST(sum(n_occurrences) AS BIGINT) AS cell
+            FROM salted GROUP BY 1, 2
+        ),
+        topk AS (
+            SELECT token, n_occurrences FROM words
+            ORDER BY n_occurrences DESC, token ASC LIMIT {CMS_TOP_K}
+        ),
+        probes AS (
+            SELECT t.token, t.n_occurrences, s.d, s.bucket
+            FROM topk t JOIN salted s USING (token)
+        ),
+        est AS (
+            SELECT p.token, min(c.cell) AS cms_estimate
+            FROM probes p JOIN cells c USING (d, bucket)
+            GROUP BY 1
+        )
+        SELECT t.token, t.n_occurrences, e.cms_estimate,
+               CAST(e.cms_estimate - t.n_occurrences AS BIGINT) AS overestimate
+        FROM topk t JOIN est e USING (token)
     """,
 }
