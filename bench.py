@@ -77,6 +77,9 @@ HEADLINE = (
     "event_transition_matrix",
     "label_centroids",
     "leakage_safe_split",
+    "cms_heavy_hitters",
+    "dup_rate_by_source",
+    "quantize_embeddings",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",
