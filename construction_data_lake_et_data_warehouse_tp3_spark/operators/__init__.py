@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = (
     "dup_rate_by_source",
     "weekday_revenue_profile",
     "cms_heavy_hitters",
+    "lang_id_confusion",
     "pareto_revenue_share",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",

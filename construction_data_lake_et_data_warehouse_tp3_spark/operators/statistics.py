@@ -8,7 +8,11 @@
 - SCD2 state history (type-2 slowly-changing-dimension build with
   change compaction — the warehouse-dimension counterpart of the MERGE
   upserts in warehouse/star.py, reference sync_to_mysql.py:61's
-  overwrite-sync made history-preserving).
+  overwrite-sync made history-preserving),
+- inter-purchase gap histogram (repeat-purchase cadence),
+- Pareto revenue-concentration deciles (80/20 readout),
+- new-vs-returning daily revenue split (acquisition vs retention),
+- ISO weekday seasonality profile (engine-pinned dow numbering).
 
 All integer fixed-point (cents / basis points) so every output hashes
 identically against the DuckDB oracle; all single-shuffle plans that

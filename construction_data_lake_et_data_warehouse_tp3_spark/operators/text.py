@@ -201,6 +201,30 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the marker-word
+    language ID against the corpus's labeled `lang` column: one row per
+    (labeled, predicted) cell with count and row-share in basis points —
+    the per-class precision/recall raw material every model-eval
+    pipeline aggregates from predictions at scale.
+
+    Plan: the per-doc prediction is map-side (lang_id's expression
+    reused, not reimplemented); the matrix is one ≤|langs|²-group
+    aggregation and the row totals ride a window over that tiny frame."""
+    preds = lang_id(spark, sf_dir)
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "(n_docs * 10000) DIV sum(n_docs) OVER (PARTITION BY labeled_lang)"
+        ).alias("row_share_bp"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch fingerprint: the 4 lexicographically-smallest
     char-shingle hashes, joined — a compact, order-invariant content id
@@ -322,6 +346,7 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
+    "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "lm_surprisal": lm_surprisal,
     "bigram_surprisal": bigram_surprisal,
@@ -417,6 +442,32 @@ ORACLE = {
                     WHEN fr_hits >= es_hits THEN 'fr'
                     ELSE 'es' END AS predicted_lang
         FROM t
+    """,
+    "lang_id_confusion": f"""
+        WITH t AS (
+            SELECT lang AS labeled_lang,
+                   {_HITS_DUCK['en']} AS en_hits,
+                   {_HITS_DUCK['fr']} AS fr_hits,
+                   {_HITS_DUCK['es']} AS es_hits
+            FROM documents
+        ),
+        p AS (
+            SELECT labeled_lang,
+                   CASE WHEN en_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown'
+                        WHEN en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                        WHEN fr_hits >= es_hits THEN 'fr'
+                        ELSE 'es' END AS predicted_lang
+            FROM t
+        ),
+        cells AS (
+            SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+            FROM p GROUP BY 1, 2
+        )
+        SELECT labeled_lang, predicted_lang, n_docs,
+               CAST((n_docs * 10000)
+                    // sum(n_docs) OVER (PARTITION BY labeled_lang)
+                    AS BIGINT) AS row_share_bp
+        FROM cells
     """,
     "doc_fingerprint": f"""
         SELECT doc_id,
