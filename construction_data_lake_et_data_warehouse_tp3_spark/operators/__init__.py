@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = (
     "weekday_revenue_profile",
     "cms_heavy_hitters",
     "lang_id_confusion",
+    "fixed_k_sample",
     "pareto_revenue_share",
     # new/reworked in r5 — never driver-checked in current form
     "wav_audio_stats",

@@ -249,6 +249,36 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-k sampling: documents kept per language.
+FIXED_K_PER_LANG = 50
+
+
+def fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling: each language keeps
+    its FIXED_K_PER_LANG docs with the smallest md5(doc_id) — the
+    fixed-SIZE complement of stratified_sample's fixed-RATE coin
+    (eval-set construction wants "exactly 50 per language", not "about
+    5%"). Hash order ≈ uniform order, reproducible on any engine and
+    partitioning.
+
+    Plan: one shuffle on lang for the row_number window (per-group sort,
+    never global). At extreme group sizes swap the full sort for a
+    per-partition top-k then a k·partitions merge — the standard top-k
+    refinement."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", F.md5(F.expr("CAST(doc_id AS STRING)")).alias("h")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= FIXED_K_PER_LANG)
+        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("sample_rank"))
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic sampling: language `l` keeps a doc iff
     md5(doc_id) mod 10_000 < rate(l). The coin is the doc_id hash — stable
@@ -417,6 +447,7 @@ QUERIES = {
     "leakage_safe_split": leakage_safe_split,
     "corpus_curation": corpus_curation,
     "stratified_sample": stratified_sample,
+    "fixed_k_sample": fixed_k_sample,
     "pack_sequences": pack_sequences,
     "mixture_resample": mixture_resample,
     "chunk_documents": chunk_documents,
@@ -555,6 +586,21 @@ ORACLE = {
         WHERE doc_id IN (SELECT doc_id FROM surv)
           AND predicted_lang != 'unknown'
           AND quality_score >= {MIN_QUALITY}
+    """,
+    "fixed_k_sample": f"""
+        WITH h AS (
+            SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY h, doc_id) AS BIGINT)
+                       AS sample_rank
+            FROM h
+        )
+        SELECT doc_id, lang, sample_rank
+        FROM r WHERE sample_rank <= {FIXED_K_PER_LANG}
     """,
     "stratified_sample": f"""
         SELECT doc_id, lang, {_RATE_DUCK} AS strata_rate
