@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import os as _os
+
+#: Repo root, captured BY VALUE into each mapInPandas closure so forked
+#: Python workers can import this module (the decode helpers are pickled
+#: by reference) even when the launching process created its SparkSession
+#: from a different cwd with no PYTHONPATH pointing here.
+_PKG_PARENT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 #: media row contract: content + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -134,7 +144,17 @@ def ppm_channel_stats(media: DataFrame, batch_partitions: int | None = None) -> 
     blobs never touch the driver)."""
     import pandas as pd
 
+    pkg_parent = _PKG_PARENT  # closure string — pickled by value
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if pkg_parent not in sys.path:  # worker spawned from foreign cwd
+            sys.path.insert(0, pkg_parent)
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.multimodal import (
+            decode_ppm,
+        )
+
         for pdf in batches:
             decoded = [decode_ppm(c) for c in pdf["content"]]
             yield pd.DataFrame(
@@ -266,7 +286,17 @@ def wav_waveform_stats(media: DataFrame, batch_partitions: int | None = None) ->
     touch the driver)."""
     import pandas as pd
 
+    pkg_parent = _PKG_PARENT  # closure string — pickled by value
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if pkg_parent not in sys.path:  # worker spawned from foreign cwd
+            sys.path.insert(0, pkg_parent)
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.multimodal import (
+            decode_wav,
+        )
+
         for pdf in batches:
             decoded = [decode_wav(c) for c in pdf["content"]]
             yield pd.DataFrame(
@@ -379,7 +409,17 @@ def y4m_frame_stats(media: DataFrame, batch_partitions: int | None = None) -> Da
     the video member of the real-decode family."""
     import pandas as pd
 
+    pkg_parent = _PKG_PARENT  # closure string — pickled by value
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if pkg_parent not in sys.path:  # worker spawned from foreign cwd
+            sys.path.insert(0, pkg_parent)
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.multimodal import (
+            decode_y4m,
+        )
+
         for pdf in batches:
             decoded = [decode_y4m(c) for c in pdf["content"]]
             yield pd.DataFrame(
@@ -431,7 +471,17 @@ def extract_features(media: DataFrame, batch_partitions: int | None = None) -> D
     """mapInPandas feature extraction over media rows (Arrow-batched)."""
     import pandas as pd
 
+    pkg_parent = _PKG_PARENT  # closure string — pickled by value
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if pkg_parent not in sys.path:  # worker spawned from foreign cwd
+            sys.path.insert(0, pkg_parent)
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.multimodal import (
+            decode_image_stub,
+        )
+
         for pdf in batches:
             features = [decode_image_stub(c) for c in pdf["content"]]
             yield pd.DataFrame(

@@ -103,8 +103,23 @@ def sessionize_stream(
     (default 2 gaps of processing time) closes them. Output mode must be
     'update' or 'append'."""
     idle = idle_timeout_seconds if idle_timeout_seconds is not None else gap_seconds * 2
+    import os
+
+    # closure string, pickled by value — lets workers import this module
+    # even when the launcher's cwd/PYTHONPATH doesn't include the repo
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
     def fn(key, pdfs, state):
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.stateful import (
+            _sessionize_group,
+        )
+
         yield from _sessionize_group(key, pdfs, state, gap_seconds, idle)
 
     return events.groupBy("user_id").applyInPandasWithState(
