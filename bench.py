@@ -80,6 +80,13 @@ HEADLINE = (
     "cms_heavy_hitters",
     "dup_rate_by_source",
     "quantize_embeddings",
+    # r5c additions: streak fold, exact-moment corr, EWMA smoothing,
+    # as-of attribution rollup, inverted index
+    "purchase_streaks",
+    "quantity_discount_corr",
+    "ewma_daily_revenue",
+    "last_touch_attribution",
+    "inverted_index",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -48,6 +48,12 @@ _MODULES = (
 _DRIVER_PRIORITY = (
     # r4's one red row — oracle typing fixed in r5, needs its green row
     "length_histogram",
+    # new in r5c — never driver-checked
+    "purchase_streaks",
+    "quantity_discount_corr",
+    "ewma_daily_revenue",
+    "last_touch_attribution",
+    "inverted_index",
     # new in r5b — never driver-checked
     "winsorized_order_stats",
     "benford_first_digit",

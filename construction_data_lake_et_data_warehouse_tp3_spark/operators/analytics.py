@@ -11,7 +11,7 @@ execution)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import money_round, money_round_sql, money_sum, money_sum_sql
@@ -271,6 +271,67 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution rollup: every event's monetized value
+    credited to the PRIORITY CLASS of the user's most recent order at or
+    before the event date (events with no prior order fall to '(none)'),
+    aggregated per class — the as-of join *with a measure rollup on
+    top*, vs asof_latest_order's per-row output. (Direction matters on
+    this corpus: orders span 1995-2001, events 2024, so every event has
+    a full order history behind it.)
+
+    Scale shape: reuses asof_latest_order's union+window form
+    (temporal.py) — orders and events tagged and unioned, ONE shuffle on
+    user_id, a sorted last(ignorenulls) carry — so per-key state is O(1)
+    and the row count stays |events|+|orders| throughout; the naive form
+    (user-equi-join then top-1) goes quadratic on hot users. Ordering
+    (d, is_event, o_orderkey): orders sort before events on the same
+    date (order_date <= event_date includes equality) and ascending
+    o_orderkey makes the carried struct end at the max orderkey of the
+    latest qualifying date — the oracle's ORDER BY d DESC, o_orderkey
+    DESC LIMIT 1 in reverse. Event values sum as exact BIGINT cents."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(None).cast("bigint").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = orders.unionByName(events).withColumn(
+        "last_order",
+        F.last(
+            F.when(F.col("is_event") == 0, F.struct("d", "o_orderkey", "o_orderpriority")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.where(F.col("is_event") == 1)
+        .groupBy(
+            F.coalesce(F.col("last_order.o_orderpriority"), F.lit("(none)")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix — the funnel's longitudinal
     companion: users grouped by their FIRST-activity week, tracked by
@@ -493,6 +554,7 @@ QUERIES = {
     "dau_wau_stickiness": dau_wau_stickiness,
     "status_priority_chisq": status_priority_chisq,
     "event_funnel": event_funnel,
+    "last_touch_attribution": last_touch_attribution,
     "retention_cohorts": retention_cohorts,
     "rfm_segments": rfm_segments,
     "basket_lift": basket_lift,
@@ -505,6 +567,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    # naive per-order correlated top-1 on purpose: the union+window carry
+    # is cross-checked against the literal "latest event ≤ order date"
+    # definition every round.
+    "last_touch_attribution": """
+        WITH attributed AS (
+            SELECT e.event_id,
+                   CAST(round(e.value * 100) AS BIGINT) AS value_cents,
+                   coalesce(
+                       (SELECT o.o_orderpriority FROM orders o
+                        WHERE o.o_custkey = e.user_id
+                          AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)
+                        ORDER BY CAST(o.o_orderdate AS DATE) DESC,
+                                 o.o_orderkey DESC
+                        LIMIT 1),
+                       '(none)') AS channel
+            FROM events e
+        )
+        SELECT channel, count(*) AS n_events,
+               CAST(sum(value_cents) AS BIGINT) AS value_cents
+        FROM attributed
+        GROUP BY channel
+    """,
     "event_transition_matrix": """
         WITH seq AS (
             SELECT user_id, event_type AS to_state,

@@ -279,6 +279,85 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, the longest run of CONSECUTIVE
+    purchase days (distinct order dates one day apart), plus active-day
+    and streak counts — the streak feature behind habit/engagement
+    scoring.
+
+    ONE customer-key shuffle total: collect_set gathers each customer's
+    distinct days (map-side-combinable), sort_array pins the order, and
+    a sequential aggregate() fold walks the sorted run — per-customer
+    state is bounded by that customer's active days (≤ corpus span in
+    days, a few thousand), never by order count. The chained
+    window/groupBy island form costs 3-4 shuffles for the same answer;
+    the ORACLE keeps the textbook island algorithm (day_number −
+    row_number is constant within a run) so the fold is cross-checked
+    against an independent derivation every round."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "sort_array(collect_set(CAST(o_orderdate AS DATE)))"
+        ).alias("days")
+    )
+    fold = (
+        "aggregate(days,"
+        " named_struct('prev', CAST(NULL AS DATE), 'run', CAST(0 AS BIGINT),"
+        "              'best', CAST(0 AS BIGINT), 'streaks', CAST(0 AS BIGINT)),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(a.prev IS NOT NULL AND datediff(x, a.prev) = 1,"
+        "             a.run + 1, CAST(1 AS BIGINT)),"
+        "   'best', GREATEST(a.best,"
+        "             IF(a.prev IS NOT NULL AND datediff(x, a.prev) = 1,"
+        "                a.run + 1, CAST(1 AS BIGINT))),"
+        "   'streaks', a.streaks + IF(a.prev IS NULL OR datediff(x, a.prev) > 1,"
+        "                             CAST(1 AS BIGINT), CAST(0 AS BIGINT))),"
+        " a -> named_struct('best', a.best, 'streaks', a.streaks))"
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.expr("CAST(size(days) AS BIGINT)").alias("n_active_days"),
+        F.expr(f"{fold}.streaks").alias("n_streaks"),
+        F.expr(f"{fold}.best").alias("longest_streak_days"),
+    )
+
+
+def quantity_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of line quantity vs discount,
+    computed from EXACT integer moment sums (quantity is integral;
+    discount → basis points), so the only float math is the final
+    closed-form — identical IEEE expression tree on both engines, hence
+    hash-exact without any rounding call.
+
+    The moment sums are one map-side-combinable aggregation (3 groups);
+    nothing is collected. BIGINT headroom: n·Σxy peaks ≈ 2×10^18 at
+    sf1 — beyond that promote the moment sums to DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB); the closed-form is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("x").alias("sum_qty"),
+        F.sum("y").alias("sum_disc_bp"),
+        F.sum(F.expr("x * y")).alias("sum_xy"),
+        F.sum(F.expr("x * x")).alias("sum_x2"),
+        F.sum(F.expr("y * y")).alias("sum_y2"),
+    )
+    return m.withColumn(
+        "corr_qty_discount",
+        F.expr(
+            "CAST(n_rows * sum_xy - sum_qty * sum_disc_bp AS DOUBLE)"
+            " / (sqrt(CAST(n_rows * sum_x2 - sum_qty * sum_qty AS DOUBLE))"
+            "    * sqrt(CAST(n_rows * sum_y2 - sum_disc_bp * sum_disc_bp"
+            "            AS DOUBLE)))"
+        ),
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "new_vs_returning_revenue": new_vs_returning_revenue,
@@ -288,6 +367,8 @@ QUERIES = {
     "benford_first_digit": benford_first_digit,
     "mom_revenue_growth": mom_revenue_growth,
     "scd2_user_state_history": scd2_user_state_history,
+    "purchase_streaks": purchase_streaks,
+    "quantity_discount_corr": quantity_discount_corr,
 }
 
 _BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
@@ -450,5 +531,54 @@ ORACLE = {
                (lead(ts) OVER w IS NULL) AS is_current
         FROM changes
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "purchase_streaks": """
+        WITH days AS (
+            SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+            FROM orders
+        ),
+        islands AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1970-01-01', day)
+                       - row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY day) AS island
+            FROM days
+        ),
+        runs AS (
+            SELECT o_custkey, island, count(*) AS run_days
+            FROM islands GROUP BY o_custkey, island
+        )
+        SELECT o_custkey,
+               CAST(sum(run_days) AS BIGINT) AS n_active_days,
+               count(*) AS n_streaks,
+               CAST(max(run_days) AS BIGINT) AS longest_streak_days
+        FROM runs
+        GROUP BY o_custkey
+    """,
+    "quantity_discount_corr": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   CAST(sum(x) AS BIGINT) AS sum_qty,
+                   CAST(sum(y) AS BIGINT) AS sum_disc_bp,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                   CAST(sum(y * y) AS BIGINT) AS sum_y2
+            FROM (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_discount * 10000) AS BIGINT) AS y
+                FROM lineitem
+            )
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n_rows, sum_qty, sum_disc_bp, sum_xy, sum_x2,
+               sum_y2,
+               CAST(n_rows * sum_xy - sum_qty * sum_disc_bp AS DOUBLE)
+                   / (sqrt(CAST(n_rows * sum_x2 - sum_qty * sum_qty AS DOUBLE))
+                      * sqrt(CAST(n_rows * sum_y2 - sum_disc_bp * sum_disc_bp
+                                  AS DOUBLE)))
+                   AS corr_qty_discount
+        FROM m
     """,
 }

@@ -291,6 +291,59 @@ def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA lookback in days.  The decay factor is pinned to 0.5/day so every
+#: weight is an exact power of two: numerator and denominator accumulate
+#: as BIGINT (cents · 2^(SPAN−gap)) with NO float pow/exp anywhere, and
+#: the single final division is the only IEEE operation — hash-exact
+#: against the oracle.  Weights beyond 20 days are < 2^-20 of the newest
+#: day's and truncating them is the documented approximation.
+EWMA_SPAN_DAYS = 20
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (decay 0.5
+    per day over an EWMA_SPAN_DAYS window) — the smoothing counterpart
+    of rolling_7d_revenue's flat window, for irregular series: missing
+    days contribute neither numerator nor denominator weight.
+
+    Scale shape: NO range join, NO window, NO join at all — each
+    aggregated daily row fans out to SPAN+1 (target_day, weighted-
+    contribution) rows via explode(sequence), and ONE equi-key
+    re-aggregation finishes it: the gap=0 row smuggles the target day's
+    own observed cents through max(), so days the fan-out reaches but
+    the corpus never observed filter out without joining back (a join
+    would re-expand the daily subtree into a second orders scan — plan-
+    locked in test_r5_plans). Everything runs on the ~|days| daily
+    frame, never raw orders."""
+    daily = _daily_cents(load_table(spark, sf_dir, "orders"))
+    contrib = daily.select(
+        F.col("day").alias("src_day"),
+        "cents",
+        F.explode(F.expr(f"sequence(0, {EWMA_SPAN_DAYS})")).alias("gap"),
+    ).select(
+        F.expr("date_add(src_day, gap)").alias("day"),
+        F.expr(
+            f"cents * shiftleft(CAST(1 AS BIGINT), {EWMA_SPAN_DAYS} - gap)"
+        ).alias("num_part"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {EWMA_SPAN_DAYS} - gap)").alias(
+            "den_part"
+        ),
+        F.expr("IF(gap = 0, cents, CAST(NULL AS BIGINT))").alias("obs_cents"),
+    )
+    smoothed = contrib.groupBy("day").agg(
+        F.sum("num_part").alias("num"),
+        F.sum("den_part").alias("den"),
+        F.max("obs_cents").alias("cents"),
+    )
+    return smoothed.where(F.col("cents").isNotNull()).select(
+        "day",
+        F.expr("CAST(cents AS DOUBLE) / 100.0").alias("revenue"),
+        F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0").alias(
+            "ewma_20d"
+        ),
+    )
+
+
 #: anomaly threshold in sigmas.
 ANOMALY_SIGMAS = 2
 
@@ -405,6 +458,7 @@ QUERIES = {
     "daily_event_stats": daily_event_stats,
     "resample_daily_revenue": resample_daily_revenue,
     "interpolate_daily_revenue": interpolate_daily_revenue,
+    "ewma_daily_revenue": ewma_daily_revenue,
     "revenue_anomalies": revenue_anomalies,
     "session_window_stats": session_window_stats,
     "event_sessions": event_sessions,
@@ -530,6 +584,30 @@ ORACLE = {
                END / 100.0 AS revenue,
                day != src_day AS interpolated
         FROM days
+    """,
+    "ewma_daily_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        contrib AS (
+            SELECT daily.day + CAST(gap AS INT) AS day,
+                   cents * (CAST(1 AS BIGINT) << ({EWMA_SPAN_DAYS} - gap))
+                       AS num_part,
+                   (CAST(1 AS BIGINT) << ({EWMA_SPAN_DAYS} - gap)) AS den_part
+            FROM daily
+            CROSS JOIN (SELECT unnest(range(0, {EWMA_SPAN_DAYS + 1})) AS gap) g
+        ),
+        sm AS (
+            SELECT day, CAST(sum(num_part) AS BIGINT) AS num,
+                   CAST(sum(den_part) AS BIGINT) AS den
+            FROM contrib GROUP BY day
+        )
+        SELECT daily.day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma_20d
+        FROM daily JOIN sm USING (day)
     """,
     # independent algorithm on purpose: the oracle joins a generate_series
     # calendar, the Spark side expands lead() gaps — same dense result.

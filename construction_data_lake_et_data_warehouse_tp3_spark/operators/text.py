@@ -341,6 +341,40 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: inverted-index df band: terms rarer than MIN_DF are long-tail noise,
+#: terms commoner than MAX_DF are stopword-scale — real engines shard or
+#: special-case those posting lists; banding them out here keeps every
+#: collected postings array bounded by MAX_DF at ANY corpus size (the
+#: collect_list is the one operation whose state grows with df).
+INDEX_MIN_DF = 5
+INDEX_MAX_DF = 10_000
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: term -> (document frequency, total term
+    frequency, sorted posting list of doc_ids) over the corpus — the
+    retrieval-side companion of tfidf_top_terms (which keeps per-doc
+    top terms; this keeps per-term doc lists).
+
+    Two-level aggregation: (term, doc) partial counts combine map-side,
+    then one term-key shuffle builds the postings. sort_array after
+    collect_list makes the array deterministic regardless of partition
+    arrival order. The df band (see INDEX_MIN_DF/MAX_DF) bounds postings
+    state per term."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    idx = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf_doc").alias("tf"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return idx.where(F.col("df").between(INDEX_MIN_DF, INDEX_MAX_DF))
+
+
 QUERIES = {
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
@@ -350,6 +384,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "lm_surprisal": lm_surprisal,
     "bigram_surprisal": bigram_surprisal,
+    "inverted_index": inverted_index,
 }
 
 _HITS_DUCK = {
@@ -525,5 +560,22 @@ ORACLE = {
                    AS avg_surprisal
         FROM bgs JOIN scored USING (bg)
         GROUP BY 1
+    """,
+    "inverted_index": f"""
+        WITH per_doc AS (
+            SELECT term, doc_id, count(*) AS tf_doc
+            FROM (
+                SELECT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
+            )
+            GROUP BY term, doc_id
+        ),
+        idx AS (
+            SELECT term, count(*) AS df,
+                   CAST(sum(tf_doc) AS BIGINT) AS tf,
+                   list(doc_id ORDER BY doc_id) AS postings
+            FROM per_doc GROUP BY term
+        )
+        SELECT term, df, tf, postings
+        FROM idx WHERE df BETWEEN {INDEX_MIN_DF} AND {INDEX_MAX_DF}
     """,
 }

@@ -122,3 +122,62 @@ class TestStatisticsPlans:
         df = statistics.pareto_revenue_share(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("orders.parquet") == 1
+
+
+class TestR5cPlans:
+    """Locks for the r5c additions: streak fold, exact-moment corr, EWMA
+    fan-out, attribution carry, inverted index."""
+
+    def test_purchase_streaks_single_shuffle(self, spark):
+        """The whole streak derivation rides ONE customer-key shuffle
+        (collect_set + sorted fold); the island form this replaced cost
+        3-4. One orders scan."""
+        df = statistics.purchase_streaks(spark, SF_DIR)
+        assert shuffle_exchange_count(df) == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("orders.parquet") == 1
+
+    def test_corr_single_scan_no_floats_before_final(self, spark):
+        """Moment sums aggregate in one pass (map-side combinable): one
+        lineitem scan, one exchange; the only DOUBLEs in the output
+        schema are the final closed-form column."""
+        df = statistics.quantity_discount_corr(spark, SF_DIR)
+        assert shuffle_exchange_count(df) == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1
+        doubles = [f.name for f in df.schema.fields if f.dataType.typeName() == "double"]
+        assert doubles == ["corr_qty_discount"]
+
+    def test_ewma_runs_on_aggregated_frame(self, spark):
+        """The 21× fan-out explodes the ~|days| DAILY frame, never raw
+        orders: exactly one orders scan feeds the plan, and no window
+        (the smoothing is explode + re-aggregate + equi-join, so there
+        is no single-partition sort anywhere)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+            temporal as temporal_mod,
+        )
+
+        df = temporal_mod.ewma_daily_revenue(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("orders.parquet") == 1
+        assert "Window" not in plan
+
+    def test_attribution_single_user_shuffle(self, spark):
+        """The as-of carry unions both tables and shuffles ONCE on
+        user_id; the channel rollup is a second (5-group) exchange.
+        No join operator anywhere — the naive per-order top-1 join form
+        is exactly what this shape exists to avoid."""
+        df = analytics.last_touch_attribution(spark, SF_DIR)
+        assert shuffle_exchange_count(df) <= 2
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+    def test_inverted_index_two_level_agg(self, spark):
+        """(term, doc) partials combine map-side before the term-key
+        postings build: one documents scan; the df band is a post-agg
+        filter (it cannot push below the aggregate, but it bounds the
+        collected array state — see INDEX_MIN_DF/MAX_DF)."""
+        df = text.inverted_index(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 1
+        assert plan.count("HashAggregate") >= 2
