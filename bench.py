@@ -87,6 +87,8 @@ HEADLINE = (
     "ewma_daily_revenue",
     "last_touch_attribution",
     "inverted_index",
+    "weighted_sample_topk",
+    "y4m_keyframe_sample",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = (
     "ewma_daily_revenue",
     "last_touch_attribution",
     "inverted_index",
+    "weighted_sample_topk",
+    "y4m_keyframe_sample",
     # new in r5b — never driver-checked
     "winsorized_order_stats",
     "benford_first_digit",

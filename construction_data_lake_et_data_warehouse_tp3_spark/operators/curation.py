@@ -441,7 +441,63 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted sample size.
+WEIGHTED_SAMPLE_K = 100
+
+#: 16^13 = 2^52 — md5-derived uniforms u=(m+1)/2^52 are exact doubles.
+_ES_DENOM = 4503599627370496.0
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    the K orders with the smallest -ln(u)/w, u an md5-derived uniform
+    and w the order's value in cents — each order's inclusion odds are
+    proportional to its weight, and the whole draw is one deterministic
+    top-k (no rand(), replayable by the oracle). The fixed-RATE
+    (stratified_sample) / fixed-SIZE (fixed_k_sample) samplers are
+    unweighted; this is the value-weighted third mode a mixture builder
+    needs.
+
+    Exactness discipline: u = (m+1)/2^52 from 13 md5 hex digits (exact
+    double), and -ln(u) is rounded to integer MICRO-NATS before the
+    single division by the integer weight — the lm_surprisal trick, so
+    cross-engine libm drift in ln() cannot reorder the ranking (a flip
+    needs two keys within 1e-6 nat/w of each other AND a last-ulp ln
+    disagreement at a rounding boundary).
+
+    Scale shape: priorities are map-side expressions; orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-K, then a
+    K·|partitions| driver merge) — no global sort, no shuffle of the
+    corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        F.expr("greatest(CAST(round(o_totalprice * 100) AS BIGINT), 1)").alias(
+            "weight_cents"
+        ),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 13), 16, 10)"
+            " AS BIGINT)"
+        ).alias("m"),
+    ).select(
+        "o_orderkey",
+        "weight_cents",
+        F.expr(
+            f"CAST(round(-ln((m + 1) / {_ES_DENOM}) * 1000000) AS BIGINT)"
+        ).alias("key_micronats"),
+    )
+    ranked = scored.select(
+        "o_orderkey",
+        "weight_cents",
+        F.expr(
+            "CAST(key_micronats AS DOUBLE) / CAST(weight_cents AS DOUBLE)"
+        ).alias("priority"),
+    )
+    return ranked.orderBy("priority", "o_orderkey").limit(WEIGHTED_SAMPLE_K)
+
+
 QUERIES = {
+    "weighted_sample_topk": weighted_sample_topk,
     "dup_clusters": dup_clusters,
     "cluster_representatives": cluster_representatives,
     "leakage_safe_split": leakage_safe_split,
@@ -463,6 +519,28 @@ _RATE_DUCK = "CASE " + " ".join(
 ) + f" ELSE {DEFAULT_RATE} END"
 
 ORACLE = {
+    "weighted_sample_topk": f"""
+        WITH scored AS (
+            SELECT o_orderkey,
+                   greatest(CAST(round(o_totalprice * 100) AS BIGINT), 1)
+                       AS weight_cents,
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                       ::BIGINT AS m
+            FROM orders
+        ),
+        keyed AS (
+            SELECT o_orderkey, weight_cents,
+                   CAST(round(-ln((m + 1) / {_ES_DENOM}) * 1000000) AS BIGINT)
+                       AS key_micronats
+            FROM scored
+        )
+        SELECT o_orderkey, weight_cents,
+               CAST(key_micronats AS DOUBLE) / CAST(weight_cents AS DOUBLE)
+                   AS priority
+        FROM keyed
+        ORDER BY priority, o_orderkey
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
     # same geometry: starts 1, 1+stride, ... <= len; DuckDB slices are
     # inclusive so [s : s+CHUNK-1] is the CHUNK_TOKENS-element window
     "chunk_documents": f"""

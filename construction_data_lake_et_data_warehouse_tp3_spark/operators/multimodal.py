@@ -355,14 +355,14 @@ _Y4M_W, _Y4M_H, _Y4M_FRAMES = 4, 4, 2
 _Y4M_HEADER = f"YUV4MPEG2 W{_Y4M_W} H{_Y4M_H} F25:1 Ip A1:1 C420\n"
 
 
-def decode_y4m(content: bytes) -> tuple[int, int, int, float, float]:
+def decode_y4m_frames(content: bytes) -> tuple[int, int, list[float]]:
     """REAL codec-free VIDEO decode: parse the YUV4MPEG2 stream header
     (ASCII parameters), walk the FRAME markers, and compute per-frame
     luma statistics over the raw Y planes with numpy — y4m is the
     uncompressed interchange format ffmpeg itself uses, and needs no
-    codec library. Returns (width, height, n_frames, mean_luma,
-    luma_range = max-min of per-frame means); raises ValueError on
-    malformed input (bad magic, unsupported chroma, truncated frame)."""
+    codec library. Returns (width, height, per-frame luma means);
+    raises ValueError on malformed input (bad magic, unsupported
+    chroma, truncated frame)."""
     import re
 
     import numpy as np
@@ -395,6 +395,13 @@ def decode_y4m(content: bytes) -> tuple[int, int, int, float, float]:
         pos = fnl + 1 + frame_size
     if not lumas:
         raise ValueError("no frames")
+    return width, height, lumas
+
+
+def decode_y4m(content: bytes) -> tuple[int, int, int, float, float]:
+    """Clip-level stats over `decode_y4m_frames` (the original surface):
+    (width, height, n_frames, mean_luma, luma_range)."""
+    width, height, lumas = decode_y4m_frames(content)
     return (
         width,
         height,
@@ -436,6 +443,60 @@ def y4m_frame_stats(media: DataFrame, batch_partitions: int | None = None) -> Da
     if batch_partitions:
         media = media.repartition(batch_partitions)
     return media.mapInPandas(run, Y4M_STATS_SCHEMA)
+
+
+#: output contract of y4m_frame_sample: one row PER SAMPLED FRAME.
+Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("luma_mean", T.DoubleType(), True),
+    ]
+)
+
+#: synthetic clips are 25 fps → 40 ms per frame.
+_Y4M_FRAME_MS = 40
+
+
+def y4m_frame_sample(
+    media: DataFrame, every_n: int = 1, batch_partitions: int | None = None
+) -> DataFrame:
+    """Frame sampling: decode each clip and emit one row per every_n-th
+    frame (frame_idx % every_n == 0) with its timestamp and luma mean —
+    the 1→N EXPLODING member of the real-decode family (stats kernels
+    are 1→1; training pipelines need the per-frame rows to feed vision
+    encoders). Arrow-batched mapInPandas; the output row count is
+    ceil(n_frames / every_n) per clip, decided Python-side."""
+    import pandas as pd
+
+    pkg_parent = _PKG_PARENT  # closure string — pickled by value
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import sys
+
+        if pkg_parent not in sys.path:  # worker spawned from foreign cwd
+            sys.path.insert(0, pkg_parent)
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.multimodal import (
+            decode_y4m_frames,
+        )
+
+        for pdf in batches:
+            ids, idxs, tss, lumas = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, frame_lumas = decode_y4m_frames(content)
+                for i in range(0, len(frame_lumas), every_n):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * _Y4M_FRAME_MS)
+                    lumas.append(frame_lumas[i])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "luma_mean": lumas}
+            )
+
+    if batch_partitions:
+        media = media.repartition(batch_partitions)
+    return media.mapInPandas(run, Y4M_FRAME_SCHEMA)
 
 
 def synthetic_y4m_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:

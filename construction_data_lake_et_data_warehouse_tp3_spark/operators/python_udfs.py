@@ -189,9 +189,30 @@ def y4m_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def y4m_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the synthetic clips: the mapInPandas kernel
+    EXPLODES each decoded clip into per-frame rows (frame_idx, ts_ms,
+    luma mean) — the 1→N Python-stage shape a vision-encoder feed needs
+    (y4m_video_stats is its 1→1 stats sibling). Stride 1 here keeps
+    both frames of the 2-frame clips so the oracle can replay every
+    emitted row; the kernel's every_n parameter is the real sampling
+    knob.
+
+    Oracle-exact: frame f's luma mean is (sum of 16 md5-derived bytes)
+    / 16.0 — a power-of-two division, no rounding call."""
+    from .multimodal import synthetic_y4m_media, y4m_frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_y4m_media(docs, "doc_id", "text")
+    return y4m_frame_sample(media, every_n=1).select(
+        "media_id", "frame_idx", "ts_ms", "luma_mean"
+    )
+
+
 QUERIES = {
     "pandas_scalar_norm": pandas_scalar_norm,
     "y4m_video_stats": y4m_video_stats,
+    "y4m_keyframe_sample": y4m_keyframe_sample,
     "pandas_udaf_value_stats": pandas_udaf_value_stats,
     "apply_in_pandas_group_stats": apply_in_pandas_group_stats,
     "multimodal_features": multimodal_features,
@@ -256,6 +277,25 @@ ORACLE = {
                round(list_sum(list_transform(range(0, 16),
                      j -> ('0x' || substr(hx, (3 * j + 2) * 2 + 1, 2))::BIGINT)) / 16.0, 4) AS b_mean
         FROM h
+    """,
+    # the per-frame explode twin: one row per (doc, frame), luma mean
+    # re-derived from the same digest bytes the kernel reads
+    "y4m_keyframe_sample": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5(text || '1') || md5(text || '2') AS hx
+            FROM documents
+        ),
+        f AS (
+            SELECT media_id, hx, CAST(unnest(range(0, 2)) AS INT) AS frame_idx
+            FROM h
+        )
+        SELECT media_id, frame_idx,
+               CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+               CAST(list_sum(list_transform(range(0, 16),
+                    i -> ('0x' || substr(hx, (frame_idx * 24 + i) * 2 + 1, 2))::BIGINT))
+                    AS BIGINT) / 16.0 AS luma_mean
+        FROM f
     """,
     # frame f's Y plane is digest bytes [f*24, f*24+16); frame mean =
     # sum/16.0 (exact), 2-frame mean and range stay exact — the same

@@ -181,3 +181,57 @@ class TestR5cPlans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") == 1
         assert plan.count("HashAggregate") >= 2
+
+
+class TestR5cSamplers:
+    def test_weighted_sample_is_top_k_no_global_sort(self, spark):
+        """A-ES sampling must compile to TakeOrderedAndProject (per-
+        partition top-K), never a global Sort+Exchange of the corpus."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+            curation,
+        )
+
+        df = curation.weighted_sample_topk(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_weighted_sample_prefers_heavy_orders(self, spark):
+        """Inclusion odds ∝ weight: the sampled orders' mean value must
+        exceed the corpus mean (a uniform sampler would match it)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+            curation,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.sources.registry import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        sample_mean = (
+            curation.weighted_sample_topk(spark, SF_DIR)
+            .agg(F.avg("weight_cents"))
+            .collect()[0][0]
+        )
+        corpus_mean = (
+            load_table(spark, SF_DIR, "orders")
+            .agg(F.avg(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+            .collect()[0][0]
+        )
+        assert sample_mean > corpus_mean * 1.1
+
+    def test_frame_sample_stride_halves_rows(self, spark):
+        """every_n=2 keeps frame 0 only of the 2-frame clips — the
+        sampling knob is real, not cosmetic."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.multimodal import (
+            synthetic_y4m_media,
+            y4m_frame_sample,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.sources.registry import (
+            load_table,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").limit(20)
+        media = synthetic_y4m_media(docs, "doc_id", "text")
+        all_frames = y4m_frame_sample(media, every_n=1).collect()
+        sampled = y4m_frame_sample(media, every_n=2).collect()
+        assert len(all_frames) == 40 and len(sampled) == 20
+        assert {r.frame_idx for r in sampled} == {0}
