@@ -89,6 +89,7 @@ HEADLINE = (
     "inverted_index",
     "weighted_sample_topk",
     "y4m_keyframe_sample",
+    "pareto_front_customers",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = (
     "inverted_index",
     "weighted_sample_topk",
     "y4m_keyframe_sample",
+    "pareto_front_customers",
     # new in r5b — never driver-checked
     "winsorized_order_stats",
     "benford_first_digit",

@@ -279,6 +279,69 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: skyline phase-1 pruning buckets (any partitioning works — dominance
+#: within a subset implies global dominance — so a plain modulus is fine
+#: and deterministic).
+SKYLINE_BUCKETS = 32
+
+
+def pareto_front_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: the MAX-revenue / MIN-order-count
+    frontier ("whales who need few orders to get there") — q dominates
+    p iff q.revenue ≥ p.revenue, q.n_orders ≤ p.n_orders, strictly
+    better on at least one. The classic multi-criteria OLAP operator
+    (Börzsönyi et al., "The Skyline Operator", ICDE 2001) the
+    relational surface lacks as a primitive; the measures are chosen
+    anti-correlated so the frontier is non-degenerate (a max/max
+    skyline over correlated measures collapses to the single top
+    whale).
+
+    Two-phase shape that survives 10^9 customers: phase 1 prunes inside
+    SKYLINE_BUCKETS salt partitions (dominance within ANY subset implies
+    global dominance, so local losers can be dropped before anything
+    global happens; random-partition skyline survivors are tiny in
+    expectation). Phase 2 repeats the same two windows globally over the
+    SURVIVORS ONLY — the single-partition sort touches the pruned
+    remnant, never the corpus. Dominance tests are pure window minima:
+    min(n) over strictly-higher revenue (RANGE 1 cent .. ∞) catches
+    cross-revenue dominance, min(n) per equal-revenue group catches
+    in-group dominance; duplicate (rev, n) points tie both tests and
+    correctly co-survive. All integers; no float anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+            "revenue_cents"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+    def survivors(df: DataFrame, *bucket_cols: str) -> DataFrame:
+        w_hi = (
+            Window.partitionBy(*bucket_cols)
+            .orderBy("revenue_cents")
+            .rangeBetween(1, Window.unboundedFollowing)
+            if bucket_cols
+            else Window.orderBy("revenue_cents").rangeBetween(
+                1, Window.unboundedFollowing
+            )
+        )
+        w_same = Window.partitionBy(*bucket_cols, "revenue_cents")
+        dominated = (
+            F.coalesce(
+                F.min("n_orders").over(w_hi) <= F.col("n_orders"), F.lit(False)
+            )
+        ) | (F.min("n_orders").over(w_same) < F.col("n_orders"))
+        return df.withColumn("__dom", dominated).where(~F.col("__dom")).drop("__dom")
+
+    phase1 = survivors(
+        pc.withColumn(
+            "bucket", F.pmod(F.col("o_custkey"), F.lit(SKYLINE_BUCKETS))
+        ),
+        "bucket",
+    ).drop("bucket")
+    return survivors(phase1)
+
+
 def purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: per customer, the longest run of CONSECUTIVE
     purchase days (distinct order dates one day apart), plus active-day
@@ -369,6 +432,7 @@ QUERIES = {
     "scd2_user_state_history": scd2_user_state_history,
     "purchase_streaks": purchase_streaks,
     "quantity_discount_corr": quantity_discount_corr,
+    "pareto_front_customers": pareto_front_customers,
 }
 
 _BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
@@ -580,5 +644,25 @@ ORACLE = {
                                   AS DOUBLE)))
                    AS corr_qty_discount
         FROM m
+    """,
+    # literal NOT-EXISTS dominance definition on purpose: the two-phase
+    # window pruning is cross-checked against the textbook semantics.
+    "pareto_front_customers": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, revenue_cents, n_orders
+        FROM pc p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pc q
+            WHERE q.revenue_cents >= p.revenue_cents
+              AND q.n_orders <= p.n_orders
+              AND (q.revenue_cents > p.revenue_cents
+                   OR q.n_orders < p.n_orders)
+        )
     """,
 }

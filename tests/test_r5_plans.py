@@ -235,3 +235,25 @@ class TestR5cSamplers:
         sampled = y4m_frame_sample(media, every_n=2).collect()
         assert len(all_frames) == 40 and len(sampled) == 20
         assert {r.frame_idx for r in sampled} == {0}
+
+
+class TestSkylinePlans:
+    def test_skyline_is_windows_only_no_join(self, spark):
+        """Both dominance phases are window tests — the naive skyline is
+        a quadratic self-join; none may appear. One orders scan."""
+        df = statistics.pareto_front_customers(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("orders.parquet") == 1
+
+    def test_skyline_members_are_mutually_nondominated(self, spark):
+        rows = statistics.pareto_front_customers(spark, SF_DIR).collect()
+        assert len(rows) >= 2
+        for p in rows:
+            for q in rows:
+                dominated = (
+                    q.revenue_cents >= p.revenue_cents
+                    and q.n_orders <= p.n_orders
+                    and (q.revenue_cents > p.revenue_cents or q.n_orders < p.n_orders)
+                )
+                assert not dominated
