@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     "weighted_sample_topk",
     "y4m_keyframe_sample",
     "pareto_front_customers",
+    "arrow_doc_stats",
     # new in r5b — never driver-checked
     "winsorized_order_stats",
     "benford_first_digit",

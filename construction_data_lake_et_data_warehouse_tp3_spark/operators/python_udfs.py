@@ -189,6 +189,39 @@ def y4m_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow kernel: per-doc codepoint length and space count
+    computed with pyarrow.compute on the RAW Arrow RecordBatches —
+    the zero-copy tier BELOW mapInPandas (no pandas materialization,
+    no Series boxing; the batch never leaves Arrow memory). The shape
+    to reach for when a Python kernel is unavoidable but the work is
+    columnar: pc.utf8_length / pc.count_substring are C++ vectorized,
+    so the only Python cost is the per-batch loop.
+
+    Integer outputs ⇒ oracle-exact (DuckDB computes the same codepoint
+    length and replace-diff space count)."""
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            texts = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(texts), pa.int64()),
+                    pc.cast(pc.count_substring(texts, " "), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id long, n_chars long, n_spaces long"
+    )
+
+
 def y4m_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the synthetic clips: the mapInPandas kernel
     EXPLODES each decoded clip into per-frame rows (frame_idx, ts_ms,
@@ -213,6 +246,7 @@ QUERIES = {
     "pandas_scalar_norm": pandas_scalar_norm,
     "y4m_video_stats": y4m_video_stats,
     "y4m_keyframe_sample": y4m_keyframe_sample,
+    "arrow_doc_stats": arrow_doc_stats,
     "pandas_udaf_value_stats": pandas_udaf_value_stats,
     "apply_in_pandas_group_stats": apply_in_pandas_group_stats,
     "multimodal_features": multimodal_features,
@@ -277,6 +311,13 @@ ORACLE = {
                round(list_sum(list_transform(range(0, 16),
                      j -> ('0x' || substr(hx, (3 * j + 2) * 2 + 1, 2))::BIGINT)) / 16.0, 4) AS b_mean
         FROM h
+    """,
+    "arrow_doc_stats": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+                   AS n_spaces
+        FROM documents
     """,
     # the per-frame explode twin: one row per (doc, frame), luma mean
     # re-derived from the same digest bytes the kernel reads

@@ -257,3 +257,11 @@ class TestSkylinePlans:
                     and (q.revenue_cents > p.revenue_cents or q.n_orders < p.n_orders)
                 )
                 assert not dominated
+
+
+class TestArrowKernel:
+    def test_arrow_stats_single_arrow_stage_no_shuffle(self, spark):
+        df = python_udfs.arrow_doc_stats(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInArrow") == 1
+        assert "hashpartitioning" not in plan
