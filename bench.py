@@ -90,6 +90,12 @@ HEADLINE = (
     "weighted_sample_topk",
     "y4m_keyframe_sample",
     "pareto_front_customers",
+    # r5d additions: BM25 ranking, directional containment dedup,
+    # JL projection, SemDeDup cell-scoped semantic dedup
+    "bm25_search",
+    "shingle_containment_pairs",
+    "jl_projection",
+    "semdedup_pairs",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

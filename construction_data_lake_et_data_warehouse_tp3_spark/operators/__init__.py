@@ -36,6 +36,7 @@ _MODULES = (
     "clustering",
     "graph",
     "statistics",
+    "retrieval",
 )
 
 
@@ -48,6 +49,11 @@ _MODULES = (
 _DRIVER_PRIORITY = (
     # r4's one red row — oracle typing fixed in r5, needs its green row
     "length_histogram",
+    # new in r5d — never driver-checked
+    "bm25_search",
+    "shingle_containment_pairs",
+    "jl_projection",
+    "semdedup_pairs",
     # new in r5c — never driver-checked
     "purchase_streaks",
     "quantity_discount_corr",

@@ -1,0 +1,177 @@
+"""Unit locks for the retrieval operators (operators/retrieval.py) — the
+properties the registry oracle can't see on the synthetic corpus:
+
+- BM25: ranking actually favors query-term-rich docs, scores are
+  positive exactly when a term matches, and the result is the top-k.
+- containment: a planted verbatim quote (subset duplication) is found
+  with containment 1.0 on the quote side — the directional case
+  symmetric Jaccard misses by construction.
+- JL projection: identical inputs project identically, the sign matrix
+  is deterministic and roughly balanced, and projected distance
+  correlates with input distance (the JL promise, coarsely).
+- SemDeDup: planted cosine≈0.999 near-dup pairs are recovered through
+  the k-means cell partition (recall ≥ 0.9 — a pair is lost only when
+  it straddles a Voronoi boundary).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from construction_data_lake_et_data_warehouse_tp3_spark.operators.retrieval import (
+    BM25_TOP_K,
+    CONT_MIN_BP,
+    JL_IN_DIM,
+    JL_OUT_DIM,
+    QUERY_TERMS,
+    bm25_search,
+    jl_projection,
+    jl_signs,
+    semdedup_pairs,
+    shingle_containment_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestBm25:
+    def test_topk_scores_positive_and_sorted(self, spark):
+        rows = bm25_search(spark, SF_DIR).collect()
+        assert 0 < len(rows) <= BM25_TOP_K
+        scores = [r.score_micro for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            tfs = [r[f"tf{i}"] for i in range(len(QUERY_TERMS))]
+            assert r.score_micro > 0
+            assert any(tf > 0 for tf in tfs), "positive score needs a term hit"
+
+    def test_longer_doc_scores_below_equal_tf_shorter_doc(self, spark, tmp_path_factory):
+        """Length normalization lock: same tf, longer doc → lower score."""
+        filler_a = [f"pad{i}" for i in range(10)]
+        filler_b = [f"pad{i}" for i in range(40)]
+        rows = [
+            (0, " ".join(["spark join stream"] + filler_a), "en", "s", 1),
+            (1, " ".join(["spark join stream"] + filler_b), "en", "s", 1),
+        ]
+        out = str(tmp_path_factory.mktemp("bm25len"))
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        got = {r.doc_id: r.score_micro for r in bm25_search(spark, out).collect()}
+        assert got[0] > got[1] > 0
+
+
+class TestContainment:
+    @pytest.fixture(scope="class")
+    def quote_dir(self, spark, tmp_path_factory):
+        """Corpus with a planted verbatim quote: doc 1 is a 10-word
+        contiguous slice of doc 0 (40 words); background docs share no
+        4-grams with them."""
+        a_words = [f"alpha{i}" for i in range(40)]
+        quote = a_words[12:22]
+        rows = [
+            (0, " ".join(a_words), "en", "src0", len(" ".join(a_words))),
+            (1, " ".join(quote), "en", "src0", len(" ".join(quote))),
+        ]
+        for i in range(2, 30):
+            words = [f"beta{i}_{j}" for j in range(20)]
+            rows.append((i, " ".join(words), "en", "src1", len(" ".join(words))))
+        out = str(tmp_path_factory.mktemp("quote"))
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        return out
+
+    def test_planted_quote_found_with_full_containment(self, spark, quote_dir):
+        rows = {(r.doc_a, r.doc_b): r for r in shingle_containment_pairs(spark, quote_dir).collect()}
+        assert (0, 1) in rows
+        r = rows[(0, 1)]
+        # every one of the quote's 7 4-gram shingles exists in doc 0
+        assert r.cont_b_bp == 10_000
+        # while the long doc is barely contained in the quote
+        assert r.cont_a_bp < CONT_MIN_BP
+        # background docs share nothing
+        assert set(rows) == {(0, 1)}
+
+    def test_jaccard_would_miss_the_quote(self):
+        # containment 1.0 but Jaccard = 7/37 ≈ 0.19: the directional
+        # metric is the point of this operator (static arithmetic lock).
+        shared, n_a, n_b = 7, 37, 7
+        jaccard = shared / (n_a + n_b - shared)
+        assert jaccard < 0.2 and shared / n_b == 1.0
+
+
+class TestJlProjection:
+    def test_signs_deterministic_and_balanced(self):
+        m = [jl_signs(j) for j in range(JL_OUT_DIM)]
+        assert m == [jl_signs(j) for j in range(JL_OUT_DIM)]
+        flat = [s for row in m for s in row]
+        assert all(s in (-1, 1) for s in flat)
+        # md5 nibble parity should be close to fair
+        pos = sum(1 for s in flat if s > 0)
+        assert 0.4 < pos / len(flat) < 0.6
+
+    def test_identical_vectors_identical_projection(self, spark):
+        rows = jl_projection(spark, SF_DIR).collect()
+        assert rows and all(len(r.proj_micro) == JL_OUT_DIM for r in rows)
+        by_id = {r.vec_id: tuple(r.proj_micro) for r in rows}
+        # determinism across a second run (fresh plan)
+        again = {r.vec_id: tuple(r.proj_micro) for r in jl_projection(spark, SF_DIR).collect()}
+        assert by_id == again
+
+    def test_projection_preserves_distance_ordering(self, spark, tmp_path_factory):
+        """Coarse JL check: a near-dup pair's projected distance is far
+        smaller than a random pair's (planted corpus, exact integers)."""
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=JL_IN_DIM)
+        near = base + 0.01 * rng.normal(size=JL_IN_DIM)
+        far = rng.normal(size=JL_IN_DIM)
+        rows = [
+            (0, base.astype("float32").tolist(), 0),
+            (1, near.astype("float32").tolist(), 0),
+            (2, far.astype("float32").tolist(), 0),
+        ]
+        out = str(tmp_path_factory.mktemp("jl"))
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        p = {r.vec_id: np.array(r.proj_micro, dtype=float) for r in jl_projection(spark, out).collect()}
+        d_near = np.linalg.norm(p[0] - p[1])
+        d_far = np.linalg.norm(p[0] - p[2])
+        assert d_near < d_far / 4
+
+
+class TestSemDeDup:
+    @pytest.fixture(scope="class")
+    def planted_dir(self, spark, tmp_path_factory):
+        rng = np.random.default_rng(23)
+        rows = []
+        vid = 0
+        for _ in range(120):
+            rows.append((vid, rng.normal(size=JL_IN_DIM).astype("float32").tolist(), 0))
+            vid += 1
+        planted = []
+        for _ in range(15):
+            base = rng.normal(size=JL_IN_DIM)
+            near = base + 0.01 * rng.normal(size=JL_IN_DIM)
+            rows.append((vid, base.astype("float32").tolist(), 1))
+            rows.append((vid + 1, near.astype("float32").tolist(), 1))
+            planted.append((vid, vid + 1))
+            vid += 2
+        out = str(tmp_path_factory.mktemp("semdedup"))
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        return out, planted
+
+    def test_planted_near_dups_recovered_through_cells(self, spark, planted_dir):
+        out, planted = planted_dir
+        got = {(r.vec_a, r.vec_b) for r in semdedup_pairs(spark, out).collect()}
+        found = [p for p in planted if p in got]
+        recall = len(found) / len(planted)
+        assert recall >= 0.9, f"cell-partition recall {recall}"
+        # survivor is always the smaller id
+        rows = semdedup_pairs(spark, out).collect()
+        assert all(r.keep_vec_id == r.vec_a for r in rows)
