@@ -96,6 +96,9 @@ HEADLINE = (
     "shingle_containment_pairs",
     "jl_projection",
     "semdedup_pairs",
+    "ngram_novelty",
+    "source_lang_entropy",
+    "time_to_conversion",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -54,6 +54,9 @@ _DRIVER_PRIORITY = (
     "shingle_containment_pairs",
     "jl_projection",
     "semdedup_pairs",
+    "ngram_novelty",
+    "source_lang_entropy",
+    "time_to_conversion",
     # new in r5c — never driver-checked
     "purchase_streaks",
     "quantity_discount_corr",

@@ -548,8 +548,56 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-delay distribution: for every user,
+    the gap between their FIRST signup and the first purchase AT OR
+    AFTER it, bucketed by whole days — the activation-latency histogram
+    a growth team reads next to event_funnel's reach counts.
+
+    Plan: ONE user-keyed shuffle collects each user's (bounded) purchase
+    timestamps and the min signup; the "first purchase ≥ signup" pick is
+    a pure array filter on that row — no events self-join (the naive
+    form joins events against events on user and re-shuffles the corpus
+    twice; the oracle keeps an independent min-FILTER derivation). Epoch
+    seconds via Spark's truncating long cast ≙ DuckDB epoch_us // 1e6
+    (the timestamps carry microseconds, so round-vs-floor matters).
+    Per-user collected state is the user's purchase count — bounded in
+    practice; a pathological hot user degrades one row, not the stage."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr(
+                    "CASE WHEN event_type = 'signup'"
+                    " THEN CAST(CAST(ts AS TIMESTAMP) AS LONG) END"
+                )
+            ).alias("s"),
+            F.expr(
+                "sort_array(collect_list(CASE WHEN event_type = 'purchase'"
+                " THEN CAST(CAST(ts AS TIMESTAMP) AS LONG) END))"
+            ).alias("ps"),
+        )
+        .where(F.col("s").isNotNull())
+        # try_element_at: a signup-only user has an EMPTY purchase array
+        # and plain element_at throws under ANSI mode
+        .select("s", F.expr("try_element_at(filter(ps, x -> x >= s), 1)").alias("p"))
+        .where(F.col("p").isNotNull())
+    )
+    delays = per_user.select(F.expr("(p - s) DIV 3600").alias("delay_hours"))
+    return delays.groupBy(
+        F.expr("delay_hours DIV 24").alias("delay_days")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.min("delay_hours").alias("min_hours"),
+        F.max("delay_hours").alias("max_hours"),
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
+    "time_to_conversion": time_to_conversion,
     "event_transition_matrix": event_transition_matrix,
     "dau_wau_stickiness": dau_wau_stickiness,
     "status_priority_chisq": status_priority_chisq,
@@ -567,6 +615,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    # independent derivation: min-FILTER aggregates instead of the Spark
+    # side's collected-array pick.
+    "time_to_conversion": """
+        WITH per AS (
+            SELECT user_id,
+                   min(CAST(epoch_us(ts) // 1000000 AS BIGINT))
+                       FILTER (WHERE event_type = 'signup') AS s,
+                   list_sort(list(CAST(epoch_us(ts) // 1000000 AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase')) AS ps
+            FROM events
+            WHERE event_type IN ('signup', 'purchase')
+            GROUP BY 1
+        ),
+        conv AS (
+            SELECT s, list_filter(ps, x -> x >= s)[1] AS p
+            FROM per WHERE s IS NOT NULL
+        ),
+        d AS (
+            SELECT (p - s) // 3600 AS delay_hours FROM conv WHERE p IS NOT NULL
+        )
+        SELECT delay_hours // 24 AS delay_days,
+               count(*) AS n_users,
+               min(delay_hours) AS min_hours,
+               max(delay_hours) AS max_hours
+        FROM d GROUP BY 1
+    """,
     # naive per-order correlated top-1 on purpose: the union+window carry
     # is cross-checked against the literal "latest event ≤ order date"
     # definition every round.

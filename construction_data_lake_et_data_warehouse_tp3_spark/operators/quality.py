@@ -346,6 +346,75 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction (basis points) of a doc's
+    DISTINCT 4-word shingles that appear in no other document — the
+    inverse signal of boilerplate/duplication, used to up-weight unique
+    content in a training mix (and the complement of decontaminate's
+    overlap count). Docs with < NGRAM_WORDS words have no shingles and
+    drop out (novelty over an empty set is undefined, not 0 or 100%).
+
+    Plan: shingles generate map-side (distinct per doc), the corpus
+    document-frequency attaches as a window over the ng-keyed exchange
+    (df == member count because the per-doc sets are distinct), and one
+    doc_id re-aggregation finishes — two shuffles total, both on keys
+    that partition evenly at 100 TB (shingle text, doc_id)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct({_SHINGLES.format(ws=TOKENS)})")
+        ).alias("ng"),
+    )
+    flagged = grams.withColumn("df", F.count("*").over(Window.partitionBy("ng")))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn("novelty_bp", F.expr("(n_novel * 10000) DIV n_shingles"))
+    )
+
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language distribution — the
+    corpus-mix health metric beside domain_mix's share table: a feed
+    whose language entropy collapses round-over-round has lost coverage.
+
+    Exactness: H = Σ n·(−ln(n/tot)) / tot computed with the micro-nat
+    discipline — ln() once per (source, lang) CELL, rounded to integer
+    micro-nats, weighted by the integer count, integer-DIV by the total
+    — so the sum is order-free integer math on both engines. Scale: one
+    corpus aggregation to ≤ |sources|×|langs| rows; the totals are
+    windows over that tiny aggregated frame."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source")
+    t = cells.select(
+        "source",
+        "n",
+        F.sum("n").over(w).alias("tot"),
+        F.count("*").over(w).alias("n_langs"),
+    ).select(
+        "source",
+        "tot",
+        "n_langs",
+        F.expr(
+            "n * CAST(round(-ln(CAST(n AS DOUBLE) / tot) * 1e6) AS BIGINT)"
+        ).alias("term"),
+    )
+    return t.groupBy("source").agg(
+        F.max("tot").alias("n_docs"),
+        F.max("n_langs").alias("n_langs"),
+        F.expr("sum(term) DIV max(tot)").alias("entropy_micro_nats"),
+    )
+
+
 def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication rate: how much of each feed is
     verbatim-duplicated content (within OR across sources) — the
@@ -381,6 +450,8 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ngram_novelty": ngram_novelty,
+    "source_lang_entropy": source_lang_entropy,
     "dup_rate_by_source": dup_rate_by_source,
     "quality_filters": quality_filters,
     "training_manifest": training_manifest,
@@ -393,6 +464,47 @@ QUERIES = {
 
 
 ORACLE = {
+    "ngram_novelty": f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct({_SHINGLES_DUCK.format(ws='ws')})) AS ng
+            FROM base
+        ),
+        flagged AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY ng) AS df FROM grams
+        )
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+                   // count(*) AS novelty_bp
+        FROM flagged GROUP BY 1
+    """,
+    "source_lang_entropy": """
+        WITH cells AS (
+            SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT source, n,
+                   sum(n) OVER (PARTITION BY source) AS tot,
+                   count(*) OVER (PARTITION BY source) AS n_langs
+            FROM cells
+        ),
+        scored AS (
+            SELECT source, tot, n_langs,
+                   n * CAST(round(-ln(CAST(n AS DOUBLE) / tot) * 1e6) AS BIGINT)
+                       AS term
+            FROM t
+        )
+        SELECT source,
+               CAST(max(tot) AS BIGINT) AS n_docs,
+               CAST(max(n_langs) AS BIGINT) AS n_langs,
+               CAST(sum(term) // max(tot) AS BIGINT) AS entropy_micro_nats
+        FROM scored GROUP BY 1
+    """,
     "dup_rate_by_source": """
         WITH per AS (
             SELECT md5(text) AS h, source, count(*) AS n
