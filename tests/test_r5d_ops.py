@@ -105,3 +105,61 @@ class TestTimeToConversion:
         assert set(got) == {0, 1}
         assert got[1].n_users == 1 and got[1].min_hours == 25
         assert got[0].n_users == 1 and got[0].min_hours == 0
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestR5dPlans:
+    """Physical-plan locks: the shapes that make the r5d operators viable
+    at 100 TB must not silently regress."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_jl_projection_zero_exchange_single_scan(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.retrieval import (
+            jl_projection,
+        )
+
+        plan = self._plan(jl_projection(spark, SF_DIR))
+        # map-only: no COMPUTED shuffle (the loader's small-input
+        # round-robin repartition is not a keyed exchange)
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert plan.count("Exchange SinglePartition") == 0
+        assert plan.count("Scan parquet") == 1
+
+    def test_bm25_broadcast_stats_and_topk_no_global_sort(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.retrieval import (
+            bm25_search,
+        )
+
+        plan = self._plan(bm25_search(spark, SF_DIR))
+        # 1-row stats reach the scoring scan via broadcast, never a shuffle
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+        assert plan.count("Exchange hashpartitioning") == 0
+        # top-k compiles to TakeOrderedAndProject — no global Sort stage
+        assert "TakeOrderedAndProject" in plan
+        # two corpus scans (stats pass + scoring pass) is the contract;
+        # a third means a subtree silently re-expanded
+        assert plan.count("Scan parquet") == 2
+
+    def test_novelty_entropy_conversion_shuffle_budget(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            time_to_conversion,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.quality import (
+            ngram_novelty,
+            source_lang_entropy,
+        )
+
+        for fn, max_exch in (
+            (ngram_novelty, 2),  # ng window + doc_id re-agg
+            (source_lang_entropy, 2),  # (source,lang) agg + source window
+            (time_to_conversion, 2),  # user_id agg + delay_days agg
+        ):
+            plan = self._plan(fn(spark, SF_DIR))
+            n = plan.count("Exchange hashpartitioning")
+            assert n <= max_exch, f"{fn.__name__}: {n} exchanges"
+            assert plan.count("Scan parquet") == 1, fn.__name__
