@@ -37,6 +37,7 @@ _MODULES = (
     "graph",
     "statistics",
     "retrieval",
+    "sketches",
 )
 
 

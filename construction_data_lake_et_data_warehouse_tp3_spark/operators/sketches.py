@@ -1,0 +1,264 @@
+"""Mergeable distinct-count sketches (r5e) — the cardinality side of the
+sketch family started by text.cms_heavy_hitters (frequency) and the
+approx_count_distinct HLL twin in aggregates.py:
+
+- kmv_distinct_users: K-minimum-value style distinct-user estimate per
+  event type from K INDEPENDENT hash minima.  Each minimum is a plain
+  ``min()`` aggregate, so the sketch state is K int64s per group, it
+  combines map-side, and two sketches union by taking elementwise
+  ``least()`` — the properties that let 1000 executors each fold their
+  partition and ship 256 bytes per group to the reducer, where HLL needs
+  custom registers and exact COUNT(DISTINCT) needs a full key shuffle.
+- kmv_user_overlap: audience-overlap estimate between two event types
+  via the sketch-union identity |A∩B| = |A| + |B| − |A∪B|, where the
+  union sketch is ``least()`` of the two sides' minima — computed
+  WITHOUT ever shuffling user ids.
+
+Unlike Spark's approx_count_distinct (whose HLL is an opaque binary
+accumulator the driver records rows-only — see
+product_purchase_counts_approx), every number here is determinstically
+derived from md5, so the DuckDB oracle REPLAYS the sketch bit-for-bit
+and the estimate is hash-checked, with the exact count and the signed
+error beside it (the cms_heavy_hitters discipline).
+
+Estimator: with n distinct users, each independent 52-bit minimum m_j
+is ≈ M/(n+1) in expectation (M = 2^52), so Σ m_j ≈ K·M/(n+1) and
+n̂ = (K·M) DIV Σ m_j − 1.  Relative error ~ 1/√K ≈ 12% at K=64 —
+accuracy is asserted on a 1,000-key planted corpus in
+tests/test_sketches.py, while the driver row proves replay parity.
+
+min() is insensitive to duplicate rows, so the mins need NO distinct
+pre-aggregation — the only exact-distinct work is the n_exact twin
+column kept for the error readout.
+
+Reference parity anchor: the reference's aggregation scripts
+(reference/data_warehouse/aggregate_query_data.py) compute exact
+COUNT(DISTINCT ...) only; this is the beyond-reference scale path for
+the same questions at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: number of independent hash minima. 64 → sketch state 512 bytes/group,
+#: ~12% expected relative error (measured on planted corpora: −1.6% at
+#: n=1000, −11% at n=200; K=32's draw at n=1000 was +46%, outside the
+#: useful band). At deploy time K trades accuracy (∝ 1/√K) against
+#: per-row hash cost and state (∝ K).
+KMV_K = 64
+
+#: hash space: 13 hex nibbles of md5 → uniform in [0, 2^52).  52 bits
+#: keeps K·M = 2^57 far inside int64 for the estimator arithmetic.
+KMV_M = 1 << 52
+
+#: the two audiences whose overlap kmv_user_overlap estimates.
+OVERLAP_A = "view"
+OVERLAP_B = "purchase"
+
+
+def _h(j: int, engine: str) -> str:
+    """Independent 52-bit hash j of user_id — identical derivation text
+    on both engines (the curation.weighted_sample_topk idiom)."""
+    if engine == "spark":
+        return (
+            f"CAST(conv(substr(md5('kmv:{j}:' || CAST(user_id AS STRING)),"
+            f" 1, 13), 16, 10) AS BIGINT)"
+        )
+    return (
+        f"('0x' || substr(md5('kmv:{j}:' || CAST(user_id AS VARCHAR)),"
+        f" 1, 13))::BIGINT"
+    )
+
+
+def _est(sum_mins: str) -> str:
+    """n̂ = (K·M) DIV Σm − 1; greatest() guards the measure-zero case of
+    a zero minimum (truncating DIV on both engines — verified BIGINT `//`
+    truncates in DuckDB, matching Spark's DIV)."""
+    return (
+        f"CAST({KMV_K * KMV_M} AS BIGINT)"
+        f" DIV greatest({sum_mins}, CAST(1 AS BIGINT)) - 1"
+    )
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from K independent hash
+    minima, with the exact count and signed error in basis points.
+
+    Plan: ONE aggregation on event_type.  The K mins partial-aggregate
+    map-side (min is commutative/idempotent, duplicate rows are free);
+    only the n_exact twin column costs a distinct expansion — at 100 TB
+    you drop that column and the query never shuffles user ids at all.
+    """
+    events = load_table(spark, sf_dir, "events")
+    mins = [
+        F.min(F.expr(_h(j, "spark"))).alias(f"m{j}") for j in range(KMV_K)
+    ]
+    sum_mins = " + ".join(f"m{j}" for j in range(KMV_K))
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"), *mins
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.expr(_est(sum_mins)).alias("est_distinct"),
+    ).select(
+        "event_type",
+        "n_exact",
+        "est_distinct",
+        F.expr("((est_distinct - n_exact) * 10000) DIV n_exact").alias("err_bp"),
+    )
+
+
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between OVERLAP_A and OVERLAP_B event types:
+    exact distinct users of each side and of the intersection, beside
+    the sketch estimates — the union sketch is elementwise least() of
+    the two sides' minima, so |A∩B| comes out of inclusion-exclusion
+    with NO user-id shuffle on the sketch path.
+
+    Plan: one conditional-min aggregation to a single sketch row (2K
+    mins over one scan, each hash computed once per row and reused by
+    both sides' CASE arms), plus an exact-flags twin (per-user bool
+    aggregation → 1-row count) broadcast-crossJoined for the readout.
+    At 100 TB the exact branch is the one you drop."""
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin(OVERLAP_A, OVERLAP_B))
+    mins = []
+    for j in range(KMV_K):
+        h = _h(j, "spark")
+        mins.append(
+            F.min(
+                F.expr(f"CASE WHEN event_type = '{OVERLAP_A}' THEN {h} END")
+            ).alias(f"a{j}")
+        )
+        mins.append(
+            F.min(
+                F.expr(f"CASE WHEN event_type = '{OVERLAP_B}' THEN {h} END")
+            ).alias(f"b{j}")
+        )
+    sketch = both.agg(*mins)
+    sum_a = " + ".join(f"a{j}" for j in range(KMV_K))
+    sum_b = " + ".join(f"b{j}" for j in range(KMV_K))
+    sum_u = " + ".join(f"least(a{j}, b{j})" for j in range(KMV_K))
+    ests = sketch.select(
+        F.expr(_est(sum_a)).alias("est_a"),
+        F.expr(_est(sum_b)).alias("est_b"),
+        F.expr(_est(sum_u)).alias("est_union"),
+    )
+    flags = (
+        both.groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(f"CASE WHEN event_type = '{OVERLAP_A}' THEN 1 ELSE 0 END")
+            ).alias("fa"),
+            F.max(
+                F.expr(f"CASE WHEN event_type = '{OVERLAP_B}' THEN 1 ELSE 0 END")
+            ).alias("fb"),
+        )
+        .agg(
+            F.expr("CAST(sum(fa) AS BIGINT)").alias("n_a"),
+            F.expr("CAST(sum(fb) AS BIGINT)").alias("n_b"),
+            F.expr("CAST(sum(fa * fb) AS BIGINT)").alias("n_both"),
+        )
+    )
+    return flags.crossJoin(F.broadcast(ests)).select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.expr("est_a + est_b - est_union").alias("est_both"),
+    )
+
+
+QUERIES = {
+    "kmv_distinct_users": kmv_distinct_users,
+    "kmv_user_overlap": kmv_user_overlap,
+}
+
+
+def _distinct_oracle() -> str:
+    mins = ",\n                   ".join(
+        f"min({_h(j, 'duck')}) AS m{j}" for j in range(KMV_K)
+    )
+    sum_mins = " + ".join(f"m{j}" for j in range(KMV_K))
+    return f"""
+        WITH s AS (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_exact,
+                   {mins}
+            FROM events
+            GROUP BY event_type
+        ),
+        e AS (
+            SELECT event_type, n_exact,
+                   CAST({_est(sum_mins).replace(' DIV ', ' // ')} AS BIGINT)
+                       AS est_distinct
+            FROM s
+        )
+        SELECT event_type, n_exact, est_distinct,
+               CAST(((est_distinct - n_exact) * 10000) // n_exact AS BIGINT)
+                   AS err_bp
+        FROM e
+    """
+
+
+def _overlap_oracle() -> str:
+    mins = []
+    for j in range(KMV_K):
+        h = _h(j, "duck")
+        mins.append(
+            f"min(CASE WHEN event_type = '{OVERLAP_A}' THEN {h} END) AS a{j}"
+        )
+        mins.append(
+            f"min(CASE WHEN event_type = '{OVERLAP_B}' THEN {h} END) AS b{j}"
+        )
+    sum_a = " + ".join(f"a{j}" for j in range(KMV_K))
+    sum_b = " + ".join(f"b{j}" for j in range(KMV_K))
+    sum_u = " + ".join(f"least(a{j}, b{j})" for j in range(KMV_K))
+    d = lambda s: _est(s).replace(" DIV ", " // ")  # noqa: E731
+    mins_sql = ",\n                   ".join(mins)
+    return f"""
+        WITH filtered AS (
+            SELECT * FROM events
+            WHERE event_type IN ('{OVERLAP_A}', '{OVERLAP_B}')
+        ),
+        sk AS (
+            SELECT {mins_sql}
+            FROM filtered
+        ),
+        e AS (
+            SELECT CAST({d(sum_a)} AS BIGINT) AS est_a,
+                   CAST({d(sum_b)} AS BIGINT) AS est_b,
+                   CAST({d(sum_u)} AS BIGINT) AS est_union
+            FROM sk
+        ),
+        fl AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = '{OVERLAP_A}' THEN 1 ELSE 0 END)
+                       AS fa,
+                   max(CASE WHEN event_type = '{OVERLAP_B}' THEN 1 ELSE 0 END)
+                       AS fb
+            FROM filtered GROUP BY user_id
+        ),
+        ex AS (
+            SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+                   CAST(sum(fb) AS BIGINT) AS n_b,
+                   CAST(sum(fa * fb) AS BIGINT) AS n_both
+            FROM fl
+        )
+        SELECT n_a, n_b, n_both, est_a, est_b, est_union,
+               est_a + est_b - est_union AS est_both
+        FROM ex CROSS JOIN e
+    """
+
+
+ORACLE = {
+    "kmv_distinct_users": _distinct_oracle(),
+    "kmv_user_overlap": _overlap_oracle(),
+}
