@@ -99,6 +99,15 @@ HEADLINE = (
     "ngram_novelty",
     "source_lang_entropy",
     "time_to_conversion",
+    # r5e additions: mergeable KMV cardinality sketches, CUSUM
+    # change-point, per-month OLS trend, path mining, PMI collocations,
+    # hybrid lexical+semantic retrieval
+    "kmv_distinct_users",
+    "cusum_changepoint",
+    "revenue_trend_slope",
+    "event_path_trigrams",
+    "term_pmi_pairs",
+    "rrf_hybrid_search",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -50,6 +50,14 @@ _MODULES = (
 _DRIVER_PRIORITY = (
     # r4's one red row — oracle typing fixed in r5, needs its green row
     "length_histogram",
+    # new in r5e — never driver-checked
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "cusum_changepoint",
+    "revenue_trend_slope",
+    "event_path_trigrams",
+    "term_pmi_pairs",
+    "rrf_hybrid_search",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -595,8 +595,46 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: top-N most frequent 3-step paths emitted by event_path_trigrams.
+PATH_TOP_N = 20
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent 3-step navigation paths: every run of three
+    consecutive events per user (ordered by ts with the event_id
+    tie-break), counted corpus-wide — the sequence-mining readout one
+    order up from event_transition_matrix's pair counts.
+
+    Plan: one (user_id) shuffle where BOTH lags ride the SAME window
+    sort (one Sort, one Exchange), one (e1,e2,e3) aggregation with
+    map-side partial combine, and the top-N compiles to
+    TakeOrderedAndProject — no global sort.  Distinct path count is
+    bounded by |states|³ (125 here), so the second shuffle is tiny at
+    any corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    lag1 = "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    lag2 = "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    tri = (
+        events.select(
+            F.expr(lag2).alias("e1"),
+            F.expr(lag1).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .where(F.col("e1").isNotNull())
+    )
+    counts = tri.groupBy("e1", "e2", "e3").agg(F.count("*").alias("n_paths"))
+    return (
+        counts.select(
+            F.expr("e1 || '>' || e2 || '>' || e3").alias("path"), "n_paths"
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(PATH_TOP_N)
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
+    "event_path_trigrams": event_path_trigrams,
     "time_to_conversion": time_to_conversion,
     "event_transition_matrix": event_transition_matrix,
     "dau_wau_stickiness": dau_wau_stickiness,
@@ -615,6 +653,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_path_trigrams": f"""
+        WITH tri AS (
+            SELECT lag(event_type, 2) OVER w AS e1,
+                   lag(event_type, 1) OVER w AS e2,
+                   event_type AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+            SELECT e1, e2, e3, count(*) AS n_paths
+            FROM tri WHERE e1 IS NOT NULL
+            GROUP BY 1, 2, 3
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, n_paths
+        FROM g
+        ORDER BY n_paths DESC, path
+        LIMIT {PATH_TOP_N}
+    """,
     # independent derivation: min-FILTER aggregates instead of the Spark
     # side's collected-array pick.
     "time_to_conversion": """

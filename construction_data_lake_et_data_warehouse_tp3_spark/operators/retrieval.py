@@ -322,8 +322,75 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid lexical + semantic retrieval)
+# --------------------------------------------------------------------------
+
+#: RRF constant (Cormack et al. 2009 use 60; it damps the head so one
+#: system's #1 can't drown the other's consensus).
+RRF_K = 60
+#: per-system candidate pool and fused output size.
+RRF_POOL = BM25_TOP_K
+RRF_TOP_N = 20
+#: the semantic query: vector 0 (same demo-query convention as
+#: similarity.N_QUERIES); doc_id and vec_id are the same corpus id space.
+RRF_QUERY_VEC = 0
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
+    against query vector 0 (semantic) by reciprocal-rank fusion —
+    score(d) = Σ 1/(RRF_K + rank_sys(d)), the standard way RAG stacks
+    combine a keyword index with an ANN index without score calibration.
+    Kept integer: each reciprocal is 1000000 DIV (K + rank), so fusion
+    arithmetic and tie-breaks are engine-exact.
+
+    Plan: each arm ends in TakeOrderedAndProject (pool = 20), so the
+    rank windows run on 20-row frames — the single-partition window
+    never sees the corpus.  The fuse join is 20×20 FULL OUTER on the
+    item id; at 100 TB the arms are the expensive part (BM25's two
+    scans, one embedding scan + broadcast query) and both are
+    embarrassingly parallel; swap the brute-force semantic arm for
+    ann_ivf_topk's cell-probe when the corpus outgrows it."""
+    from .similarity import _DOT
+    from .similarity import _vectors as _sim_vectors
+
+    lex_pool = bm25_search(spark, sf_dir).select("doc_id", "score_micro")
+    w_lex = Window.orderBy(F.desc("score_micro"), "doc_id")
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    vec = _sim_vectors(spark, sf_dir)
+    q = vec.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    cand = vec.where(F.col("vec_id") != RRF_QUERY_VEC)
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("norm")), 4
+        ).alias("cosine"),
+    )
+    sem_pool = scored.orderBy(F.desc("cosine"), "vec_id").limit(RRF_POOL)
+    w_sem = Window.orderBy(F.desc("cosine"), "vec_id")
+    sem = sem_pool.select(
+        "vec_id", F.row_number().over(w_sem).alias("sem_rank")
+    )
+    fused = lex.join(sem, lex.doc_id == sem.vec_id, "full_outer").select(
+        F.coalesce("doc_id", "vec_id").alias("item_id"),
+        "lex_rank",
+        "sem_rank",
+        F.expr(
+            f"coalesce(1000000 DIV ({RRF_K} + lex_rank), 0)"
+            f" + coalesce(1000000 DIV ({RRF_K} + sem_rank), 0)"
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "item_id").limit(RRF_TOP_N)
+
+
 QUERIES = {
     "bm25_search": bm25_search,
+    "rrf_hybrid_search": rrf_hybrid_search,
     "shingle_containment_pairs": shingle_containment_pairs,
     "jl_projection": jl_projection,
     "semdedup_pairs": semdedup_pairs,
@@ -451,8 +518,49 @@ def _semdedup_oracle() -> str:
     """
 
 
+def _rrf_oracle() -> str:
+    # the lexical arm IS the bm25 oracle, spliced as a nested-WITH CTE so
+    # the two stay definitionally identical.
+    return f"""
+        WITH lexpool AS ({_bm25_oracle()}),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                       AS lex_rank
+            FROM lexpool
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+        scored AS (
+            SELECT c.vec_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+            FROM e c CROSS JOIN q
+            WHERE c.vec_id <> {RRF_QUERY_VEC}
+        ),
+        sempool AS (
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT {RRF_POOL}
+        ),
+        sem AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+            FROM sempool
+        )
+        SELECT coalesce(l.doc_id, s.vec_id) AS item_id,
+               l.lex_rank, s.sem_rank,
+               coalesce(1000000 // ({RRF_K} + l.lex_rank), 0)
+                   + coalesce(1000000 // ({RRF_K} + s.sem_rank), 0) AS rrf_micro
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+        ORDER BY rrf_micro DESC, item_id
+        LIMIT {RRF_TOP_N}
+    """
+
+
 ORACLE = {
     "bm25_search": _bm25_oracle(),
+    "rrf_hybrid_search": _rrf_oracle(),
     "shingle_containment_pairs": _containment_oracle(),
     "jl_projection": _jl_oracle(),
     "semdedup_pairs": _semdedup_oracle(),

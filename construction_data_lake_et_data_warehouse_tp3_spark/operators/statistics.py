@@ -421,6 +421,96 @@ def quantity_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the
+    cumulative sum of deviations from the global mean peaks (in absolute
+    value) at the most likely level-shift point (Page 1954's offline
+    form).  S_t = Σ_{i≤t}(x_i − x̄) is kept EXACT by scaling with n:
+    n·S_t = n·prefix_t − t·total — pure BIGINT, no mean division ever
+    happens, so the argmax and every emitted value hash-match.
+
+    Plan: one shuffle to the daily rollup, then every window
+    (row_number, prefix sum, grand totals, the argmax pick) runs over
+    the ~90-row aggregated frame — a single-partition window over
+    O(days) rows no matter the corpus size, the resample_daily_revenue
+    contract.  BIGINT headroom: n·prefix ≤ days²·daily_cents ≈ 10^17 at
+    sf1000; beyond that promote to DECIMAL(38,0)/HUGEINT."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+            "revenue_cents"
+        )
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    flagged = (
+        daily.withColumn("t", F.row_number().over(Window.orderBy("day")))
+        .withColumn("prefix", F.sum("revenue_cents").over(w_ord))
+        .withColumn("n_days", F.count("*").over(w_all))
+        .withColumn("total", F.sum("revenue_cents").over(w_all))
+        .withColumn("cusum_scaled", F.expr("n_days * prefix - t * total"))
+        .withColumn("max_abs", F.max(F.abs(F.col("cusum_scaled"))).over(w_all))
+        .withColumn(
+            "cp_day",
+            F.min(
+                F.expr("CASE WHEN abs(cusum_scaled) = max_abs THEN day END")
+            ).over(w_all),
+        )
+    )
+    return flagged.select(
+        "day",
+        "revenue_cents",
+        "cusum_scaled",
+        F.expr("day = cp_day").alias("is_changepoint"),
+    )
+
+
+def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month OLS trend of daily revenue vs day-of-month: slope and
+    intercept from EXACT integer moment sums (the
+    quantity_discount_corr discipline) — the closed forms are the only
+    float math, written as identical IEEE expression trees on both
+    engines, so the doubles hash bit-for-bit with no rounding call.
+
+    Plan: one shuffle to the (month, day) rollup, then ONE map-side-
+    combinable moment aggregation per month (5 BIGINT sums over ≤31
+    rows/group).  A 1-day month has zero x-variance — slope NULL via
+    nullif, not an engine-divergent division error."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.expr("CAST(day(o_orderdate) AS BIGINT)").alias("x"),
+    ).agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias("y")
+    )
+    m = daily.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return (
+        m.withColumn(
+            "slope_cents_per_day",
+            F.expr(
+                "CAST(n_days * sxy - sx * sy AS DOUBLE)"
+                " / CAST(nullif(n_days * sxx - sx * sx, 0) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "intercept_cents",
+            F.expr(
+                "(CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))"
+                " / CAST(n_days AS DOUBLE)"
+            ),
+        )
+        .select("month", "n_days", "slope_cents_per_day", "intercept_cents")
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "new_vs_returning_revenue": new_vs_returning_revenue,
@@ -433,6 +523,8 @@ QUERIES = {
     "purchase_streaks": purchase_streaks,
     "quantity_discount_corr": quantity_discount_corr,
     "pareto_front_customers": pareto_front_customers,
+    "cusum_changepoint": cusum_changepoint,
+    "revenue_trend_slope": revenue_trend_slope,
 }
 
 _BENFORD_LIST = "[" + ", ".join(str(b) for b in BENFORD_BP) + "]"
@@ -664,5 +756,68 @@ ORACLE = {
               AND (q.revenue_cents > p.revenue_cents
                    OR q.n_orders < p.n_orders)
         )
+    """,
+    "cusum_changepoint": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT day, revenue_cents,
+                   row_number() OVER (ORDER BY day) AS t,
+                   sum(revenue_cents) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS prefix,
+                   count(*) OVER () AS n_days,
+                   sum(revenue_cents) OVER () AS total
+            FROM daily
+        ),
+        c AS (
+            SELECT day, revenue_cents,
+                   CAST(n_days * prefix - t * total AS BIGINT) AS cusum_scaled
+            FROM s
+        ),
+        m1 AS (
+            SELECT *, max(abs(cusum_scaled)) OVER () AS max_abs FROM c
+        ),
+        m2 AS (
+            SELECT *,
+                   min(CASE WHEN abs(cusum_scaled) = max_abs THEN day END)
+                       OVER () AS cp_day
+            FROM m1
+        )
+        SELECT day, revenue_cents, cusum_scaled,
+               day = cp_day AS is_changepoint
+        FROM m2
+    """,
+    "revenue_trend_slope": """
+        WITH daily AS (
+            SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                   CAST(date_part('day', o_orderdate) AS BIGINT) AS x,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM orders GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT month,
+                   count(*) AS n_days,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY 1
+        ),
+        sl AS (
+            SELECT *,
+                   CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / CAST(nullif(n_days * sxx - sx * sx, 0) AS DOUBLE)
+                       AS slope_cents_per_day
+            FROM m
+        )
+        SELECT month, n_days, slope_cents_per_day,
+               (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))
+                   / CAST(n_days AS DOUBLE) AS intercept_cents
+        FROM sl
     """,
 }

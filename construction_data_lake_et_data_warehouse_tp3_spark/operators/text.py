@@ -375,8 +375,68 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.where(F.col("df").between(INDEX_MIN_DF, INDEX_MAX_DF))
 
 
+#: PMI support floor: pairs co-occurring in fewer docs are noise (and
+#: the floor is what bounds the pair frame that reaches the joins).
+PMI_MIN_COOC = 10
+PMI_TOP_N = 30
+
+
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: for token pairs
+    co-occurring in ≥ PMI_MIN_COOC documents, PMI = ln(N·c_ab/(c_a·c_b))
+    over DOCUMENT-level co-occurrence (distinct tokens per doc) — the
+    phrase-detection signal (word2vec's phrase pass, KeyBERT-ish) run
+    corpus-wide.  ln once per surviving PAIR on an exactly-represented
+    integer quotient, rounded to integer micro-nats (the lm_surprisal
+    discipline), so ranking and hashes are bit-stable.
+
+    Plan: per-doc distinct tokens explode map-side; the pair frame comes
+    from a doc_id-keyed self-join (pair expansion is |doc|² BOUNDED by
+    doc length, never corpus²); the support floor collapses it to the
+    frequent-pair frame BEFORE the unigram joins, which broadcast (the
+    unigram frame is vocabulary-sized, ≪ corpus); top-N compiles to
+    TakeOrderedAndProject.  Integer headroom: c_ab·N ≤ N² — at N > 3·10^9
+    docs promote the product to DECIMAL(38,0)/HUGEINT before the ln."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({TOKENS})")).alias("tok"),
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    a = toks.select("doc_id", F.col("tok").alias("tok_a"))
+    b = toks.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_COOC)
+    )
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST(round(ln(CAST(c_ab * n_docs AS DOUBLE)"
+                " / CAST(c_a * c_b AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), "tok_a", "tok_b").limit(PMI_TOP_N)
+
+
 QUERIES = {
     "token_count": token_count,
+    "term_pmi_pairs": term_pmi_pairs,
     "bpe_token_count": bpe_token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
@@ -393,6 +453,31 @@ _HITS_DUCK = {
 }
 
 ORACLE = {
+    "term_pmi_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({TOKENS_DUCK})) AS tok
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+            HAVING count(*) >= {PMI_MIN_COOC}
+        )
+        SELECT tok_a, tok_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+               CAST(round(ln(CAST(c_ab * n_docs AS DOUBLE)
+                    / CAST(ca.c * cb.c AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS pmi_micro
+        FROM pairs
+        CROSS JOIN n
+        JOIN uni ca ON ca.tok = pairs.tok_a
+        JOIN uni cb ON cb.tok = pairs.tok_b
+        ORDER BY pmi_micro DESC, tok_a, tok_b
+        LIMIT {PMI_TOP_N}
+    """,
     "token_count": f"""
         SELECT doc_id,
                len({TOKENS_DUCK}) AS n_tokens,
