@@ -108,6 +108,7 @@ HEADLINE = (
     "event_path_trigrams",
     "term_pmi_pairs",
     "rrf_hybrid_search",
+    "session_bounce_rate",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

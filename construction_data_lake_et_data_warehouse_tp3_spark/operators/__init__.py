@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "event_path_trigrams",
     "term_pmi_pairs",
     "rrf_hybrid_search",
+    "session_bounce_rate",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

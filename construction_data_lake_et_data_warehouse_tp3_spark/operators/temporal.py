@@ -114,6 +114,56 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by entry event type: the share of sessions (30-min-gap
+    sessionization, same definition as event_sessions) that contain
+    EXACTLY one event, grouped by the session's first event type — the
+    landing-page health readout of web analytics.
+
+    Plan: ONE user_id shuffle serves the session window AND the
+    (user_id, session_id) aggregation (hash partitioning on user_id
+    already clusters the superset key); the entry event falls out of a
+    min(struct(ts, event_id, event_type)) — no second window, no
+    self-join; the final entry-type rollup is |event types| rows.
+    The oracle derives the entry independently via a row_number()=1
+    pick, so the struct-min trick is cross-checked each round."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, 0).over(by_user)
+            > SESSION_GAP_MINUTES * 60,
+            1,
+        ).otherwise(F.when(F.lag("ts", 1).over(by_user).isNull(), 1).otherwise(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(by_user))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("entry_type"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_bounces"),
+            F.expr("CAST(sum(n_events) AS BIGINT)").alias("n_events_total"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            "n_events_total",
+            F.expr("(n_bounces * 10000) DIV n_sessions").alias("bounce_bp"),
+        )
+    )
+
+
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window, 30-min gap) — the
     built-in operator whose custom stateful twin is
@@ -462,6 +512,7 @@ QUERIES = {
     "revenue_anomalies": revenue_anomalies,
     "session_window_stats": session_window_stats,
     "event_sessions": event_sessions,
+    "session_bounce_rate": session_bounce_rate,
     "asof_latest_order": asof_latest_order,
     "median_order_value": median_order_value,
     "median_order_value_approx": median_order_value_approx,
@@ -469,6 +520,55 @@ QUERIES = {
 }
 
 ORACLE = {
+    # entry event derived independently (row_number()=1) vs the Spark
+    # side's min(struct) pick
+    "session_bounce_rate": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                        WHEN epoch(ts) - epoch(lag(ts) OVER w)
+                             > {SESSION_GAP_MINUTES * 60} THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM flagged
+        ),
+        entry AS (
+            SELECT user_id, session_id, event_type AS entry_type FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                             ORDER BY ts, event_id) AS rn
+                FROM sessions
+            ) WHERE rn = 1
+        ),
+        per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sessions GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT e.entry_type, p.n_events
+            FROM per_session p
+            JOIN entry e ON e.user_id = p.user_id
+                        AND e.session_id = p.session_id
+        ),
+        g AS (
+            SELECT entry_type,
+                   count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                   CAST(sum(n_events) AS BIGINT) AS n_events_total
+            FROM j GROUP BY 1
+        )
+        SELECT entry_type, n_sessions, n_bounces, n_events_total,
+               (n_bounces * 10000) // n_sessions AS bounce_bp
+        FROM g
+    """,
     "events_json_props": f"""
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
                count(*) AS n_events,

@@ -246,3 +246,33 @@ class TestRrfHybridSearch:
         # windows run AFTER the 20-row pools (SinglePartition on 20 rows
         # is fine; a corpus-wide single-partition window is not)
         assert plan.count("TakeOrderedAndProject") >= 2
+
+
+class TestSessionBounceRate:
+    def test_planted_sessions(self, spark, tmp_path):
+        """User 1: a lone 'view' (bounce), then >30 min later a 3-event
+        session entered via 'click' -> view bounces 1/1, click 0/1."""
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.temporal import (
+            session_bounce_rate,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 8, 0)
+        rows = [
+            (0, t0, 1, "view", 1.0, "{}"),
+            (1, t0 + dt.timedelta(minutes=45), 1, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=50), 1, "purchase", 1.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=55), 1, "view", 1.0, "{}"),
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{out}/events.parquet")
+        got = {r.entry_type: r for r in session_bounce_rate(spark, out).collect()}
+        assert got["view"].n_sessions == 1 and got["view"].n_bounces == 1
+        assert got["view"].bounce_bp == 10000
+        assert got["click"].n_sessions == 1 and got["click"].n_bounces == 0
+        assert got["click"].n_events_total == 3
+        assert got["click"].bounce_bp == 0
