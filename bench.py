@@ -109,6 +109,11 @@ HEADLINE = (
     "term_pmi_pairs",
     "rrf_hybrid_search",
     "session_bounce_rate",
+    # r5f additions: ML feature engineering + governance + drift
+    "target_encoding_loo",
+    "feature_hashing",
+    "k_anonymity_audit",
+    "embedding_drift",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

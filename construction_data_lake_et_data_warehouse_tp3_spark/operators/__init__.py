@@ -59,6 +59,10 @@ _DRIVER_PRIORITY = (
     "term_pmi_pairs",
     "rrf_hybrid_search",
     "session_bounce_rate",
+    "target_encoding_loo",
+    "feature_hashing",
+    "k_anonymity_audit",
+    "embedding_drift",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -259,7 +259,65 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift: the cosine between the label's centroid
+    over EVEN vec_ids and over ODD vec_ids (two deterministic halves
+    standing in for two snapshots of the corpus) — the distribution-shift
+    monitor run between training rounds; at deploy time the parity split
+    becomes snapshot ids and the query is otherwise unchanged.
+
+    Exactness: centroids are integer-DIV means of int64 micro-units (the
+    label_centroids discipline); the cosine closed form over the two
+    64-dim mean vectors is the only float math, written identically on
+    both engines.  A drift_cos near 1 means the halves agree; a label
+    present in only one half yields NULL (no fabricated zero).
+
+    Plan: posexplode fans map-side; ONE partial-aggregated shuffle on
+    (label, parity, dim) — cardinality |labels|×2×64 regardless of
+    corpus size — then the parity pivot and the per-label moment fold
+    ride the same tiny frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.expr("CAST(pmod(vec_id, 2) AS INT)").alias("parity"),
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+            )
+        ).alias("dim", "x"),
+    )
+    cent = (
+        ex.groupBy("label", "parity", "dim")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .select("label", "parity", "dim", "n", F.expr("s DIV n").alias("m"))
+    )
+    byd = cent.groupBy("label", "dim").agg(
+        F.min(F.expr("CASE WHEN parity = 0 THEN m END")).alias("e"),
+        F.min(F.expr("CASE WHEN parity = 1 THEN m END")).alias("o"),
+        F.min(F.expr("CASE WHEN parity = 0 THEN n END")).alias("ne"),
+        F.min(F.expr("CASE WHEN parity = 1 THEN n END")).alias("no"),
+    )
+    g = byd.groupBy("label").agg(
+        F.min("ne").alias("n_even"),
+        F.min("no").alias("n_odd"),
+        F.sum(F.expr("e * o")).alias("dot"),
+        F.sum(F.expr("e * e")).alias("ee"),
+        F.sum(F.expr("o * o")).alias("oo"),
+    )
+    return g.select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.expr(
+            "CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE)))"
+        ).alias("drift_cos"),
+    )
+
+
 QUERIES = {
+    "embedding_drift": embedding_drift,
     "kmeans_embeddings": kmeans_embeddings,
     "ivf_kmeans_topk": ivf_kmeans_topk,
     "label_centroids": label_centroids,
@@ -327,6 +385,42 @@ _TRAIN_DUCK = f"""
 _COS_DIM = f"list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * cv[i]))"
 
 ORACLE = {
+    "embedding_drift": f"""
+        WITH ex AS (
+            SELECT label,
+                   CAST(vec_id % 2 AS INT) AS parity,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {SCALE})
+                        AS BIGINT) AS x
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, parity, dim, count(*) AS n,
+                   CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS m
+            FROM ex GROUP BY 1, 2, 3
+        ),
+        byd AS (
+            SELECT label, dim,
+                   min(CASE WHEN parity = 0 THEN m END) AS e,
+                   min(CASE WHEN parity = 1 THEN m END) AS o,
+                   min(CASE WHEN parity = 0 THEN n END) AS ne,
+                   min(CASE WHEN parity = 1 THEN n END) AS no
+            FROM cent GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT label,
+                   min(ne) AS n_even, min(no) AS n_odd,
+                   CAST(sum(e * o) AS BIGINT) AS dot,
+                   CAST(sum(e * e) AS BIGINT) AS ee,
+                   CAST(sum(o * o) AS BIGINT) AS oo
+            FROM byd GROUP BY 1
+        )
+        SELECT label, n_even, n_odd,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE)))
+                   AS drift_cos
+        FROM g
+    """,
     # generate_subscripts zips with unnest in DuckDB; -1 aligns with
     # posexplode's 0-based dim
     "label_centroids": f"""

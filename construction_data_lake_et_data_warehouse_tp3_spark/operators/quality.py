@@ -449,7 +449,41 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-anonymity threshold: a quasi-identifier group smaller than this
+#: re-identifies its members (k=5 is the classic disclosure-control
+#: floor; at deploy time it's the policy knob).
+K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    every equivalence class with its size, an at_risk flag for classes
+    smaller than K_ANON, and the corpus-wide share of documents sitting
+    in at-risk classes — the disclosure-control readout run BEFORE a
+    corpus is shared, complementing pii_scrub (which redacts direct
+    identifiers; this measures indirect ones).
+
+    Plan: one aggregation on the quasi-identifier key; the risk share
+    rides a window over the aggregated class frame (|langs|×|sources|
+    rows), never the corpus.  Generalization (coarsening lang/source
+    until every class passes) is the caller's next move; the audit is
+    the fixed point it iterates against."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    return classes.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr(f"n_docs < {K_ANON}").alias("at_risk"),
+        F.expr(
+            f"(sum(CASE WHEN n_docs < {K_ANON} THEN n_docs ELSE 0 END) OVER ()"
+            f" * 10000) DIV sum(n_docs) OVER ()"
+        ).alias("risk_share_bp"),
+    )
+
+
 QUERIES = {
+    "k_anonymity_audit": k_anonymity_audit,
     "ngram_novelty": ngram_novelty,
     "source_lang_entropy": source_lang_entropy,
     "dup_rate_by_source": dup_rate_by_source,
@@ -464,6 +498,18 @@ QUERIES = {
 
 
 ORACLE = {
+    "k_anonymity_audit": f"""
+        WITH classes AS (
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT lang, source, n_docs,
+               n_docs < {K_ANON} AS at_risk,
+               CAST((sum(CASE WHEN n_docs < {K_ANON} THEN n_docs ELSE 0 END)
+                         OVER () * 10000)
+                    // sum(n_docs) OVER () AS BIGINT) AS risk_share_bp
+        FROM classes
+    """,
     "ngram_novelty": f"""
         WITH base AS (
             SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents

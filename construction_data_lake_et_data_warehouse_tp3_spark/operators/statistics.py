@@ -511,8 +511,45 @@ def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the ML feature-engineering primitive that replaces a
+    categorical with the mean target of its OTHER members, so a row
+    never leaks its own label into its feature:
+    enc_i = (Σ_group cents − cents_i) DIV (n_group − 1).
+
+    All integer (cents, truncating DIV); a singleton group has no other
+    members — enc NULL via nullif, not a division error.
+
+    Plan: ONE exchange on the category key; the group sum and count are
+    unbounded window aggregates over that partition (no ORDER BY, so no
+    sort — just the hash exchange), and the encoding is a map-side
+    expression on each row.  At 100 TB a skewed category is the
+    classic salting case (functions/skew.py); cardinality here is 5."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    rows = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        rows.withColumn("grp_cents", F.sum("cents").over(w))
+        .withColumn("n_group", F.count("*").over(w))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            F.expr(
+                "(grp_cents - cents) DIV nullif(n_group - 1, 0)"
+            ).alias("loo_enc_cents"),
+        )
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
+    "target_encoding_loo": target_encoding_loo,
     "new_vs_returning_revenue": new_vs_returning_revenue,
     "order_gap_histogram": order_gap_histogram,
     "pareto_revenue_share": pareto_revenue_share,
@@ -756,6 +793,23 @@ ORACLE = {
               AND (q.revenue_cents > p.revenue_cents
                    OR q.n_orders < p.n_orders)
         )
+    """,
+    "target_encoding_loo": """
+        WITH rows_ AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        g AS (
+            SELECT *,
+                   sum(cents) OVER (PARTITION BY o_orderpriority) AS grp_cents,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n_group
+            FROM rows_
+        )
+        SELECT o_orderkey, o_orderpriority, cents,
+               CAST((grp_cents - cents) // nullif(n_group - 1, 0) AS BIGINT)
+                   AS loo_enc_cents
+        FROM g
     """,
     "cusum_changepoint": """
         WITH daily AS (

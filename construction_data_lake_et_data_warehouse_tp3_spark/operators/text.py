@@ -375,6 +375,48 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.where(F.col("df").between(INDEX_MIN_DF, INDEX_MAX_DF))
 
 
+#: hashed bag-of-words dimensionality (the hashing-trick vector width).
+HASH_BINS = 32
+
+#: md5-derived bin of one token — engine-identical (Spark's builtin
+#: hash() has no DuckDB twin, so the trick hashes with md5 like every
+#: other deterministic coin in this repo).
+_BIN_SPARK = "pmod(CAST(conv(substr(md5({t}), 1, 6), 16, 10) AS BIGINT), " + str(
+    HASH_BINS
+) + ")"
+_BIN_DUCK = "(('0x' || substr(md5({t}), 1, 6))::BIGINT % " + str(HASH_BINS) + ")"
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: each document becomes a fixed
+    HASH_BINS-wide count vector with tokens bucketed by md5 — the
+    vocabulary-free featurizer (Weinberger et al. 2009) that needs no
+    dictionary build, no vocabulary shuffle, and no OOV handling, which
+    is why it is the default first featurizer at 100 TB.
+
+    Plan: map-only — per doc the vector is one expression
+    (transform over the bin range counting matching tokens); a single
+    scan, ZERO exchanges (the jl_projection contract).  Per-row cost is
+    HASH_BINS passes over the token array; for very long docs flip to
+    explode + groupBy(doc, bin) and pay the shuffle instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_of = _BIN_SPARK.format(t="x")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {HASH_BINS - 1}),"
+            f" b -> size(filter({TOKENS}, x -> {bin_of} = b)))"
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        "feat",
+        F.expr(
+            "aggregate(feat, 0, (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END)"
+        ).alias("nnz"),
+        F.expr("aggregate(feat, 0, (a, x) -> a + x)").alias("n_tokens"),
+    )
+
+
 #: PMI support floor: pairs co-occurring in fewer docs are noise (and
 #: the floor is what bounds the pair frame that reaches the joins).
 PMI_MIN_COOC = 10
@@ -437,6 +479,7 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "token_count": token_count,
     "term_pmi_pairs": term_pmi_pairs,
+    "feature_hashing": feature_hashing,
     "bpe_token_count": bpe_token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
@@ -453,6 +496,22 @@ _HITS_DUCK = {
 }
 
 ORACLE = {
+    "feature_hashing": f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   [len(list_filter(ws, x -> {_BIN_DUCK.format(t='x')} = b))
+                    for b in range(0, {HASH_BINS})] AS feat
+            FROM base
+        )
+        SELECT doc_id, feat,
+               CAST(list_sum(list_transform(feat,
+                    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS INT) AS nnz,
+               CAST(list_sum(feat) AS INT) AS n_tokens
+        FROM f
+    """,
     "term_pmi_pairs": f"""
         WITH toks AS (
             SELECT doc_id, unnest(list_distinct({TOKENS_DUCK})) AS tok
