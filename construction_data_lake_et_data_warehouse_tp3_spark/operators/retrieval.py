@@ -291,25 +291,37 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals happens AFTER the ≥ τ comparison, which itself runs on the
     bit-identical raw doubles."""
     vecs = _vectors(spark, sf_dir)
-    assigned = _assign(vecs, _train(vecs)).withColumn(
-        "vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))")
+    # per-vector norm computed ONCE before the pair expansion — inside
+    # the |cell|² join only the dot-product fold remains (recomputing
+    # both norms per pair tripled the fold work; the VALUE is unchanged
+    # because it is the same fold over the same doubles, so the oracle,
+    # which still writes the norms inline, hashes identically).
+    # Measured at sf0.1: 4.9 s → ~2 s for the bench line.
+    assigned = (
+        _assign(vecs, _train(vecs))
+        .withColumn(
+            "vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))")
+        )
+        .withColumn("nrm", F.expr(_COS_NRM.format(a="vd")))
     )
     a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("vec_a"), F.col("vd").alias("va")
+        F.col("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("vd").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("vd").alias("vb")
+        F.col("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("vd").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, "cid")
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cos",
-            F.expr(_COS_NUM.format(a="va", b="vb"))
-            / (
-                F.expr(_COS_NRM.format(a="va"))
-                * F.expr(_COS_NRM.format(a="vb"))
-            ),
+            F.expr(_COS_NUM.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
         )
         .where(F.col("cos") >= SEM_TAU)
     )
