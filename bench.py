@@ -114,6 +114,7 @@ HEADLINE = (
     "feature_hashing",
     "k_anonymity_audit",
     "embedding_drift",
+    "token_lorenz_by_source",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = (
     "feature_hashing",
     "k_anonymity_audit",
     "embedding_drift",
+    "token_lorenz_by_source",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

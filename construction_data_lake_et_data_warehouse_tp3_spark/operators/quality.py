@@ -482,8 +482,44 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_lorenz_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration (Lorenz) curve over sources: sources ranked
+    by token contribution with each one's cumulative share — answers
+    "how many feeds supply 80% of the training tokens", the provenance
+    diversity check read next to domain_mix's per-source weights and
+    source_lang_entropy's language spread.
+
+    Plan: one aggregation to the |sources| frame (token counts are a
+    pure expression over the split array — no token explode), then rank
+    and cumulative sum ride windows over those ~20 rows.  Integer
+    cumulative basis points (truncating DIV) so the curve hashes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"CAST(sum(size({TOKENS})) AS BIGINT)").alias("n_tokens"),
+    )
+    w_rank = Window.orderBy(F.desc("n_tokens"), "source")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_src.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "rank",
+            F.expr(
+                "(cum_tokens * 10000) DIV sum(n_tokens) OVER ()"
+            ).alias("cum_share_bp"),
+        )
+    )
+
+
 QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
+    "token_lorenz_by_source": token_lorenz_by_source,
     "ngram_novelty": ngram_novelty,
     "source_lang_entropy": source_lang_entropy,
     "dup_rate_by_source": dup_rate_by_source,
@@ -498,6 +534,24 @@ QUERIES = {
 
 
 ORACLE = {
+    "token_lorenz_by_source": f"""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({TOKENS_DUCK})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY n_tokens DESC, source) AS rank,
+                   sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens, rank,
+               CAST((cum_tokens * 10000) // sum(n_tokens) OVER () AS BIGINT)
+                   AS cum_share_bp
+        FROM ranked
+    """,
     "k_anonymity_audit": f"""
         WITH classes AS (
             SELECT lang, source, count(*) AS n_docs

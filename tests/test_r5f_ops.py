@@ -109,3 +109,25 @@ class TestEmbeddingDrift:
         assert got[0].n_even == 1 and got[0].n_odd == 1
         assert got[1].drift_cos == pytest.approx(0.0)
         assert got[2].drift_cos is None
+
+
+class TestTokenLorenz:
+    def test_cumulative_shares_exact(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.quality import (
+            token_lorenz_by_source,
+        )
+
+        rows = [
+            (0, "a b c d e f", "en", "big", 11),     # 6 tokens
+            (1, "a b c", "en", "mid", 5),            # 3 tokens
+            (2, "a", "en", "tiny", 1),               # 1 token
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+        got = {r.source: r for r in token_lorenz_by_source(spark, out).collect()}
+        assert [got[s].rank for s in ("big", "mid", "tiny")] == [1, 2, 3]
+        assert got["big"].cum_share_bp == 6 * 10000 // 10
+        assert got["mid"].cum_share_bp == 9 * 10000 // 10
+        assert got["tiny"].cum_share_bp == 10000

@@ -74,8 +74,12 @@ def test_zorder_skips_on_both_dimensions(spark, layouts):
     cust_pred = "o_custkey BETWEEN 100 AND 200"
     price_pred = "o_totalprice BETWEEN 1000 AND 11000"
 
-    # primary dim: both layouts skip well
-    assert files_touched(spark, lin_path, cust_pred) <= 2
+    # primary dim: both layouts skip well. The linear layout's
+    # repartitionByRange picks boundaries by SAMPLING, so the 100-200
+    # band can straddle one extra file from run to run — 3 of 16 still
+    # proves file-level skipping (observed flaking at <= 2 under a
+    # contended multi-session run).
+    assert files_touched(spark, lin_path, cust_pred) <= 3
     assert files_touched(spark, z_path, cust_pred) <= N_FILES // 2
 
     # secondary dim: the custkey-sorted layout degrades to a full scan,
