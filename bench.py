@@ -115,6 +115,9 @@ HEADLINE = (
     "k_anonymity_audit",
     "embedding_drift",
     "token_lorenz_by_source",
+    "profile_table",
+    "cumulative_unique_users",
+    "seasonal_naive_backtest",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

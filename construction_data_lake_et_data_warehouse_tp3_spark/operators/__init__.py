@@ -38,6 +38,7 @@ _MODULES = (
     "statistics",
     "retrieval",
     "sketches",
+    "profiling",
 )
 
 
@@ -64,6 +65,9 @@ _DRIVER_PRIORITY = (
     "k_anonymity_audit",
     "embedding_drift",
     "token_lorenz_by_source",
+    "profile_table",
+    "cumulative_unique_users",
+    "seasonal_naive_backtest",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -632,9 +632,37 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — the growth curve "total users
+    ever seen as of day d", computed WITHOUT a cumulative-distinct scan:
+    each user contributes exactly once, on their FIRST active day, and
+    the running total is a cumulative sum of those first-day counts.
+
+    Plan: one user_id aggregation (min day per user), one tiny daily
+    aggregation, then the cumulative sum rides a window over the O(days)
+    frame.  The naive form (count(DISTINCT) over an expanding window)
+    rescans the corpus per day; this shape is one pass.  Days with no
+    NEW users don't emit a row (join against a calendar spine — the
+    resample_daily_revenue trick — to densify when charting)."""
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.expr("CAST(min(ts) AS DATE)").alias("first_day")
+    )
+    daily = first_day.groupBy("first_day").agg(
+        F.count("*").alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("first_day").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )
+
+
 QUERIES = {
     "above_avg_orders": above_avg_orders,
     "event_path_trigrams": event_path_trigrams,
+    "cumulative_unique_users": cumulative_unique_users,
     "time_to_conversion": time_to_conversion,
     "event_transition_matrix": event_transition_matrix,
     "dau_wau_stickiness": dau_wau_stickiness,
@@ -653,6 +681,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cumulative_unique_users": """
+        WITH fd AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT first_day, count(*) AS n_new_users FROM fd GROUP BY 1
+        )
+        SELECT first_day AS day, n_new_users,
+               CAST(sum(n_new_users) OVER (ORDER BY first_day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM d
+    """,
     "event_path_trigrams": f"""
         WITH tri AS (
             SELECT lag(event_type, 2) OVER w AS e1,

@@ -1,0 +1,83 @@
+"""Data-profiling operator (r5h) — the "what is in this table" pass a
+warehouse runs on arrival: per-column null counts, distinct counts, and
+min/max, emitted as one row per column.
+
+Reference parity anchor: the reference eyeballs dataframes ad hoc
+(reference/export_to_data_lake.py loads then prints); this is the
+systematized profile every ingestion pipeline wants first.
+
+Scale: ONE scan, one aggregation row.  count(DISTINCT) over N columns
+expands rows N-fold before the partial aggregation (Spark's expand) —
+at 100 TB swap countDistinct for approx_count_distinct per column (the
+HLL twin this repo benchmarks in product_purchase_counts_approx) and
+the plan collapses to a single pass with constant state; the row-per-
+column pivot at the end is a map-side explode of the 1-row aggregate.
+
+The oracle derives the same profile as a UNION ALL of per-column
+aggregates — an independent shape, so the expand+pivot path is
+cross-checked, not mirrored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: profiled table + columns (order fixed for the output contract).
+PROFILE_TABLE = "orders"
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per column: n_rows, n_nulls, n_distinct, min/max (as
+    strings, so the profile has one schema across column types)."""
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.expr(
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.expr(f"CAST(min({c}) AS STRING)").alias(f"{c}__min"),
+            F.expr(f"CAST(max({c}) AS STRING)").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' AS col_name, n_rows, {c}__nulls AS n_nulls,"
+        f" {c}__distinct AS n_distinct, {c}__min AS min_value,"
+        f" {c}__max AS max_value)"
+        for c in PROFILE_COLS
+    )
+    return one.select(F.explode(F.expr(f"array({structs})")).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value"
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
+            FROM {PROFILE_TABLE}"""
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+QUERIES = {"profile_table": profile_table}
+ORACLE = {"profile_table": _profile_oracle()}

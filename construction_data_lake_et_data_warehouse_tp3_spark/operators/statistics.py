@@ -547,9 +547,45 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue as
+    the SAME WEEKDAY LAST WEEK's revenue (lag 7 over the daily rollup)
+    and score the absolute error — the baseline every fancier forecast
+    must beat, plus per-day residuals for the error budget.
+
+    All integer cents; mae_cents is the truncating-DIV mean over the
+    scored days, carried on every row via a window over the O(days)
+    frame.  Days 1-7 have no prior week — pred NULL, excluded from MAE.
+    One shuffle to the daily rollup; everything after is O(days)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+            "revenue_cents"
+        )
+    )
+    w = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    return (
+        daily.withColumn("pred_cents", F.lag("revenue_cents", 7).over(w))
+        .withColumn("abs_err_cents", F.expr("abs(revenue_cents - pred_cents)"))
+        .withColumn("sum_err", F.sum("abs_err_cents").over(w_all))
+        .withColumn("n_scored", F.count("abs_err_cents").over(w_all))
+        .select(
+            "day",
+            "revenue_cents",
+            "pred_cents",
+            "abs_err_cents",
+            F.expr("sum_err DIV n_scored").alias("mae_cents"),
+        )
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "target_encoding_loo": target_encoding_loo,
+    "seasonal_naive_backtest": seasonal_naive_backtest,
     "new_vs_returning_revenue": new_vs_returning_revenue,
     "order_gap_histogram": order_gap_histogram,
     "pareto_revenue_share": pareto_revenue_share,
@@ -793,6 +829,26 @@ ORACLE = {
               AND (q.revenue_cents > p.revenue_cents
                    OR q.n_orders < p.n_orders)
         )
+    """,
+    "seasonal_naive_backtest": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        ),
+        p AS (
+            SELECT day, revenue_cents,
+                   lag(revenue_cents, 7) OVER (ORDER BY day) AS pred_cents
+            FROM daily
+        ),
+        e AS (
+            SELECT *, abs(revenue_cents - pred_cents) AS abs_err_cents FROM p
+        )
+        SELECT day, revenue_cents, pred_cents, abs_err_cents,
+               CAST(CAST(sum(abs_err_cents) OVER () AS BIGINT)
+                    // count(abs_err_cents) OVER () AS BIGINT) AS mae_cents
+        FROM e
     """,
     "target_encoding_loo": """
         WITH rows_ AS (

@@ -1,0 +1,87 @@
+"""Planted-semantics locks for the r5h batch: table profiling, running
+unique users, seasonal-naive forecast backtest."""
+
+from __future__ import annotations
+
+import datetime
+
+
+class TestProfileTable:
+    def test_profile_counts_nulls_distincts_and_extremes(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.profiling import (
+            profile_table,
+        )
+
+        rows = [
+            (1, 10, "O", 5.00, datetime.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 10, None, 7.50, datetime.datetime(2024, 2, 1), "5-LOW"),
+            (3, 20, "F", None, datetime.datetime(2024, 3, 1), "5-LOW"),
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        got = {r.col_name: r for r in profile_table(spark, out).collect()}
+        assert len(got) == 6 and all(r.n_rows == 3 for r in got.values())
+        assert got["o_orderstatus"].n_nulls == 1
+        assert got["o_orderstatus"].n_distinct == 2
+        assert got["o_totalprice"].n_nulls == 1
+        assert got["o_totalprice"].min_value == "5.0"
+        assert got["o_custkey"].n_distinct == 2
+        assert got["o_custkey"].min_value == "10" and got["o_custkey"].max_value == "20"
+        assert got["o_orderpriority"].max_value == "5-LOW"
+
+
+class TestCumulativeUniqueUsers:
+    def test_each_user_counts_once_on_first_day(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            cumulative_unique_users,
+        )
+
+        rows = [
+            # user 1 active on day 1 AND day 3 (must not recount)
+            (0, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (1, dt.datetime(2024, 1, 3), 1, "view", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 2), 2, "view", 1.0, "{}"),
+            (3, dt.datetime(2024, 1, 3), 3, "view", 1.0, "{}"),
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{out}/events.parquet")
+        got = {r.day: r for r in cumulative_unique_users(spark, out).collect()}
+        assert got[datetime.date(2024, 1, 1)].cum_users == 1
+        assert got[datetime.date(2024, 1, 2)].cum_users == 2
+        assert got[datetime.date(2024, 1, 3)].cum_users == 3
+        assert got[datetime.date(2024, 1, 3)].n_new_users == 1  # only user 3
+
+
+class TestSeasonalNaiveBacktest:
+    def test_lag7_prediction_and_mae(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            seasonal_naive_backtest,
+        )
+
+        # 14 days: week 1 at $1.00/day, week 2 at $1.50/day
+        rows = [
+            (d, 1, 1.0 if d < 7 else 1.5, dt.datetime(2024, 1, 1 + d))
+            for d in range(14)
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        got = {r.day: r for r in seasonal_naive_backtest(spark, out).collect()}
+        d1, d8 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 8)
+        assert got[d1].pred_cents is None and got[d1].abs_err_cents is None
+        assert got[d8].pred_cents == 100 and got[d8].abs_err_cents == 50
+        # 7 scored days, each off by 50 cents
+        assert all(r.mae_cents == 50 for r in got.values())
