@@ -118,6 +118,7 @@ HEADLINE = (
     "profile_table",
     "cumulative_unique_users",
     "seasonal_naive_backtest",
+    "ppm_resize_blocks",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

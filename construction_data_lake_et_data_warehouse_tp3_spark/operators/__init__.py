@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = (
     "profile_table",
     "cumulative_unique_users",
     "seasonal_naive_backtest",
+    "ppm_resize_blocks",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -242,7 +242,24 @@ def y4m_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppm_resize_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE in the Arrow kernel: each document's 4×4 PPM is
+    box-downsampled 2× — one output row per 2×2 block carrying the EXACT
+    integer channel sums and their means (sum of 4 bytes / 4.0 is a
+    dyadic rational, bit-identical across engines with no rounding
+    call).  The 1→4 row fan-out is the thumbnail/patch-grid shape a
+    vision encoder feed needs, the image twin of y4m_keyframe_sample's
+    frame explode; the oracle re-derives every block sum from the md5
+    hex digits."""
+    from .multimodal import ppm_box_downsample, synthetic_ppm_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_ppm_media(docs, "doc_id", "text")
+    return ppm_box_downsample(media)
+
+
 QUERIES = {
+    "ppm_resize_blocks": ppm_resize_blocks,
     "pandas_scalar_norm": pandas_scalar_norm,
     "y4m_video_stats": y4m_video_stats,
     "y4m_keyframe_sample": y4m_keyframe_sample,
@@ -255,6 +272,42 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ppm_resize_blocks": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5(text || '1') || md5(text || '2') AS hx
+            FROM documents
+        ),
+        b AS (
+            SELECT media_id, hx, CAST(unnest(range(0, 2)) AS INT) AS block_y
+            FROM h
+        ),
+        bb AS (
+            SELECT media_id, hx, block_y,
+                   CAST(unnest(range(0, 2)) AS INT) AS block_x
+            FROM b
+        ),
+        s AS (
+            SELECT media_id, block_y, block_x,
+                   CAST(list_sum(list_transform(range(0, 4), k ->
+                        ('0x' || substr(hx, (3 * ((block_y * 2 + k // 2) * 4
+                             + block_x * 2 + k % 2) + 0) * 2 + 1, 2))::BIGINT))
+                        AS BIGINT) AS r_sum,
+                   CAST(list_sum(list_transform(range(0, 4), k ->
+                        ('0x' || substr(hx, (3 * ((block_y * 2 + k // 2) * 4
+                             + block_x * 2 + k % 2) + 1) * 2 + 1, 2))::BIGINT))
+                        AS BIGINT) AS g_sum,
+                   CAST(list_sum(list_transform(range(0, 4), k ->
+                        ('0x' || substr(hx, (3 * ((block_y * 2 + k // 2) * 4
+                             + block_x * 2 + k % 2) + 2) * 2 + 1, 2))::BIGINT))
+                        AS BIGINT) AS b_sum
+            FROM bb
+        )
+        SELECT media_id, block_y, block_x, r_sum, g_sum, b_sum,
+               r_sum / 4.0 AS r_mean, g_sum / 4.0 AS g_mean,
+               b_sum / 4.0 AS b_mean
+        FROM s
+    """,
     "pandas_scalar_norm": """
         SELECT doc_id,
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
