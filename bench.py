@@ -119,6 +119,9 @@ HEADLINE = (
     "cumulative_unique_users",
     "seasonal_naive_backtest",
     "ppm_resize_blocks",
+    "ab_test_zscore",
+    "suspect_duplicate_orders",
+    "value_percentiles_by_type",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

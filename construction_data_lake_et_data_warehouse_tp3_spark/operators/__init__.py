@@ -69,6 +69,9 @@ _DRIVER_PRIORITY = (
     "cumulative_unique_users",
     "seasonal_naive_backtest",
     "ppm_resize_blocks",
+    "ab_test_zscore",
+    "suspect_duplicate_orders",
+    "value_percentiles_by_type",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

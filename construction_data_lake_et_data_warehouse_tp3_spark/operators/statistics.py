@@ -582,10 +582,142 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic md5 user split: users
+    land in arm A/B by hash coin, "converted" means ≥1 purchase event,
+    and the pooled-variance z-score decides whether the arms differ —
+    the experimentation primitive (here an A/A test by construction, so
+    the expected z is near 0; at deploy time the arm column comes from
+    the assignment service and everything downstream is unchanged).
+
+    Shape: one user_id aggregation to per-user flags, one 2-group
+    rollup, then the closed form on a single row.  Every input to the
+    float math is an exact BIGINT count and the expression tree is
+    written once for both engines, so even the z-score hashes."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END)"
+        ).alias("converted")
+    )
+    arms = per_user.select(
+        F.expr(
+            "pmod(CAST(conv(substr(md5('ab:' || CAST(user_id AS STRING)), 1, 6),"
+            " 16, 10) AS BIGINT), 2)"
+        ).alias("arm"),
+        "converted",
+    )
+    g = arms.groupBy().agg(
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_b"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)"
+        ).alias("conv_a"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)"
+        ).alias("conv_b"),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("(conv_a * 10000) DIV nullif(n_a, 0)").alias("rate_a_bp"),
+        F.expr("(conv_b * 10000) DIV nullif(n_b, 0)").alias("rate_b_bp"),
+        F.expr(
+            "(conv_a * 10000) DIV nullif(n_a, 0)"
+            " - (conv_b * 10000) DIV nullif(n_b, 0)"
+        ).alias("lift_bp"),
+        F.expr(
+            "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            " / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+            " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+            " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)"
+        ).alias("z_score"),
+    )
+
+
+def suspect_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: order pairs from the SAME customer
+    within one day of each other whose amounts differ by at most 5% —
+    the double-charge / replayed-webhook audit.  The tolerance is the
+    INTEGER inequality 20·|Δcents| ≤ min(cents) (no float ratio to
+    drift), so the pair set is engine-exact.
+
+    One shuffle on the customer key; pair fan-out is bounded by each
+    customer's own order count (never a corpus cross join), and the
+    day/amount predicates apply inside the join.  A skewed mega-customer
+    is the salting case (functions/skew.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    a = keyed.select(
+        "o_custkey",
+        F.col("cents").alias("cents_a"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("day").alias("day_a"),
+    )
+    b = keyed.select(
+        "o_custkey",
+        F.col("cents").alias("cents_b"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("day").alias("day_b"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .where(F.col("order_a") < F.col("order_b"))
+        .withColumn("gap_days", F.expr("abs(datediff(day_b, day_a))"))
+        .where(F.col("gap_days") <= 1)
+        .where(F.expr("abs(cents_a - cents_b) * 20 <= least(cents_a, cents_b)"))
+        .select("o_custkey", "order_a", "order_b", "cents_a", "cents_b", "gap_days")
+    )
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event type via
+    percentile_disc semantics (smallest value whose cume_dist reaches
+    the quantile — tie-stable, no interpolation to drift): the latency-
+    profile shape of observability dashboards, on the winsorized-stats
+    window plan (ONE exchange: cume_dist and the conditional unbounded
+    MINs share the group partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    w_cd = Window.partitionBy("event_type").orderBy("cents")
+    w_all = Window.partitionBy("event_type")
+    cents = events.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    ).withColumn("cd", F.cume_dist().over(w_cd))
+    picked = (
+        cents.withColumn(
+            "p50", F.min(F.when(F.col("cd") >= 0.5, F.col("cents"))).over(w_all)
+        )
+        .withColumn(
+            "p90", F.min(F.when(F.col("cd") >= 0.9, F.col("cents"))).over(w_all)
+        )
+        .withColumn(
+            "p99", F.min(F.when(F.col("cd") >= 0.99, F.col("cents"))).over(w_all)
+        )
+    )
+    return picked.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("p50").alias("p50_cents"),
+        F.min("p90").alias("p90_cents"),
+        F.min("p99").alias("p99_cents"),
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "target_encoding_loo": target_encoding_loo,
     "seasonal_naive_backtest": seasonal_naive_backtest,
+    "ab_test_zscore": ab_test_zscore,
+    "suspect_duplicate_orders": suspect_duplicate_orders,
+    "value_percentiles_by_type": value_percentiles_by_type,
     "new_vs_returning_revenue": new_vs_returning_revenue,
     "order_gap_histogram": order_gap_histogram,
     "pareto_revenue_share": pareto_revenue_share,
@@ -829,6 +961,87 @@ ORACLE = {
               AND (q.revenue_cents > p.revenue_cents
                    OR q.n_orders < p.n_orders)
         )
+    """,
+    "ab_test_zscore": """
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' AND value >= 100
+                       THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY 1
+        ),
+        arms AS (
+            SELECT ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                        1, 6))::BIGINT % 2 AS arm,
+                   converted
+            FROM per_user
+        ),
+        g AS (
+            SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+                       AS conv_a,
+                   CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+                       AS conv_b
+            FROM arms
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               CAST((conv_a * 10000) // nullif(n_a, 0) AS BIGINT) AS rate_a_bp,
+               CAST((conv_b * 10000) // nullif(n_b, 0) AS BIGINT) AS rate_b_bp,
+               CAST((conv_a * 10000) // nullif(n_a, 0)
+                    - (conv_b * 10000) // nullif(n_b, 0) AS BIGINT) AS lift_bp,
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)
+                   AS z_score
+        FROM g
+    """,
+    "suspect_duplicate_orders": """
+        WITH keyed AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey,
+                   CAST(o_orderdate AS DATE) AS day
+            FROM orders
+        )
+        SELECT a.o_custkey,
+               a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+               a.cents AS cents_a, b.cents AS cents_b,
+               CAST(abs(date_diff('day', a.day, b.day)) AS INT) AS gap_days
+        FROM keyed a
+        JOIN keyed b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+        WHERE abs(date_diff('day', a.day, b.day)) <= 1
+          AND abs(a.cents - b.cents) * 20 <= least(a.cents, b.cents)
+    """,
+    "value_percentiles_by_type": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        cd AS (
+            SELECT event_type, cents,
+                   cume_dist() OVER (PARTITION BY event_type ORDER BY cents)
+                       AS cd
+            FROM c
+        ),
+        p AS (
+            SELECT event_type, cents,
+                   min(CASE WHEN cd >= 0.5 THEN cents END)
+                       OVER (PARTITION BY event_type) AS p50,
+                   min(CASE WHEN cd >= 0.9 THEN cents END)
+                       OVER (PARTITION BY event_type) AS p90,
+                   min(CASE WHEN cd >= 0.99 THEN cents END)
+                       OVER (PARTITION BY event_type) AS p99
+            FROM cd
+        )
+        SELECT event_type, count(*) AS n_events,
+               min(p50) AS p50_cents, min(p90) AS p90_cents,
+               min(p99) AS p99_cents
+        FROM p GROUP BY 1
     """,
     "seasonal_naive_backtest": """
         WITH daily AS (

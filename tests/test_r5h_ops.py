@@ -139,3 +139,112 @@ class TestPpmResizeBlocks:
             assert round(rs / 16.0, 4) == s.r_mean
             assert round(gs / 16.0, 4) == s.g_mean
             assert round(bs / 16.0, 4) == s.b_mean
+
+
+class TestAbTestZscore:
+    def test_planted_arms_counts_and_z(self, spark, tmp_path):
+        """Synthetic users with known md5 arms: counts, rates and the
+        closed-form z recomputed in Python must match exactly."""
+        import datetime as dt
+        import hashlib
+        import math
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            ab_test_zscore,
+        )
+
+        def arm(u):
+            return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:6], 16) % 2
+
+        rows = []
+        converted = {}
+        for u in range(40):
+            # users 0..19 convert (high-value purchase); 20..39 don't
+            conv = u < 20
+            converted[u] = conv
+            val = 150.0 if conv else 20.0
+            rows.append((u, dt.datetime(2024, 1, 1), u, "purchase", val, "{}"))
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{out}/events.parquet")
+        r = ab_test_zscore(spark, out).collect()[0]
+        n_a = sum(1 for u in range(40) if arm(u) == 0)
+        conv_a = sum(1 for u in range(40) if arm(u) == 0 and converted[u])
+        n_b, conv_b = 40 - n_a, 20 - conv_a
+        assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, conv_a, conv_b)
+        p, pa, pb = 20 / 40, conv_a / n_a, conv_b / n_b
+        z = (pa - pb) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+        assert abs(r.z_score - z) < 1e-12
+
+    def test_zero_variance_is_null_not_error(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            ab_test_zscore,
+        )
+
+        rows = [
+            (u, dt.datetime(2024, 1, 1), u, "purchase", 200.0, "{}")
+            for u in range(10)
+        ]  # everyone converts -> pooled variance 0
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{out}/events.parquet")
+        r = ab_test_zscore(spark, out).collect()[0]
+        assert r.z_score is None
+
+
+class TestSuspectDuplicateOrders:
+    def test_tolerance_and_window_edges(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            suspect_duplicate_orders,
+        )
+
+        d = dt.datetime(2024, 3, 10)
+        rows = [
+            (1, 7, 100.00, d),                      # base
+            (2, 7, 104.00, d + dt.timedelta(days=1)),   # +4%, next day -> pair
+            (3, 7, 106.00, d),                      # +6% -> excluded
+            (4, 7, 100.00, d + dt.timedelta(days=2)),   # 2 days -> excluded
+            (5, 8, 100.00, d),                      # other customer
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        got = {(r.order_a, r.order_b) for r in suspect_duplicate_orders(spark, out).collect()}
+        # (2,3): 104 vs 106 same/next day differ 2 cents*20=40 <= 10400? yes ->
+        # 104.00 vs 106.00 -> |Δ|=200 cents, *20=4000 <= 10400 -> pair too
+        assert (1, 2) in got and (2, 3) in got
+        assert (1, 3) not in got  # 6% apart
+        assert (1, 4) not in got  # 2 days apart
+        assert all(a != 5 and b != 5 for a, b in got)
+
+
+class TestValuePercentiles:
+    def test_percentile_disc_semantics(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            value_percentiles_by_type,
+        )
+
+        # values 1..100 cents/100 -> p50 = 50c, p90 = 90c, p99 = 99c
+        rows = [
+            (i, dt.datetime(2024, 1, 1), 1, "view", i / 100.0, "{}")
+            for i in range(1, 101)
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{out}/events.parquet")
+        r = value_percentiles_by_type(spark, out).collect()[0]
+        assert (r.n_events, r.p50_cents, r.p90_cents, r.p99_cents) == (100, 50, 90, 99)
