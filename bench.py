@@ -122,6 +122,7 @@ HEADLINE = (
     "ab_test_zscore",
     "suspect_duplicate_orders",
     "value_percentiles_by_type",
+    "item_similarity_topk",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

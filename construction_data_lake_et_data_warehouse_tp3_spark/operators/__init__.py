@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = (
     "ab_test_zscore",
     "suspect_duplicate_orders",
     "value_percentiles_by_type",
+    "item_similarity_topk",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -475,6 +475,65 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: neighbors kept per item and the co-occurrence support floor.
+ITEM_SIM_TOP_K = 5
+ITEM_SIM_MIN_COOC = 3
+
+
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each part, its top-k most
+    similar parts by binary cosine over order baskets —
+    sim(a,b) = n_ab / √(n_a·n_b) — the "customers also bought"
+    recommender primitive (basket_lift's normalized cousin: lift finds
+    ASSOCIATIONS, cosine ranks NEIGHBORS per item).
+
+    Plan: the same distinct (order, part) self-join as basket_lift
+    bounds pair expansion by items-per-order; the support floor caps
+    the candidate frame BEFORE the per-item rank; both directions of
+    each pair feed a window partitioned by the item (never global).
+    The only float is the final closed form, identical on both
+    engines, so the neighbor ranking hashes."""
+    from .graph import order_item_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op, pairs = order_item_pairs(li)
+    pair_n = (
+        pairs.groupBy(F.col("src").alias("part_a"), F.col("dst").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= ITEM_SIM_MIN_COOC)
+    )
+    item_n = op.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n_item"))
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pair_n.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(
+                "CAST(n_ab AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE))"
+            ).alias("cosine"),
+        )
+    )
+    both = scored.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("neighbor"),
+        "n_ab", "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("part_b").alias("item"), F.col("part_a").alias("neighbor"),
+            "n_ab", "cosine",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ITEM_SIM_TOP_K)
+        .select("item", "neighbor", "n_ab", "cosine", "rank")
+    )
+
+
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day WAU per day ("stickiness", the DAU/MAU
     cousin sized to this corpus's one-month span) — the engagement ratio
@@ -672,6 +731,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "rfm_segments": rfm_segments,
     "basket_lift": basket_lift,
+    "item_similarity_topk": item_similarity_topk,
     "order_status_matrix": order_status_matrix,
     "unpivot_status_revenue": unpivot_status_revenue,
     "hopping_window_events": hopping_window_events,
@@ -877,6 +937,36 @@ ORACLE = {
         JOIN item_n nb ON nb.l_partkey = part_b, total
         ORDER BY lift DESC, part_a ASC, part_b ASC
         LIMIT {LIFT_TOP_K}
+    """,
+    "item_similarity_topk": f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pair_n AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_ab
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {ITEM_SIM_MIN_COOC}
+        ),
+        item_n AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY 1),
+        scored AS (
+            SELECT part_a, part_b, n_ab,
+                   CAST(n_ab AS DOUBLE)
+                       / sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)) AS cosine
+            FROM pair_n
+            JOIN item_n na ON na.l_partkey = part_a
+            JOIN item_n nb ON nb.l_partkey = part_b
+        ),
+        dirs AS (
+            SELECT part_a AS item, part_b AS neighbor, n_ab, cosine FROM scored
+            UNION ALL
+            SELECT part_b AS item, part_a AS neighbor, n_ab, cosine FROM scored
+        )
+        SELECT item, neighbor, n_ab, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY item
+                          ORDER BY cosine DESC, neighbor ASC) AS rank
+            FROM dirs
+        ) WHERE rank <= {ITEM_SIM_TOP_K}
     """,
     "retention_cohorts": """
         WITH uw AS (

@@ -248,3 +248,36 @@ class TestValuePercentiles:
         ).coalesce(1).write.parquet(f"{out}/events.parquet")
         r = value_percentiles_by_type(spark, out).collect()[0]
         assert (r.n_events, r.p50_cents, r.p90_cents, r.p99_cents) == (100, 50, 90, 99)
+
+
+class TestItemSimilarity:
+    def test_binary_cosine_and_per_item_ranks(self, spark, tmp_path):
+        """Baskets {A,B}, {A,B}, {A,B}, {A,C}, {A,C}, {A,C}:
+        n_A=6, n_B=3, n_C=3, cooc(A,B)=3, cooc(A,C)=3 ->
+        sim(A,B) = sim(A,C) = 3/sqrt(18); B-C never co-occur."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            item_similarity_topk,
+        )
+
+        import datetime as dt
+
+        ship = dt.datetime(2024, 1, 1)  # load_table repairs l_shipdate
+        rows = []
+        for o in range(3):
+            rows += [(o, 100, 1.0, ship), (o, 200, 1.0, ship)]
+        for o in range(3, 6):
+            rows += [(o, 100, 1.0, ship), (o, 300, 1.0, ship)]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_quantity double, l_shipdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+        got = {(r.item, r.neighbor): r for r in item_similarity_topk(spark, out).collect()}
+        sim = 3 / (18 ** 0.5)
+        assert got[(100, 200)].cosine == got[(100, 300)].cosine
+        assert abs(got[(100, 200)].cosine - sim) < 1e-12
+        # ties break on neighbor id: 200 ranks before 300 under item 100
+        assert got[(100, 200)].rank == 1 and got[(100, 300)].rank == 2
+        assert (200, 300) not in got and (300, 200) not in got
+        # symmetric direction exists for the neighbors
+        assert got[(200, 100)].rank == 1 and got[(300, 100)].rank == 1
