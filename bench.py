@@ -143,7 +143,18 @@ HEADLINE = (
 #: SIBLING sf0.01 so a regression stays visible without the build cost
 #: drowning the headline total — the key carries the sf suffix so the
 #: number can't be misread as same-sf.
-GRAPH_QUERIES = ("pagerank_products", "triangle_participation")
+GRAPH_QUERIES = (
+    "pagerank_products",
+    "triangle_participation",
+    "degree_assortativity",
+)
+
+#: wedge-enumeration queries benched at sf0.001: this synthetic
+#: co-purchase graph is dense-uniform (sf0.01: 2,000 nodes, avg degree
+#: 116, Σdeg² ≈ 28M wedges), so the common-neighbor join costs ~7 s at
+#: sf0.01 — inherent to the graph, not the plan; regression tracking is
+#: equally visible one SF down.
+WEDGE_QUERIES = ("link_prediction_jaccard",)
 
 
 def main() -> None:
@@ -162,9 +173,15 @@ def main() -> None:
     if not os.path.isdir(graph_sf_dir):
         graph_sf_dir = sf_dir
     graph_tag = graph_sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    workload = [(name, name, sf_dir) for name in HEADLINE] + [
-        (f"{name}@{graph_tag}", name, graph_sf_dir) for name in GRAPH_QUERIES
-    ]
+    wedge_sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(wedge_sf_dir):
+        wedge_sf_dir = sf_dir
+    wedge_tag = wedge_sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    workload = (
+        [(name, name, sf_dir) for name in HEADLINE]
+        + [(f"{name}@{graph_tag}", name, graph_sf_dir) for name in GRAPH_QUERIES]
+        + [(f"{name}@{wedge_tag}", name, wedge_sf_dir) for name in WEDGE_QUERIES]
+    )
 
     errors: dict[str, str] = {}
     for key, name, qdir in workload:

@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = (
     "suspect_duplicate_orders",
     "value_percentiles_by_type",
     "item_similarity_topk",
+    "link_prediction_jaccard",
+    "degree_assortativity",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -168,10 +168,108 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+#: link-prediction candidates kept (top by Jaccard score).
+LINK_PRED_TOP_K = 20
+
+
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: for NON-adjacent node
+    pairs with at least one common neighbor, the Jaccard coefficient
+    |N(u)∩N(v)| / |N(u)∪N(v)| — the classic "which products will be
+    bought together next" score (Liben-Nowell & Kleinberg 2003).
+
+    Plan: the wedge join (shuffled on the shared neighbor, volume
+    Σ deg² — same budget as triangle_participation, same degree-ordered
+    refinement at 10^9 edges) produces candidate pairs; existing edges
+    leave via a LEFT ANTI join on the canonical edge key; degrees join
+    broadcast-or-small; the score is integer basis points (union =
+    deg_u + deg_v − common is exact BIGINT), top-k via
+    TakeOrderedAndProject."""
+    canon = _canonical_edges(spark, sf_dir)
+    directed = _edges(spark, sf_dir)
+    e1 = directed.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+    e2 = directed.select(F.col("src").alias("w2"), F.col("dst").alias("v"))
+    common = (
+        e1.join(e2, e1.w == e2.w2)
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+    )
+    non_edges = common.join(
+        canon,
+        (common.u == canon.src) & (common.v == canon.dst),
+        "left_anti",
+    )
+    deg = (
+        directed.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "(n_common * 10000) DIV (deg_u + deg_v - n_common)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy(F.desc("jaccard_bp"), "u", "v")
+        .limit(LINK_PRED_TOP_K)
+    )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over directed edges (Newman 2002) —
+    positive means hubs link hubs, negative means hub-and-spoke; it is
+    the one-number structural summary read next to degree_distribution
+    before running iterative algorithms.
+
+    Exactness: degrees are BIGINT; the moment sums (the
+    quantity_discount_corr discipline) are one map-side-combinable
+    aggregation over the edge list, and the closed form is the only
+    float math — bit-identical both engines.  Headroom: n·Σxy peaks
+    ~deg_max²·|E|² — promote to DECIMAL(38,0)/HUGEINT past ~10^9 edges."""
+    directed = _edges(spark, sf_dir)
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    dx = deg.select(F.col("node").alias("src"), F.col("degree").alias("x"))
+    dy = deg.select(F.col("node").alias("dst"), F.col("degree").alias("y"))
+    m = (
+        directed.join(dx, "src")
+        .join(dy, "dst")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+    )
+    return m.select(
+        "n_edges",
+        F.expr(
+            "CAST(n_edges * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)))"
+        ).alias("assortativity"),
+    )
+
+
 QUERIES = {
     "degree_distribution": degree_distribution,
     "pagerank_products": pagerank_products,
     "triangle_participation": triangle_participation,
+    "link_prediction_jaccard": link_prediction_jaccard,
+    "degree_assortativity": degree_assortativity,
 }
 
 
@@ -194,6 +292,70 @@ def _iter_duck(prev: str, out: str) -> str:
 
 
 ORACLE = {
+    "link_prediction_jaccard": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        directed AS (
+            SELECT src, dst FROM canon
+            UNION ALL SELECT dst AS src, src AS dst FROM canon
+        ),
+        common AS (
+            SELECT e1.dst AS u, e2.dst AS v, count(*) AS n_common
+            FROM directed e1 JOIN directed e2 ON e1.src = e2.src
+            WHERE e1.dst < e2.dst
+            GROUP BY 1, 2
+        ),
+        non_edges AS (
+            SELECT c.* FROM common c
+            LEFT JOIN canon e ON e.src = c.u AND e.dst = c.v
+            WHERE e.src IS NULL
+        ),
+        deg AS (SELECT src AS node, count(*) AS degree FROM directed GROUP BY 1)
+        SELECT u, v, n_common,
+               du.degree AS deg_u, dv.degree AS deg_v,
+               CAST((n_common * 10000)
+                    // (du.degree + dv.degree - n_common) AS BIGINT)
+                   AS jaccard_bp
+        FROM non_edges
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+        ORDER BY jaccard_bp DESC, u, v
+        LIMIT {LINK_PRED_TOP_K}
+    """,
+    "degree_assortativity": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        directed AS (
+            SELECT src, dst FROM canon
+            UNION ALL SELECT dst AS src, src AS dst FROM canon
+        ),
+        deg AS (SELECT src AS node, count(*) AS degree FROM directed GROUP BY 1),
+        m AS (
+            SELECT count(*) AS n_edges,
+                   CAST(sum(dx.degree) AS BIGINT) AS sx,
+                   CAST(sum(dy.degree) AS BIGINT) AS sy,
+                   CAST(sum(dx.degree * dy.degree) AS BIGINT) AS sxy,
+                   CAST(sum(dx.degree * dx.degree) AS BIGINT) AS sxx,
+                   CAST(sum(dy.degree * dy.degree) AS BIGINT) AS syy
+            FROM directed e
+            JOIN deg dx ON dx.node = e.src
+            JOIN deg dy ON dy.node = e.dst
+        )
+        SELECT n_edges,
+               CAST(n_edges * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)))
+                   AS assortativity
+        FROM m
+    """,
     "degree_distribution": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         canon AS (

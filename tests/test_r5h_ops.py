@@ -281,3 +281,63 @@ class TestItemSimilarity:
         assert (200, 300) not in got and (300, 200) not in got
         # symmetric direction exists for the neighbors
         assert got[(200, 100)].rank == 1 and got[(300, 100)].rank == 1
+
+
+class TestLinkPrediction:
+    def _lineitem(self, spark, tmp_path, baskets):
+        import datetime as dt
+
+        ship = dt.datetime(2024, 1, 1)
+        rows = [
+            (o, p, 1.0, ship) for o, parts in enumerate(baskets) for p in parts
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_quantity double, l_shipdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+        return out
+
+    def test_path_graph_predicts_the_missing_link(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        # A-B and B-C edges; (A, C) is the open wedge to predict
+        out = self._lineitem(spark, tmp_path, [[1, 2], [2, 3]])
+        got = link_prediction_jaccard(spark, out).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.u, r.v) == (1, 3)
+        assert r.n_common == 1 and r.deg_u == 1 and r.deg_v == 1
+        assert r.jaccard_bp == 10000  # union = 1+1-1
+
+    def test_complete_graph_predicts_nothing(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        out = self._lineitem(spark, tmp_path, [[1, 2, 3]])  # triangle
+        assert link_prediction_jaccard(spark, out).count() == 0
+
+
+class TestDegreeAssortativity:
+    def test_star_graph_is_perfectly_disassortative(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        ship = dt.datetime(2024, 1, 1)
+        rows = []
+        for o, leaf in enumerate((2, 3, 4)):  # hub = 1
+            rows += [(o, 1, 1.0, ship), (o, leaf, 1.0, ship)]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_quantity double, l_shipdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+        r = degree_assortativity(spark, out).collect()[0]
+        assert r.n_edges == 6  # 3 undirected edges, both orientations
+        assert r.assortativity == -1.0  # hubs never link hubs in a star
