@@ -12,7 +12,13 @@
 - inter-purchase gap histogram (repeat-purchase cadence),
 - Pareto revenue-concentration deciles (80/20 readout),
 - new-vs-returning daily revenue split (acquisition vs retention),
-- ISO weekday seasonality profile (engine-pinned dow numbering).
+- ISO weekday seasonality profile (engine-pinned dow numbering),
+- and the r5e-r5i layer: CUSUM change-point detection (scaled-integer
+  S_t so the argmax is exact), per-month OLS trend + seasonal-naive
+  forecast backtest (exact moment sums, closed-form doubles),
+  leave-one-out target encoding, exact per-group percentiles
+  (percentile_disc via cume_dist), a two-proportion A/B z-test over an
+  md5 user split, and the same-customer duplicate-payment screen.
 
 All integer fixed-point (cents / basis points) so every output hashes
 identically against the DuckDB oracle; all single-shuffle plans that
