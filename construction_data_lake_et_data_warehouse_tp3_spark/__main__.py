@@ -205,6 +205,40 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from .operators.profiling import profile_df
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    cols = tuple(args.columns.split(",")) if args.columns else tuple(df.columns)
+    for row in profile_df(df, cols).collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
+def cmd_check(args) -> int:
+    from .lake.observe import ExpectationError, checked_write
+
+    spark = _spark()
+    checks = {}
+    for item in args.expect:
+        name, _, predicate = item.partition("=")
+        if not predicate:
+            print(f"bad --expect {item!r}: want name=predicate", file=sys.stderr)
+            return 2
+        checks[name] = predicate
+    df = spark.read.parquet(args.input)
+    try:
+        metrics = checked_write(
+            df, args.output, checks, on_violation=args.on_violation
+        )
+    except ExpectationError as exc:
+        print(json.dumps(exc.metrics))
+        return 1
+    print(json.dumps(metrics))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="tp3-spark")
     parser.add_argument("--lake-root", default=None)
@@ -277,6 +311,18 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--messages", type=int, default=100)
     gen.add_argument("--out")
     gen.set_defaults(fn=cmd_generate)
+
+    prof = sub.add_parser("profile", help="per-column null/distinct/min/max profile of a parquet dir")
+    prof.add_argument("--input", required=True)
+    prof.add_argument("--columns", default=None, help="comma list; default: all")
+    prof.set_defaults(fn=cmd_profile)
+
+    check = sub.add_parser("check", help="copy a parquet dir with write-time expectations metered in the same job")
+    check.add_argument("--input", required=True)
+    check.add_argument("--output", required=True)
+    check.add_argument("--expect", action="append", default=[], metavar="NAME=PREDICATE")
+    check.add_argument("--on-violation", choices=["fail", "count"], default="fail")
+    check.set_defaults(fn=cmd_check)
 
     return parser
 

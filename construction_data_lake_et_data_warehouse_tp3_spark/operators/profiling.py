@@ -37,12 +37,11 @@ PROFILE_COLS = (
 )
 
 
-def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per column: n_rows, n_nulls, n_distinct, min/max (as
-    strings, so the profile has one schema across column types)."""
-    df = load_table(spark, sf_dir, PROFILE_TABLE)
+def profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Profile arbitrary columns of any DataFrame — the reusable core of
+    profile_table, also surfaced as the ``profile`` CLI verb."""
     aggs = [F.count("*").alias("n_rows")]
-    for c in PROFILE_COLS:
+    for c in cols:
         aggs += [
             F.expr(
                 f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
@@ -56,11 +55,17 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct('{c}' AS col_name, n_rows, {c}__nulls AS n_nulls,"
         f" {c}__distinct AS n_distinct, {c}__min AS min_value,"
         f" {c}__max AS max_value)"
-        for c in PROFILE_COLS
+        for c in cols
     )
     return one.select(F.explode(F.expr(f"array({structs})")).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value"
     )
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per column: n_rows, n_nulls, n_distinct, min/max (as
+    strings, so the profile has one schema across column types)."""
+    return profile_df(load_table(spark, sf_dir, PROFILE_TABLE), PROFILE_COLS)
 
 
 def _profile_oracle() -> str:

@@ -59,3 +59,48 @@ class TestCli:
         removed = _json.loads(capsys.readouterr().out)["removed"]
         # the dim_users double-merge leaves exactly one superseded stage
         assert len(removed) == 1 and "dim_users" in removed[0]
+
+
+class TestCliProfileAndCheck:
+    def test_profile_verb_prints_one_json_per_column(self, capsys):
+        import json
+
+        assert main([
+            "profile",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--columns", "o_orderkey,o_orderstatus",
+        ]) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert {l["col_name"] for l in lines} == {"o_orderkey", "o_orderstatus"}
+        assert all(l["n_nulls"] == 0 for l in lines)
+
+    def test_check_verb_fail_and_count_modes(self, tmp_path, capsys):
+        import json
+
+        ok_out = str(tmp_path / "ok")
+        assert main([
+            "check",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--output", ok_out,
+            "--expect", "price_positive=o_totalprice > 0",
+        ]) == 0
+        m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m["price_positive"] == 0 and m["n_rows"] > 0
+
+        bad_out = str(tmp_path / "bad")
+        assert main([
+            "check",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--output", bad_out,
+            "--expect", "cheap=o_totalprice < 1000",
+        ]) == 1  # violations in fail mode exit 1, data still landed
+        m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m["cheap"] > 0
+
+        assert main([
+            "check",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--output", str(tmp_path / "counted"),
+            "--expect", "cheap=o_totalprice < 1000",
+            "--on-violation", "count",
+        ]) == 0
