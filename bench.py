@@ -123,6 +123,7 @@ HEADLINE = (
     "suspect_duplicate_orders",
     "value_percentiles_by_type",
     "item_similarity_topk",
+    "bootstrap_revenue_ci",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = (
     "item_similarity_topk",
     "link_prediction_jaccard",
     "degree_assortativity",
+    "bootstrap_revenue_ci",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -176,9 +176,90 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Poisson bootstrap
+# --------------------------------------------------------------------------
+
+#: bootstrap replicas. 32 → the 2nd/31st sorted means bracket a ~94% CI;
+#: raise B for tighter quantiles (cost: 2B aggregate columns, all
+#: map-side).
+BOOT_B = 32
+
+#: Poisson(1) CDF thresholds in micro-units: round(Σ_{i≤k} e⁻¹/i! · 10⁶)
+#: for k = 0..8 (mass beyond 9 is < 10⁻⁶) — literals on both engines, so
+#: the resample weights are pure integer case-splits of an md5 uniform.
+_POIS_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999)
+
+
+def _pois_w(b: int, engine: str) -> str:
+    """Poisson(1) weight of one row in replica b, derived from
+    md5('bs:b:' || orderkey) — the ONLINE bootstrap trick (Poisson
+    counts approximate multinomial resampling without knowing n), which
+    is what makes the bootstrap map-side computable on a cluster."""
+    if engine == "spark":
+        u = (
+            f"pmod(CAST(conv(substr(md5('bs:{b}:' || CAST(o_orderkey AS STRING)),"
+            f" 1, 6), 16, 10) AS BIGINT), 1000000)"
+        )
+    else:
+        u = (
+            f"(('0x' || substr(md5('bs:{b}:' || CAST(o_orderkey AS VARCHAR)),"
+            f" 1, 6))::BIGINT % 1000000)"
+        )
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS_CDF)} END)"
+
+
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value: B
+    deterministic resample replicas, each weighting every order by a
+    Poisson(1) count derived from md5 — the distributed bootstrap
+    (Chamandy et al., Google 2012): no replica materializes a resample,
+    the whole thing is ONE map-side-combinable aggregation of 2B+2
+    BIGINT sums, and the CI falls out of the sorted replica means on a
+    single row.
+
+    Exactness: weights and weighted sums are pure integers; each
+    replica mean is one double division; array_sort of 32 doubles is
+    IEEE order on both engines, so even the CI bounds hash.  BIGINT
+    headroom: Σw·cents ≤ 9·cents·n ≈ 10^13 at sf0.1 — promote to
+    DECIMAL(38,0)/HUGEINT near 10^17."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    aggs = [
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    ]
+    for b in range(BOOT_B):
+        w = _pois_w(b, "spark")
+        aggs.append(F.sum(F.expr(f"{w} * cents")).alias(f"swx{b}"))
+        aggs.append(F.sum(F.expr(w)).alias(f"sw{b}"))
+    one = base.agg(*aggs)
+    means = ", ".join(
+        f"CAST(swx{b} AS DOUBLE) / CAST(nullif(sw{b}, 0) AS DOUBLE)"
+        for b in range(BOOT_B)
+    )
+    return one.select(
+        "n_orders",
+        F.expr("CAST(total_cents AS DOUBLE) / CAST(n_orders AS DOUBLE)").alias(
+            "mean_cents"
+        ),
+        F.expr(f"element_at(array_sort(array({means})), 2)").alias("boot_lo_cents"),
+        F.expr(
+            f"element_at(array_sort(array({means})), {BOOT_B - 1})"
+        ).alias("boot_hi_cents"),
+    )
+
+
 QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
     "kmv_user_overlap": kmv_user_overlap,
+    "bootstrap_revenue_ci": bootstrap_revenue_ci,
 }
 
 
@@ -258,7 +339,39 @@ def _overlap_oracle() -> str:
     """
 
 
+def _bootstrap_oracle() -> str:
+    aggs = ",\n                   ".join(
+        f"CAST(sum({_pois_w(b, 'duck')} * cents) AS BIGINT) AS swx{b},\n"
+        f"                   CAST(sum({_pois_w(b, 'duck')}) AS BIGINT) AS sw{b}"
+        for b in range(BOOT_B)
+    )
+    means = ", ".join(
+        f"CAST(swx{b} AS DOUBLE) / CAST(nullif(sw{b}, 0) AS DOUBLE)"
+        for b in range(BOOT_B)
+    )
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        one AS (
+            SELECT count(*) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   {aggs}
+            FROM base
+        )
+        SELECT n_orders,
+               CAST(total_cents AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                   AS mean_cents,
+               list_sort([{means}])[2] AS boot_lo_cents,
+               list_sort([{means}])[{BOOT_B - 1}] AS boot_hi_cents
+        FROM one
+    """
+
+
 ORACLE = {
     "kmv_distinct_users": _distinct_oracle(),
     "kmv_user_overlap": _overlap_oracle(),
+    "bootstrap_revenue_ci": _bootstrap_oracle(),
 }

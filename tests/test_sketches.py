@@ -100,3 +100,51 @@ class TestKmvPlans:
         # user ids; exact-flags side: one user_id exchange
         assert plan.count("Exchange hashpartitioning") <= 1
         assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_the_mean_on_real_data(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+            bootstrap_revenue_ci,
+        )
+
+        r = bootstrap_revenue_ci(spark, SF_DIR).collect()[0]
+        assert r.boot_lo_cents < r.mean_cents < r.boot_hi_cents
+        # at n=1500 orders the bootstrap se of the mean is ~2.5% — a CI
+        # wider than ±20% would mean broken weights
+        assert r.boot_lo_cents > r.mean_cents * 0.8
+        assert r.boot_hi_cents < r.mean_cents * 1.2
+
+    def test_constant_series_collapses_the_interval(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+            bootstrap_revenue_ci,
+        )
+
+        rows = [
+            (i, 1, 25.00, dt.datetime(2024, 1, 1)) for i in range(200)
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        r = bootstrap_revenue_ci(spark, out).collect()[0]
+        # every resample of a constant is the constant
+        assert r.mean_cents == r.boot_lo_cents == r.boot_hi_cents == 2500.0
+
+    def test_plan_is_one_scan_one_aggregation(self, spark):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+            bootstrap_revenue_ci,
+        )
+
+        plan = (
+            bootstrap_revenue_ci(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        # global aggregate: partials combine map-side, no keyed exchange
+        assert plan.count("Exchange hashpartitioning") == 0
