@@ -124,6 +124,7 @@ HEADLINE = (
     "value_percentiles_by_type",
     "item_similarity_topk",
     "bootstrap_revenue_ci",
+    "status_priority_mi",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = (
     "link_prediction_jaccard",
     "degree_assortativity",
     "bootstrap_revenue_ci",
+    "status_priority_mi",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -201,6 +201,58 @@ def status_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def status_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of order status × priority — the information-
+    theoretic twin of status_priority_chisq (χ² asks "is there ANY
+    dependence"; MI measures HOW MANY nats of one variable the other
+    carries, the feature-selection score).
+
+    Exactness discipline: per-cell pointwise MI rounds to integer
+    micro-nats (ln once per cell, the lm_surprisal rule), the cell
+    contribution n_ij·pmi is BIGINT, and the corpus total is an
+    ORDER-FREE integer window sum — no float accumulation across cells
+    to drift.  mi_nats = total/(N·10⁶) is the single final division.
+    Same one-aggregation + tiny-window plan as the χ² query; the ln
+    argument is written double-first ((n/N)·(N/r)·(N/c) regrouped as
+    n·N/r/c) so 10^12-row marginal products can't overflow."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_obs")
+    )
+    j = (
+        obs.withColumn(
+            "row_total", F.sum("n_obs").over(Window.partitionBy("o_orderstatus"))
+        )
+        .withColumn(
+            "col_total", F.sum("n_obs").over(Window.partitionBy("o_orderpriority"))
+        )
+        .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
+        .withColumn(
+            "pmi_micro",
+            F.expr(
+                "CAST(round(ln(CAST(n_obs AS DOUBLE) * n_total"
+                " / row_total / col_total) * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn("contrib_micro", F.expr("n_obs * pmi_micro"))
+        .withColumn(
+            "total_contrib_micro",
+            F.sum("contrib_micro").over(Window.partitionBy()),
+        )
+    )
+    return j.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_obs",
+        "pmi_micro",
+        "contrib_micro",
+        F.expr(
+            "CAST(total_contrib_micro AS DOUBLE)"
+            " / (CAST(n_total AS DOUBLE) * 1000000.0)"
+        ).alias("mi_nats"),
+    )
+
+
 #: funnel stage sequence over the events table's event_type domain, and
 #: the conversion window: each stage must land within FUNNEL_WINDOW_DAYS
 #: of the previous one (an unwindowed funnel is degenerate on a dense
@@ -732,6 +784,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "basket_lift": basket_lift,
     "item_similarity_topk": item_similarity_topk,
+    "status_priority_mi": status_priority_mi,
     "order_status_matrix": order_status_matrix,
     "unpivot_status_revenue": unpivot_status_revenue,
     "hopping_window_events": hopping_window_events,
@@ -937,6 +990,32 @@ ORACLE = {
         JOIN item_n nb ON nb.l_partkey = part_b, total
         ORDER BY lift DESC, part_a ASC, part_b ASC
         LIMIT {LIFT_TOP_K}
+    """,
+    "status_priority_mi": """
+        WITH obs AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_obs
+            FROM orders GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT *,
+                   sum(n_obs) OVER (PARTITION BY o_orderstatus) AS row_total,
+                   sum(n_obs) OVER (PARTITION BY o_orderpriority) AS col_total,
+                   sum(n_obs) OVER () AS n_total
+            FROM obs
+        ),
+        p AS (
+            SELECT *,
+                   CAST(round(ln(CAST(n_obs AS DOUBLE) * n_total
+                        / row_total / col_total) * 1000000) AS BIGINT)
+                       AS pmi_micro
+            FROM w
+        ),
+        c AS (SELECT *, n_obs * pmi_micro AS contrib_micro FROM p)
+        SELECT o_orderstatus, o_orderpriority, n_obs, pmi_micro,
+               CAST(contrib_micro AS BIGINT) AS contrib_micro,
+               CAST(sum(contrib_micro) OVER () AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * 1000000.0) AS mi_nats
+        FROM c
     """,
     "item_similarity_topk": f"""
         WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -341,3 +341,50 @@ class TestDegreeAssortativity:
         r = degree_assortativity(spark, out).collect()[0]
         assert r.n_edges == 6  # 3 undirected edges, both orientations
         assert r.assortativity == -1.0  # hubs never link hubs in a star
+
+
+class TestMutualInformation:
+    def _orders(self, spark, tmp_path, cells):
+        import datetime as dt
+
+        rows, k = [], 0
+        for (status, prio), n in cells.items():
+            for _ in range(n):
+                rows.append((k, 1, 1.0, dt.datetime(2024, 1, 1), prio, status))
+                k += 1
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate timestamp, o_orderpriority string, o_orderstatus string",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        return out
+
+    def test_independent_table_has_zero_mi(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            status_priority_mi,
+        )
+
+        # perfectly independent 2x2: every cell n_ij = r_i*c_j/N exactly
+        out = self._orders(
+            spark, tmp_path,
+            {("O", "H"): 4, ("O", "L"): 4, ("F", "H"): 4, ("F", "L"): 4},
+        )
+        got = status_priority_mi(spark, out).collect()
+        assert all(r.pmi_micro == 0 for r in got)
+        assert all(r.mi_nats == 0.0 for r in got)
+
+    def test_perfect_dependence_is_ln2(self, spark, tmp_path):
+        import math
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            status_priority_mi,
+        )
+
+        # status determines priority exactly, two equiprobable values:
+        # MI = ln 2 nats (up to the micro-nat rounding of the two cells)
+        out = self._orders(
+            spark, tmp_path, {("O", "H"): 6, ("F", "L"): 6}
+        )
+        r = status_priority_mi(spark, out).collect()[0]
+        assert abs(r.mi_nats - math.log(2)) < 1e-6
