@@ -125,6 +125,7 @@ HEADLINE = (
     "item_similarity_topk",
     "bootstrap_revenue_ci",
     "status_priority_mi",
+    "seasonal_decomposition",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = (
     "degree_assortativity",
     "bootstrap_revenue_ci",
     "status_priority_mi",
+    "seasonal_decomposition",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

@@ -717,10 +717,65 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (STL-lite):
+    trend = centered 7-day moving mean, seasonal = per-weekday mean of
+    the detrended series, residual = the rest — the
+    forecasting-diagnostics readout above seasonal_naive_backtest.
+
+    Exactness: every component is integer cents via truncating DIV
+    (verified: DuckDB BIGINT `//` truncates toward zero like Spark DIV,
+    including on the NEGATIVE detrended values).  Edge days with an
+    incomplete 7-day window get NULL trend (no fabricated average), and
+    their rows drop out of the seasonal means by null-skipping sums.
+
+    Plan: one shuffle to the daily rollup; the centered window, the
+    weekday partition, and the residual arithmetic all ride the O(days)
+    frame — corpus-size independent after the first aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+            "revenue_cents"
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    dec = (
+        daily.withColumn("w_n", F.count("*").over(w7))
+        .withColumn("w_sum", F.sum("revenue_cents").over(w7))
+        .withColumn(
+            "trend_cents",
+            F.expr("CASE WHEN w_n = 7 THEN w_sum DIV 7 END"),
+        )
+        .withColumn("detrended", F.expr("revenue_cents - trend_cents"))
+        .withColumn("dow_iso", F.expr("CAST(weekday(day) AS INT) + 1"))
+    )
+    w_dow = Window.partitionBy("dow_iso")
+    return (
+        dec.withColumn("sum_det", F.sum("detrended").over(w_dow))
+        .withColumn("n_det", F.count("detrended").over(w_dow))
+        .withColumn(
+            "seasonal_cents", F.expr("sum_det DIV nullif(n_det, 0)")
+        )
+        .select(
+            "day",
+            "dow_iso",
+            "revenue_cents",
+            "trend_cents",
+            "seasonal_cents",
+            F.expr("revenue_cents - trend_cents - seasonal_cents").alias(
+                "residual_cents"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "target_encoding_loo": target_encoding_loo,
     "seasonal_naive_backtest": seasonal_naive_backtest,
+    "seasonal_decomposition": seasonal_decomposition,
     "ab_test_zscore": ab_test_zscore,
     "suspect_duplicate_orders": suspect_duplicate_orders,
     "value_percentiles_by_type": value_percentiles_by_type,
@@ -1048,6 +1103,43 @@ ORACLE = {
                min(p50) AS p50_cents, min(p90) AS p90_cents,
                min(p99) AS p99_cents
         FROM p GROUP BY 1
+    """,
+    "seasonal_decomposition": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT day, revenue_cents,
+                   count(*) OVER w7 AS w_n,
+                   sum(revenue_cents) OVER w7 AS w_sum
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        d AS (
+            SELECT day, revenue_cents,
+                   CASE WHEN w_n = 7
+                        THEN CAST(w_sum AS BIGINT) // 7 END AS trend_cents,
+                   CAST(isodow(day) AS INT) AS dow_iso
+            FROM t
+        ),
+        de AS (
+            SELECT *, revenue_cents - trend_cents AS detrended FROM d
+        ),
+        s AS (
+            SELECT *,
+                   CAST(sum(detrended) OVER (PARTITION BY dow_iso) AS BIGINT)
+                       AS sum_det,
+                   count(detrended) OVER (PARTITION BY dow_iso) AS n_det
+            FROM de
+        )
+        SELECT day, dow_iso, revenue_cents, trend_cents,
+               CAST(sum_det // nullif(n_det, 0) AS BIGINT) AS seasonal_cents,
+               CAST(revenue_cents - trend_cents
+                    - sum_det // nullif(n_det, 0) AS BIGINT) AS residual_cents
+        FROM s
     """,
     "seasonal_naive_backtest": """
         WITH daily AS (

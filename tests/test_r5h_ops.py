@@ -388,3 +388,38 @@ class TestMutualInformation:
         )
         r = status_priority_mi(spark, out).collect()[0]
         assert abs(r.mi_nats - math.log(2)) < 1e-6
+
+
+class TestSeasonalDecomposition:
+    def test_pure_weekly_pattern_lands_in_seasonal(self, spark, tmp_path):
+        """y = 1000 + bump(dow) with bumps summing to 0 over the week
+        (+60 Monday, -10 otherwise): interior trend is exactly 1000,
+        seasonal is exactly the bump, residual exactly 0."""
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            seasonal_decomposition,
+        )
+
+        start = dt.datetime(2024, 1, 1)  # a Monday
+        rows = []
+        for d in range(28):
+            day = start + dt.timedelta(days=d)
+            bump = 60 if day.isoweekday() == 1 else -10
+            rows.append((d, 1, (1000 + bump) / 100.0, day))
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        got = {r.day: r for r in seasonal_decomposition(spark, out).collect()}
+        assert len(got) == 28
+        for d, r in got.items():
+            interior = dt.date(2024, 1, 4) <= d <= dt.date(2024, 1, 25)
+            if interior:
+                assert r.trend_cents == 1000, r
+                bump = 60 if r.dow_iso == 1 else -10
+                assert r.seasonal_cents == bump, r
+                assert r.residual_cents == 0, r
+            else:
+                assert r.trend_cents is None and r.residual_cents is None
