@@ -126,6 +126,9 @@ HEADLINE = (
     "bootstrap_revenue_ci",
     "status_priority_mi",
     "seasonal_decomposition",
+    "revenue_gini",
+    "daily_value_percentiles",
+    "weekday_hour_heatmap",
     # remaining TPC-H shapes (VERDICT r4 ask #5: full 22 visible)
     "tpch_q2",
     "tpch_q4",

@@ -78,6 +78,9 @@ _DRIVER_PRIORITY = (
     "bootstrap_revenue_ci",
     "status_priority_mi",
     "seasonal_decomposition",
+    "revenue_gini",
+    "daily_value_percentiles",
+    "weekday_hour_heatmap",
     # new in r5d — never driver-checked
     "bm25_search",
     "shingle_containment_pairs",

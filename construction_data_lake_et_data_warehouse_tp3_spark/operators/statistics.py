@@ -771,9 +771,99 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the canonical scalar
+    the pareto_revenue_share deciles approximate: with per-customer
+    totals x_(1) ≤ … ≤ x_(n), G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx).
+    Numerator and denominator are exact BIGINTs (rank from a
+    deterministic (cents, custkey) order so ties can't wobble the sum);
+    the single final division makes even the coefficient hash.
+
+    Plan: one shuffle to the per-customer frame, then the rank window
+    sorts THAT aggregated frame (O(customers), not O(orders)); at 10^9
+    customers swap for the binned Lorenz-curve estimate
+    (pareto_revenue_share's shape) — the formula's Σi·x headroom runs
+    out near n·x ≈ 10^18 anyway."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = (
+        per_cust.withColumn("i", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("total", F.sum("cents").over(w_all))
+        .withColumn("iw", F.expr("CAST(i AS BIGINT) * cents"))
+    )
+    return (
+        ranked.groupBy("n", "total")
+        .agg(F.sum("iw").alias("sum_iw"))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+            F.expr(
+                "CAST(2 * sum_iw - (n + 1) * total AS DOUBLE)"
+                " / CAST(n * total AS DOUBLE)"
+            ).alias("gini"),
+        )
+    )
+
+
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of event value PER DAY (percentile_disc semantics)
+    — the daily latency-percentile panel of observability dashboards,
+    on the value_percentiles_by_type plan with the day as the window
+    partition: one exchange, cume_dist + conditional unbounded MINs
+    sharing it, groups of O(events-per-day)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w_cd = Window.partitionBy("day").orderBy("cents")
+    w_all = Window.partitionBy("day")
+    picked = (
+        base.withColumn("cd", F.cume_dist().over(w_cd))
+        .withColumn(
+            "p50", F.min(F.when(F.col("cd") >= 0.5, F.col("cents"))).over(w_all)
+        )
+        .withColumn(
+            "p90", F.min(F.when(F.col("cd") >= 0.9, F.col("cents"))).over(w_all)
+        )
+    )
+    return picked.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.min("p50").alias("p50_cents"),
+        F.min("p90").alias("p90_cents"),
+    )
+
+
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-density heatmap over (ISO weekday × hour) — the 7×24
+    activity grid of usage dashboards, with each cell's share in basis
+    points.  One 168-group aggregation; the share window rides the
+    aggregated grid; weekday numbering pinned to DuckDB isodow
+    (weekday()+1, the weekday_revenue_profile discipline)."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        F.expr("CAST(weekday(CAST(ts AS DATE)) AS INT) + 1").alias("dow_iso"),
+        F.expr("CAST(hour(ts) AS INT)").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    return g.select(
+        "dow_iso",
+        "hour",
+        "n_events",
+        F.expr("(n_events * 10000) DIV sum(n_events) OVER ()").alias("share_bp"),
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "target_encoding_loo": target_encoding_loo,
+    "revenue_gini": revenue_gini,
+    "daily_value_percentiles": daily_value_percentiles,
+    "weekday_hour_heatmap": weekday_hour_heatmap,
     "seasonal_naive_backtest": seasonal_naive_backtest,
     "seasonal_decomposition": seasonal_decomposition,
     "ab_test_zscore": ab_test_zscore,
@@ -1103,6 +1193,65 @@ ORACLE = {
                min(p50) AS p50_cents, min(p90) AS p90_cents,
                min(p99) AS p99_cents
         FROM p GROUP BY 1
+    """,
+    "revenue_gini": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   CAST(sum(cents) OVER () AS BIGINT) AS total
+            FROM per_cust
+        ),
+        g AS (
+            SELECT n, total,
+                   CAST(sum(CAST(i AS BIGINT) * cents) AS BIGINT) AS sum_iw
+            FROM r GROUP BY 1, 2
+        )
+        SELECT n AS n_customers, total AS total_cents,
+               CAST(2 * sum_iw - (n + 1) * total AS DOUBLE)
+                   / CAST(n * total AS DOUBLE) AS gini
+        FROM g
+    """,
+    "daily_value_percentiles": """
+        WITH base AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        cd AS (
+            SELECT day, cents,
+                   cume_dist() OVER (PARTITION BY day ORDER BY cents) AS cd
+            FROM base
+        ),
+        p AS (
+            SELECT day, cents,
+                   min(CASE WHEN cd >= 0.5 THEN cents END)
+                       OVER (PARTITION BY day) AS p50,
+                   min(CASE WHEN cd >= 0.9 THEN cents END)
+                       OVER (PARTITION BY day) AS p90
+            FROM cd
+        )
+        SELECT day, count(*) AS n_events,
+               min(p50) AS p50_cents, min(p90) AS p90_cents
+        FROM p GROUP BY 1
+    """,
+    "weekday_hour_heatmap": """
+        WITH g AS (
+            SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow_iso,
+                   CAST(hour(ts) AS INT) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT dow_iso, hour, n_events,
+               CAST((n_events * 10000) // sum(n_events) OVER () AS BIGINT)
+                   AS share_bp
+        FROM g
     """,
     "seasonal_decomposition": """
         WITH daily AS (

@@ -423,3 +423,65 @@ class TestSeasonalDecomposition:
                 assert r.residual_cents == 0, r
             else:
                 assert r.trend_cents is None and r.residual_cents is None
+
+
+class TestRevenueGini:
+    def _orders(self, spark, tmp_path, cents_per_cust):
+        import datetime as dt
+
+        rows = [
+            (i, cust, c / 100.0, dt.datetime(2024, 1, 1))
+            for i, (cust, c) in enumerate(cents_per_cust)
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        return out
+
+    def test_perfect_equality_is_zero(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            revenue_gini,
+        )
+
+        out = self._orders(spark, tmp_path, [(c, 500) for c in range(10)])
+        r = revenue_gini(spark, out).collect()[0]
+        assert r.n_customers == 10 and r.gini == 0.0
+
+    def test_total_concentration_approaches_one(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            revenue_gini,
+        )
+
+        # one customer holds (almost) everything: G = (n-1)/n for a
+        # single nonzero holder; with tiny 1-cent others it's close
+        cents = [(c, 1) for c in range(9)] + [(9, 1_000_000)]
+        out = self._orders(spark, tmp_path, cents)
+        r = revenue_gini(spark, out).collect()[0]
+        assert 0.85 < r.gini < 0.9001  # (n-1)/n = 0.9 in the limit
+
+
+class TestDailyPercentiles:
+    def test_percentile_disc_per_day(self, spark, tmp_path):
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            daily_value_percentiles,
+        )
+
+        rows = []
+        # day 1: values 1..10 -> p50=5, p90=9; day 2: constant 7
+        for i in range(1, 11):
+            rows.append((i, dt.datetime(2024, 1, 1, 10), 1, "view", i / 100.0, "{}"))
+        for i in range(5):
+            rows.append((100 + i, dt.datetime(2024, 1, 2, 10), 1, "view", 0.07, "{}"))
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{out}/events.parquet")
+        got = {str(r.day): r for r in daily_value_percentiles(spark, out).collect()}
+        assert got["2024-01-01"].p50_cents == 5
+        assert got["2024-01-01"].p90_cents == 9
+        assert got["2024-01-02"].p50_cents == got["2024-01-02"].p90_cents == 7
