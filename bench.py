@@ -126,6 +126,7 @@ HEADLINE = (
     "bootstrap_revenue_ci",
     "status_priority_mi",
     "seasonal_decomposition",
+    "cohort_ltv",
     "revenue_gini",
     "daily_value_percentiles",
     "weekday_hour_heatmap",

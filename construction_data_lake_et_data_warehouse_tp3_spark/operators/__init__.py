@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = (
     "bootstrap_revenue_ci",
     "status_priority_mi",
     "seasonal_decomposition",
+    "cohort_ltv",
     "revenue_gini",
     "daily_value_percentiles",
     "weekday_hour_heatmap",

@@ -858,9 +858,57 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by acquisition cohort: customers grouped
+    by FIRST-order month, revenue accumulated per month offset, divided
+    by the cohort's size — the LTV curves that sit beside
+    retention_cohorts' activity matrix (retention says who comes back;
+    this says what they're worth).
+
+    All integer: months as y·12+m indices (no interval arithmetic to
+    diverge), cumulative cents as a window over the (cohorts × offsets)
+    aggregated frame, LTV via truncating DIV.  Plan: one customer-key
+    window for the cohort tag (the unbounded MIN rides the same
+    exchange a groupBy would need), one (cohort, offset) aggregation,
+    then O(cohorts·offsets) windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    mi = "(year(o_orderdate) * 12 + month(o_orderdate))"
+    w_cust = Window.partitionBy("o_custkey")
+    tagged = orders.select(
+        "o_custkey",
+        F.expr(mi).alias("m_idx"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).withColumn("cohort_idx", F.min("m_idx").over(w_cust))
+    g = tagged.groupBy("cohort_idx", F.expr("m_idx - cohort_idx").alias("month_offset")).agg(
+        F.expr("CAST(sum(cents) AS BIGINT)").alias("revenue_cents"),
+        F.countDistinct("o_custkey").alias("n_active"),
+    )
+    sizes = (
+        tagged.groupBy("cohort_idx")
+        .agg(F.countDistinct("o_custkey").alias("cohort_size"))
+    )
+    w_cum = Window.partitionBy("cohort_idx").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.join(F.broadcast(sizes), "cohort_idx")
+        .withColumn("cum_cents", F.sum("revenue_cents").over(w_cum))
+        .select(
+            "cohort_idx",
+            "month_offset",
+            "cohort_size",
+            "n_active",
+            "revenue_cents",
+            "cum_cents",
+            F.expr("cum_cents DIV cohort_size").alias("ltv_cents"),
+        )
+    )
+
+
 QUERIES = {
     "weekday_revenue_profile": weekday_revenue_profile,
     "target_encoding_loo": target_encoding_loo,
+    "cohort_ltv": cohort_ltv,
     "revenue_gini": revenue_gini,
     "daily_value_percentiles": daily_value_percentiles,
     "weekday_hour_heatmap": weekday_hour_heatmap,
@@ -1193,6 +1241,36 @@ ORACLE = {
                min(p50) AS p50_cents, min(p90) AS p90_cents,
                min(p99) AS p99_cents
         FROM p GROUP BY 1
+    """,
+    "cohort_ltv": """
+        WITH tagged AS (
+            SELECT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS m_idx,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   min(year(o_orderdate) * 12 + month(o_orderdate))
+                       OVER (PARTITION BY o_custkey) AS cohort_idx
+            FROM orders
+        ),
+        g AS (
+            SELECT cohort_idx, m_idx - cohort_idx AS month_offset,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                   count(DISTINCT o_custkey) AS n_active
+            FROM tagged GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_idx, count(DISTINCT o_custkey) AS cohort_size
+            FROM tagged GROUP BY 1
+        ),
+        c AS (
+            SELECT g.*, s.cohort_size,
+                   CAST(sum(revenue_cents) OVER (PARTITION BY g.cohort_idx
+                        ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_cents
+            FROM g JOIN sizes s ON s.cohort_idx = g.cohort_idx
+        )
+        SELECT cohort_idx, month_offset, cohort_size, n_active, revenue_cents,
+               cum_cents, cum_cents // cohort_size AS ltv_cents
+        FROM c
     """,
     "revenue_gini": """
         WITH per_cust AS (

@@ -485,3 +485,38 @@ class TestDailyPercentiles:
         assert got["2024-01-01"].p50_cents == 5
         assert got["2024-01-01"].p90_cents == 9
         assert got["2024-01-02"].p50_cents == got["2024-01-02"].p90_cents == 7
+
+
+class TestCohortLtv:
+    def test_planted_cohort_curve(self, spark, tmp_path):
+        """Two customers acquired in Jan (one spends $1 in Jan, $2 in
+        Feb; the other $3 in Jan only): cohort size 2, LTV(0) = 200c,
+        LTV(1) = 300c; a Feb-acquired customer starts their own curve."""
+        import datetime as dt
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            cohort_ltv,
+        )
+
+        rows = [
+            (1, 10, 1.00, dt.datetime(2024, 1, 5)),
+            (2, 10, 2.00, dt.datetime(2024, 2, 5)),
+            (3, 11, 3.00, dt.datetime(2024, 1, 20)),
+            (4, 12, 5.00, dt.datetime(2024, 2, 1)),
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        got = {
+            (r.cohort_idx, r.month_offset): r for r in cohort_ltv(spark, out).collect()
+        }
+        jan = 2024 * 12 + 1
+        assert got[(jan, 0)].cohort_size == 2
+        assert got[(jan, 0)].n_active == 2
+        assert got[(jan, 0)].ltv_cents == 400 // 2  # $1 + $3 over 2
+        assert got[(jan, 1)].n_active == 1
+        assert got[(jan, 1)].ltv_cents == 600 // 2  # +$2 cumulative
+        assert got[(jan + 1, 0)].cohort_size == 1
+        assert got[(jan + 1, 0)].ltv_cents == 500
