@@ -883,15 +883,22 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(cents) AS BIGINT)").alias("revenue_cents"),
         F.countDistinct("o_custkey").alias("n_active"),
     )
-    sizes = (
-        tagged.groupBy("cohort_idx")
-        .agg(F.countDistinct("o_custkey").alias("cohort_size"))
-    )
+    # a cohort's size IS its offset-0 active count (every member's first
+    # order lands at offset 0 by definition), so it rides a WINDOW over
+    # the aggregated frame — a self-join on a filtered copy re-expanded
+    # the whole corpus subtree (measured 2 scans / 5 exchanges → 1 / 3;
+    # runtime ReuseExchange did NOT fire on the countDistinct expand)
+    w_cohort = Window.partitionBy("cohort_idx")
     w_cum = Window.partitionBy("cohort_idx").orderBy("month_offset").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        g.join(F.broadcast(sizes), "cohort_idx")
+        g.withColumn(
+            "cohort_size",
+            F.max(
+                F.expr("CASE WHEN month_offset = 0 THEN n_active END")
+            ).over(w_cohort),
+        )
         .withColumn("cum_cents", F.sum("revenue_cents").over(w_cum))
         .select(
             "cohort_idx",
@@ -1257,16 +1264,14 @@ ORACLE = {
                    count(DISTINCT o_custkey) AS n_active
             FROM tagged GROUP BY 1, 2
         ),
-        sizes AS (
-            SELECT cohort_idx, count(DISTINCT o_custkey) AS cohort_size
-            FROM tagged GROUP BY 1
-        ),
         c AS (
-            SELECT g.*, s.cohort_size,
-                   CAST(sum(revenue_cents) OVER (PARTITION BY g.cohort_idx
+            SELECT g.*,
+                   max(CASE WHEN month_offset = 0 THEN n_active END)
+                       OVER (PARTITION BY cohort_idx) AS cohort_size,
+                   CAST(sum(revenue_cents) OVER (PARTITION BY cohort_idx
                         ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
                        AS cum_cents
-            FROM g JOIN sizes s ON s.cohort_idx = g.cohort_idx
+            FROM g
         )
         SELECT cohort_idx, month_offset, cohort_size, n_active, revenue_cents,
                cum_cents, cum_cents // cohort_size AS ltv_cents
