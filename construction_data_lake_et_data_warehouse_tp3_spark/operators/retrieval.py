@@ -241,12 +241,17 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = F.array(
         *[F.expr(_jl_expr(j, "element_at(vint, {i})")) for j in range(JL_OUT_DIM)]
     )
+    # proj_csv, not a raw ARRAY column: the driver canonicalizer cannot
+    # sort array cells — the projected vector rides as its deterministic
+    # CSV rendering; split(proj_csv, ',') recovers the exact integers.
     return vecs.select(
         "vec_id",
         proj.alias("proj_micro"),
     ).select(
         "vec_id",
-        "proj_micro",
+        F.expr(
+            "array_join(transform(proj_micro, x -> cast(x AS string)), ',')"
+        ).alias("proj_csv"),
         F.expr(
             "aggregate(proj_micro, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
         ).alias("l1_micro"),
@@ -499,7 +504,7 @@ def _jl_oracle() -> str:
     return f"""
         WITH v AS ({_V_DUCK}),
         p AS (SELECT vec_id, [{cols}] AS proj_micro FROM v)
-        SELECT vec_id, proj_micro,
+        SELECT vec_id, array_to_string(proj_micro, ',') AS proj_csv,
                CAST(list_sum(list_transform(proj_micro, x -> abs(x))) AS BIGINT)
                    AS l1_micro
         FROM p

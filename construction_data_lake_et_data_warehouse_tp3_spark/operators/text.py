@@ -372,7 +372,16 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf_doc").alias("tf"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
-    return idx.where(F.col("df").between(INDEX_MIN_DF, INDEX_MAX_DF))
+    # postings_csv, not a raw ARRAY column: driver-side canonicalization
+    # (pandas sort over every column) cannot order array cells, so the
+    # public result carries the deterministic CSV form; the array stays
+    # available internally for index consumers (StreamingIndexStats).
+    return idx.where(F.col("df").between(INDEX_MIN_DF, INDEX_MAX_DF)).select(
+        "term",
+        "df",
+        "tf",
+        F.array_join("postings", ",").alias("postings_csv"),
+    )
 
 
 #: hashed bag-of-words dimensionality (the hashing-trick vector width).
@@ -401,6 +410,9 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + groupBy(doc, bin) and pay the shuffle instead."""
     docs = load_table(spark, sf_dir, "documents")
     bin_of = _BIN_SPARK.format(t="x")
+    # feat_csv, not a raw ARRAY column: the driver canonicalizer cannot
+    # sort array cells (see inverted_index) — the vector rides as its
+    # deterministic CSV rendering; split(feat_csv, ',') recovers it.
     return docs.select(
         "doc_id",
         F.expr(
@@ -409,7 +421,9 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("feat"),
     ).select(
         "doc_id",
-        "feat",
+        F.expr("array_join(transform(feat, x -> cast(x AS string)), ',')").alias(
+            "feat_csv"
+        ),
         F.expr(
             "aggregate(feat, 0, (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END)"
         ).alias("nnz"),
@@ -506,7 +520,7 @@ ORACLE = {
                     for b in range(0, {HASH_BINS})] AS feat
             FROM base
         )
-        SELECT doc_id, feat,
+        SELECT doc_id, array_to_string(feat, ',') AS feat_csv,
                CAST(list_sum(list_transform(feat,
                     x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS INT) AS nnz,
                CAST(list_sum(feat) AS INT) AS n_tokens
@@ -716,10 +730,10 @@ ORACLE = {
         idx AS (
             SELECT term, count(*) AS df,
                    CAST(sum(tf_doc) AS BIGINT) AS tf,
-                   list(doc_id ORDER BY doc_id) AS postings
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings_csv
             FROM per_doc GROUP BY term
         )
-        SELECT term, df, tf, postings
+        SELECT term, df, tf, postings_csv
         FROM idx WHERE df BETWEEN {INDEX_MIN_DF} AND {INDEX_MAX_DF}
     """,
 }

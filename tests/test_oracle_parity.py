@@ -69,10 +69,31 @@ QUERY_NAMES = sorted(entry_mod.queries().keys())
 ORACLES = entry_mod.oracle_sql()
 
 
+def assert_driver_canonicalizable(name, schema):
+    """The driver's correctness gate canonicalizes results with a pandas
+    sort over EVERY column; array/map/struct cells are unhashable there
+    (numpy.ndarray TypeError — the r5 feature_hashing/jl_projection/
+    inverted_index ERRs). Reject complex-typed output columns locally so
+    local green always implies driver green."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: driver-uncanonicalizable output columns {bad} "
+        f"(array/map/struct) — emit a deterministic scalar form "
+        f"(e.g. array_join CSV) instead"
+    )
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
     fn = entry_mod.queries()[name]
     df = fn(spark, SF_DIR)
+    assert_driver_canonicalizable(name, df.schema)
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = df.columns
 
@@ -100,6 +121,17 @@ def test_query_matches_oracle(spark, name):
         (a, b) for a, b in zip(s_set, d_set) if a != b
     ]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+def test_harness_rejects_array_columns(spark):
+    """The r5 divergence class, locked dead: a frame with an array-typed
+    output column must be flagged by the local harness (the driver's
+    pandas canonicalizer would die on it)."""
+    df = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+    with pytest.raises(AssertionError, match="xs"):
+        assert_driver_canonicalizable("fake_query", df.schema)
+    ok = spark.createDataFrame([(1, "1,2")], "id int, xs string")
+    assert_driver_canonicalizable("fake_query", ok.schema)
 
 
 def test_entry_smoke(spark):

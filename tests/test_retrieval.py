@@ -113,12 +113,17 @@ class TestJlProjection:
         pos = sum(1 for s in flat if s > 0)
         assert 0.4 < pos / len(flat) < 0.6
 
+    @staticmethod
+    def _vec(row):
+        # public schema carries the projection as its CSV rendering
+        return tuple(int(x) for x in row.proj_csv.split(","))
+
     def test_identical_vectors_identical_projection(self, spark):
         rows = jl_projection(spark, SF_DIR).collect()
-        assert rows and all(len(r.proj_micro) == JL_OUT_DIM for r in rows)
-        by_id = {r.vec_id: tuple(r.proj_micro) for r in rows}
+        assert rows and all(len(self._vec(r)) == JL_OUT_DIM for r in rows)
+        by_id = {r.vec_id: self._vec(r) for r in rows}
         # determinism across a second run (fresh plan)
-        again = {r.vec_id: tuple(r.proj_micro) for r in jl_projection(spark, SF_DIR).collect()}
+        again = {r.vec_id: self._vec(r) for r in jl_projection(spark, SF_DIR).collect()}
         assert by_id == again
 
     def test_projection_preserves_distance_ordering(self, spark, tmp_path_factory):
@@ -137,7 +142,7 @@ class TestJlProjection:
         spark.createDataFrame(
             rows, "vec_id bigint, embedding array<float>, label int"
         ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-        p = {r.vec_id: np.array(r.proj_micro, dtype=float) for r in jl_projection(spark, out).collect()}
+        p = {r.vec_id: np.array(self._vec(r), dtype=float) for r in jl_projection(spark, out).collect()}
         d_near = np.linalg.norm(p[0] - p[1])
         d_far = np.linalg.norm(p[0] - p[2])
         assert d_near < d_far / 4
