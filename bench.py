@@ -18,6 +18,34 @@ import time
 from construction_data_lake_et_data_warehouse_tp3_spark import operators
 from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
 
+#: the 22 queries BENCH_r01 measured — the stdout line's round-over-round
+#: comparison subset (the full map rides stderr + bench_full.json; see
+#: the tail-window note at the print site).
+R1_COMPARISON_SET = (
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "user_transaction_summary",
+    "user_transaction_summary_eur",
+    "product_purchase_counts",
+    "payment_method_totals",
+    "star_schema_revenue",
+    "rollup_revenue",
+    "top_event_per_user",
+    "blacklist_filter",
+    "asof_latest_order",
+    "event_sessions",
+    "daily_event_stats",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "token_count",
+    "text_quality",
+    "cosine_topk",
+    "lsh_buckets",
+)
+
 #: headline set: the reference aggregate surface + TPC-H shapes + one of
 #: each beyond-reference family (dedup / text / similarity).
 HEADLINE = (
@@ -237,25 +265,47 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # row counts are diagnostics → stderr. BENCH_r04.json shows the
-    # driver captures stdout through a FIXED-SIZE tail window and the r4
-    # line (39 queries + rows dict) already overflowed it (parsed: null);
-    # keeping the stdout line to the contract fields halves its length.
-    print(f"# rows: {json.dumps(rows)}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming_ingest_rows_per_sec": streaming_rate,
-                "errors": errors,
-            },
-            separators=(",", ":"),
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver records only a 2000-char TAIL of combined output
+    # (BENCH_r0{3,4,5}.json: `tail` is 2000 chars, `parsed: null` whenever
+    # the JSON line's head scrolled past the window — 96 compact-keyed
+    # query timings alone exceed 2000 chars).  Contract: the stdout line
+    # is printed LAST, carries the total + the fixed 22-query r1
+    # comparison subset (round-over-round set, ~700 chars — fits the
+    # window with margin), and the FULL per-query map goes to stderr and
+    # to bench_full.json beside this script.
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf_val,
+        "streaming_ingest_rows_per_sec": streaming_rate,
+        "errors": errors,
+    }
+    print(f"# full: {json.dumps(full, separators=(',', ':'))}", file=sys.stderr)
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_full.json")
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, separators=(",", ":"))
+            fh.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in R1_COMPARISON_SET if k in timings},
+        "sf": sf_val,
+        "streaming_ingest_rows_per_sec": streaming_rate,
+        "n_queries": len(timings),
+        "errors_count": len(errors),
+        "full_map": "bench_full.json",
+    }
+    sys.stderr.flush()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     spark.stop()
 
 

@@ -63,7 +63,9 @@ def checked_write(
         for name, predicate in checks.items()
     ]
     df.observe(obs, *metrics_cols).write.mode(mode).parquet(path)
-    metrics = {k: int(v) for k, v in obs.get.items()}
+    # sum() over an empty frame observes NULL, not 0 — an empty parquet
+    # dir / empty micro-batch must report {'n_rows': 0, ...}, not crash
+    metrics = {k: int(v or 0) for k, v in obs.get.items()}
     if on_violation == "fail" and any(
         v for k, v in metrics.items() if k != "n_rows"
     ):

@@ -49,162 +49,204 @@ _MODULES = (
 # back.  (CORRECTNESS_r01/r02 each contained exactly 50 rows while the
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
-    # r4's one red row — oracle typing fixed in r5, needs its green row
-    "length_histogram",
-    # new in r5e — never driver-checked
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "cusum_changepoint",
-    "revenue_trend_slope",
-    "event_path_trigrams",
-    "term_pmi_pairs",
-    "rrf_hybrid_search",
-    "session_bounce_rate",
-    "target_encoding_loo",
+    # r6 rotation (VERDICT r5 ask #3): the 3 array-canon ERRs fixed this
+    # round enumerate first for their green rows, then the 30 queries with
+    # no driver CORRECTNESS row in ANY round, then the four partsupp-form
+    # TPC-H rewrites whose r5 shape was never sampled, then staleness order
+    # (r2-latest -> r3 -> r4 -> r5 greens at the back).  The driver checks
+    # ~50/round, so r6 covers through the r2 refresh and r7 sweeps the r3
+    # block.
     "feature_hashing",
-    "k_anonymity_audit",
-    "embedding_drift",
-    "token_lorenz_by_source",
-    "profile_table",
-    "cumulative_unique_users",
-    "seasonal_naive_backtest",
-    "ppm_resize_blocks",
-    "ab_test_zscore",
-    "suspect_duplicate_orders",
-    "value_percentiles_by_type",
-    "item_similarity_topk",
-    "link_prediction_jaccard",
-    "degree_assortativity",
-    "bootstrap_revenue_ci",
-    "status_priority_mi",
-    "seasonal_decomposition",
-    "cohort_ltv",
-    "revenue_gini",
-    "daily_value_percentiles",
-    "weekday_hour_heatmap",
-    # new in r5d — never driver-checked
-    "bm25_search",
-    "shingle_containment_pairs",
     "jl_projection",
-    "semdedup_pairs",
-    "ngram_novelty",
-    "source_lang_entropy",
-    "time_to_conversion",
-    # new in r5c — never driver-checked
-    "purchase_streaks",
-    "quantity_discount_corr",
-    "ewma_daily_revenue",
-    "last_touch_attribution",
     "inverted_index",
-    "weighted_sample_topk",
-    "y4m_keyframe_sample",
-    "pareto_front_customers",
-    "arrow_doc_stats",
-    # new in r5b — never driver-checked
-    "winsorized_order_stats",
-    "benford_first_digit",
-    "mom_revenue_growth",
-    "scd2_user_state_history",
-    "event_transition_matrix",
-    "cluster_representatives",
-    "leakage_safe_split",
-    "label_centroids",
-    "quantize_embeddings",
-    "degree_distribution",
-    "order_gap_histogram",
-    "new_vs_returning_revenue",
-    "dup_rate_by_source",
-    "weekday_revenue_profile",
-    "cms_heavy_hitters",
-    "lang_id_confusion",
-    "fixed_k_sample",
-    "pareto_revenue_share",
-    # new/reworked in r5 — never driver-checked in current form
-    "wav_audio_stats",
+    "basket_lift",
     "bigram_surprisal",
     "chunk_documents",
-    "interpolate_daily_revenue",
-    "status_priority_chisq",
-    "ppjoin_jaccard_pairs",
-    "y4m_video_stats",
-    "event_funnel",
-    "retention_cohorts",
-    "rfm_segments",
-    "basket_lift",
-    "revenue_anomalies",
+    "cluster_representatives",
+    "cms_heavy_hitters",
     "dau_wau_stickiness",
+    "degree_distribution",
+    "dup_rate_by_source",
+    "event_funnel",
+    "event_transition_matrix",
+    "fixed_k_sample",
+    "interpolate_daily_revenue",
+    "label_centroids",
+    "lang_id_confusion",
+    "leakage_safe_split",
     "median_order_value_approx_check",
+    "new_vs_returning_revenue",
+    "order_gap_histogram",
+    "pareto_revenue_share",
+    "ppjoin_jaccard_pairs",
     "product_purchase_counts_approx_check",
+    "quantize_embeddings",
+    "retention_cohorts",
+    "revenue_anomalies",
+    "rfm_segments",
+    "scd2_user_state_history",
+    "status_priority_chisq",
+    "wav_audio_stats",
+    "weekday_revenue_profile",
+    "y4m_video_stats",
     "tpch_q2",
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
-    # latest green row is CORRECTNESS_r02 — two rounds of churn unchecked
-    "events_json_props",
-    "tfidf_top_terms",
-    "deterministic_sample",
-    "pivot_status_revenue",
-    "regexp_extract_ids",
-    "customer_order_counts_left",
-    "price_band_range_join",
-    "order_event_days_full",
-    "exists_high_qty_orders",
     "array_functions_showcase",
+    "customer_order_counts_left",
+    "deterministic_sample",
+    "events_json_props",
+    "exists_high_qty_orders",
     "median_order_value",
     "median_order_value_approx",
-    "product_purchase_counts_approx",
-    # latest green row is CORRECTNESS_r03 — longest-unchecked refresh
-    # (r4 greens rotate to the back; 49 r3 + the above ≈ fills the ~50-row
-    # artifact over r5/r6)
-    "user_transaction_summary",
-    "user_transaction_summary_eur",
-    "payment_method_totals",
-    "product_purchase_counts",
-    "amount_bucket_histogram",
-    "anonymize_stream",
-    "blacklist_filter",
-    "retention_candidates",
-    "projection_pushdown",
-    "union_transactions",
-    "payment_method_lookup",
-    "fk_miss_detection",
-    "star_schema_revenue",
-    "top_orders_limit",
-    "latest_version_per_feed",
-    "top_event_per_user",
-    "rollup_revenue",
-    "rolling_7d_revenue",
-    "grouping_sets_revenue",
+    "order_event_days_full",
+    "pivot_status_revenue",
+    "price_band_range_join",
+    "regexp_extract_ids",
+    "tfidf_top_terms",
     "above_avg_orders",
-    "order_status_matrix",
-    "cube_revenue",
-    "time_bucket_rollup",
-    "string_functions_showcase",
-    "repeat_buyers_intersect",
-    "open_only_buyers_except",
-    "simhash_signatures",
-    "ngram_jaccard_pairs",
+    "amount_bucket_histogram",
+    "ann_ivf_topk",
+    "anonymize_stream",
+    "apply_in_pandas_group_stats",
+    "blacklist_filter",
+    "bpe_token_count",
+    "corpus_curation",
     "cosine_topk",
+    "cube_revenue",
+    "doc_fingerprint",
+    "dup_clusters",
     "embedding_dup_pairs",
     "embedding_dup_pairs_bucketed",
-    "lsh_buckets",
-    "token_count",
-    "bpe_token_count",
-    "text_quality",
+    "fk_miss_detection",
+    "grouping_sets_revenue",
     "lang_id",
-    "doc_fingerprint",
+    "latest_version_per_feed",
+    "lsh_buckets",
     "minhash_verified_dups",
-    "simhash_hamming_pairs",
-    "ann_ivf_topk",
-    "word_freq_topk",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "open_only_buyers_except",
+    "order_status_matrix",
     "pandas_scalar_norm",
     "pandas_udaf_value_stats",
-    "apply_in_pandas_group_stats",
-    "multimodal_features",
+    "payment_method_lookup",
+    "payment_method_totals",
     "ppm_pixel_stats",
-    "dup_clusters",
-    "corpus_curation",
+    "product_purchase_counts",
+    "product_purchase_counts_approx",
+    "projection_pushdown",
+    "repeat_buyers_intersect",
+    "retention_candidates",
+    "rolling_7d_revenue",
+    "rollup_revenue",
+    "simhash_hamming_pairs",
+    "simhash_signatures",
+    "star_schema_revenue",
     "stratified_sample",
+    "string_functions_showcase",
+    "text_quality",
+    "time_bucket_rollup",
+    "token_count",
+    "top_event_per_user",
+    "top_orders_limit",
+    "union_transactions",
+    "user_transaction_summary",
+    "user_transaction_summary_eur",
+    "word_freq_topk",
+    "asof_latest_order",
+    "daily_event_stats",
+    "decontaminate",
+    "dedup_exact",
+    "domain_mix",
+    "dq_audit_orders",
+    "edit_distance_pairs",
+    "event_sessions",
+    "hopping_window_events",
+    "ivf_kmeans_topk",
+    "kmeans_embeddings",
+    "lm_surprisal",
+    "minhash_lsh_candidates",
+    "mixture_resample",
+    "pack_sequences",
+    "pagerank_products",
+    "pii_scrub",
+    "quality_filters",
+    "ranking_windows_showcase",
+    "repetition_stats",
+    "resample_daily_revenue",
+    "scalar_datetime_ops",
+    "session_window_stats",
+    "substring_dup_pairs",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "training_manifest",
+    "triangle_participation",
+    "unpivot_status_revenue",
+    "ab_test_zscore",
+    "arrow_doc_stats",
+    "benford_first_digit",
+    "bm25_search",
+    "bootstrap_revenue_ci",
+    "cohort_ltv",
+    "cumulative_unique_users",
+    "cusum_changepoint",
+    "daily_value_percentiles",
+    "degree_assortativity",
+    "embedding_drift",
+    "event_path_trigrams",
+    "ewma_daily_revenue",
+    "item_similarity_topk",
+    "k_anonymity_audit",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "last_touch_attribution",
+    "length_histogram",
+    "link_prediction_jaccard",
+    "mom_revenue_growth",
+    "ngram_novelty",
+    "pareto_front_customers",
+    "ppm_resize_blocks",
+    "profile_table",
+    "purchase_streaks",
+    "quantity_discount_corr",
+    "revenue_gini",
+    "revenue_trend_slope",
+    "rrf_hybrid_search",
+    "seasonal_decomposition",
+    "seasonal_naive_backtest",
+    "semdedup_pairs",
+    "session_bounce_rate",
+    "shingle_containment_pairs",
+    "source_lang_entropy",
+    "status_priority_mi",
+    "suspect_duplicate_orders",
+    "target_encoding_loo",
+    "term_pmi_pairs",
+    "time_to_conversion",
+    "token_lorenz_by_source",
+    "value_percentiles_by_type",
+    "weekday_hour_heatmap",
+    "weighted_sample_topk",
+    "winsorized_order_stats",
+    "y4m_keyframe_sample",
 )
 
 

@@ -39,23 +39,32 @@ PROFILE_COLS = (
 
 def profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """Profile arbitrary columns of any DataFrame — the reusable core of
-    profile_table, also surfaced as the ``profile`` CLI verb."""
+    profile_table, also surfaced as the ``profile`` CLI verb.
+
+    Column names are validated against df.columns and backtick-quoted in
+    every generated expression: the CLI path takes arbitrary parquet
+    column names (spaces, hyphens, reserved words), and an unvalidated
+    name would otherwise be evaluated as raw SQL expression text."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
     aggs = [F.count("*").alias("n_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        q = "`" + c.replace("`", "``") + "`"
         aggs += [
             F.expr(
-                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            ).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.expr(f"CAST(min({c}) AS STRING)").alias(f"{c}__min"),
-            F.expr(f"CAST(max({c}) AS STRING)").alias(f"{c}__max"),
+                f"CAST(sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"c{i}__nulls"),
+            F.countDistinct(c).alias(f"c{i}__distinct"),
+            F.expr(f"CAST(min({q}) AS STRING)").alias(f"c{i}__min"),
+            F.expr(f"CAST(max({q}) AS STRING)").alias(f"c{i}__max"),
         ]
     one = df.agg(*aggs)
     structs = ", ".join(
-        f"struct('{c}' AS col_name, n_rows, {c}__nulls AS n_nulls,"
-        f" {c}__distinct AS n_distinct, {c}__min AS min_value,"
-        f" {c}__max AS max_value)"
-        for c in cols
+        "struct('{name}' AS col_name, n_rows, c{i}__nulls AS n_nulls,"
+        " c{i}__distinct AS n_distinct, c{i}__min AS min_value,"
+        " c{i}__max AS max_value)".format(name=c.replace("'", "\\'"), i=i)
+        for i, c in enumerate(cols)
     )
     return one.select(F.explode(F.expr(f"array({structs})")).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value"

@@ -88,14 +88,25 @@ class StreamingIndexStats:
 
     # ------------------------------------------------------------------
     def stats(self) -> DataFrame:
-        """1-row (n_docs, total_tokens) across all folded batches."""
+        """1-row (n_docs, total_tokens) across all folded batches; an
+        UNBUILT index (no batch folded yet) reports zeros rather than
+        surfacing the parquet reader's AnalysisException."""
+        if not self.global_partials.exists():
+            return self.spark.createDataFrame(
+                [(0, 0)], "n_docs bigint, total_tokens bigint"
+            )
         return self.global_partials.read().agg(
-            F.expr("CAST(sum(n_docs) AS BIGINT)").alias("n_docs"),
-            F.expr("CAST(sum(total_tokens) AS BIGINT)").alias("total_tokens"),
+            F.expr("CAST(coalesce(sum(n_docs), 0) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(coalesce(sum(total_tokens), 0) AS BIGINT)").alias(
+                "total_tokens"
+            ),
         )
 
     def term_df(self) -> DataFrame:
-        """Per-term document frequency across all folded batches."""
+        """Per-term document frequency across all folded batches (empty
+        frame, same schema, for an unbuilt index)."""
+        if not self.term_partials.exists():
+            return self.spark.createDataFrame([], "term string, df bigint")
         return (
             self.term_partials.read()
             .groupBy("term")

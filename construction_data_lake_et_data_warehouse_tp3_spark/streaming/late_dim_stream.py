@@ -104,6 +104,27 @@ class LateDimEnricher:
         stamped = misses.withColumn(
             "first_batch_id", F.lit(batch_id).cast("long")
         ).withColumn("retry_count", F.lit(0))
+        # At-least-once duplicate of an already-parked fact must NOT
+        # reset the backlog-age signal: carry forward the existing
+        # min(first_batch_id) / retry_count over the fresh stamp.
+        if self.pending.exists():
+            prior = self.pending.read().select(
+                self.fact_id,
+                F.col("first_batch_id").alias("__prior_first"),
+                F.col("retry_count").alias("__prior_retries"),
+            )
+            stamped = (
+                stamped.join(F.broadcast(prior), self.fact_id, "left")
+                .withColumn(
+                    "first_batch_id",
+                    F.least(F.col("first_batch_id"), F.col("__prior_first")),
+                )
+                .withColumn(
+                    "retry_count",
+                    F.greatest(F.col("retry_count"), F.col("__prior_retries")),
+                )
+                .drop("__prior_first", "__prior_retries")
+            )
         n_parked = merge_into(self.pending, stamped, (self.fact_id,))
         return {"hits": n_hits, "parked": n_parked, "recovered": n_recovered}
 

@@ -78,3 +78,17 @@ class TestStreamingIndexStats:
         q.awaitTermination(120)
         got = [tuple(r) for r in idx.score(_docs(spark), QUERY_TERMS).collect()]
         assert got == _batch_ranking(spark)
+
+
+class TestUnbuiltIndex:
+    def test_stats_and_term_df_before_any_batch(self, spark, tmp_path):
+        """Reads on a store with no folded batch must return empty/zero
+        frames, not a raw AnalysisException (ADVICE r5)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.index_stream import (
+            StreamingIndexStats,
+        )
+
+        idx = StreamingIndexStats(spark, str(tmp_path / "unbuilt"))
+        s = idx.stats().collect()[0]
+        assert (s.n_docs, s.total_tokens) == (0, 0)
+        assert idx.term_df().count() == 0

@@ -92,3 +92,27 @@ class TestLateDimEnricher:
         c = enr.process_batch(_facts(spark, [(40, 1, 9.0)]), dim, 0)
         assert c == {"hits": 1, "parked": 0, "recovered": 0}
         assert enr.backlog().count() == 0
+
+    def test_duplicate_delivery_keeps_backlog_age(self, spark, tmp_path):
+        """An at-least-once re-delivery of an already-parked fact must
+        NOT reset first_batch_id/retry_count (ADVICE r5: the fresh stamp
+        silently zeroed the escalation signal)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.late_dim_stream import (
+            LateDimEnricher,
+        )
+
+        enr = LateDimEnricher(spark, str(tmp_path))
+        dim = _dim(spark, [(1, "gold")])
+        enr.process_batch(_facts(spark, [(40, 9, 1.0)]), dim, 0)
+        enr.process_batch(_facts(spark, []), dim, 1)  # retry 1, still missing
+        # batch 2 re-delivers the SAME fact (different batch id)
+        enr.process_batch(_facts(spark, [(40, 9, 1.0)]), dim, 2)
+        b = enr.backlog().collect()[0]
+        assert b.event_id == 40
+        assert b.first_batch_id == 0  # not reset to 2
+        assert b.retry_count >= 1  # aging preserved
+        # and the recovery path still fires exactly once afterwards
+        dim2 = _dim(spark, [(1, "gold"), (9, "late")])
+        c = enr.process_batch(_facts(spark, []), dim2, 3)
+        assert c["recovered"] == 1
+        assert enr.backlog().count() == 0

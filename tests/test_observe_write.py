@@ -67,3 +67,12 @@ class TestCheckedWrite:
         plan = metered._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 1
         assert "CollectMetrics" in plan
+
+
+    def test_empty_frame_reports_zero_not_crash(self, spark, tmp_path):
+        """sum() observes NULL over zero rows; the metrics dict must
+        coalesce to {'n_rows': 0, ...} (ADVICE r5: empty micro-batch on
+        the ingest path crashed with TypeError after the write)."""
+        df = _frame(spark, [])
+        m = checked_write(df, str(tmp_path / "t"), CHECKS)
+        assert m == {"n_rows": 0, "amount_positive": 0, "kind_known": 0}

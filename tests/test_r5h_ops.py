@@ -34,6 +34,33 @@ class TestProfileTable:
         assert got["o_orderpriority"].max_value == "5-LOW"
 
 
+class TestProfileDf:
+    def test_non_identifier_column_names_are_quoted(self, spark):
+        """CLI users profile arbitrary parquet columns: spaces, hyphens,
+        reserved words must work; unknown columns must raise cleanly,
+        never evaluate as SQL expression text (ADVICE r5)."""
+        import pytest
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.profiling import (
+            profile_df,
+        )
+
+        df = (
+            spark.createDataFrame([(1, 2.0, "x"), (2, None, "y")], "a long, b double, c string")
+            .withColumnRenamed("a", "order key")
+            .withColumnRenamed("b", "total-price")
+            .withColumnRenamed("c", "select")
+        )
+        got = {r.col_name: r for r in profile_df(
+            df, ("order key", "total-price", "select")
+        ).collect()}
+        assert got["order key"].n_distinct == 2
+        assert got["total-price"].n_nulls == 1
+        assert got["select"].max_value == "y"
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            profile_df(df, ("order key, 1); drop",))
+
+
 class TestCumulativeUniqueUsers:
     def test_each_user_counts_once_on_first_day(self, spark, tmp_path):
         import datetime as dt
