@@ -217,6 +217,12 @@ def main() -> None:
         + [(f"{name}@{graph_tag}", name, graph_sf_dir) for name in GRAPH_QUERIES]
         + [(f"{name}@{wedge_tag}", name, wedge_sf_dir) for name in WEDGE_QUERIES]
     )
+    # targeted re-measurement (e.g. the judge's watch-query check):
+    # SPARK_GRAFT_BENCH_ONLY=tpch_q1,lm_surprisal restricts the workload.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        workload = [w for w in workload if w[1] in wanted]
 
     errors: dict[str, str] = {}
     for key, name, qdir in workload:
@@ -254,14 +260,17 @@ def main() -> None:
     # carries heap/GC/codegen-cache state that depressed the r4 number
     # (36.6k → 31.6k rows/s, VERDICT r4 'What's wrong' #3) — tear down
     # the SparkContext and measure on a fresh one.
-    spark.stop()
-    spark = get_spark("tp3-bench-ingest")
-    spark.sparkContext.setLogLevel("ERROR")
-    try:
-        streaming_rate = _streaming_ingest_rate(spark)
-    except Exception as exc:  # noqa: BLE001 - partial numbers beat none
-        errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
-        streaming_rate = None
+    if only:
+        streaming_rate = None  # targeted query runs skip the ingest pass
+    else:
+        spark.stop()
+        spark = get_spark("tp3-bench-ingest")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            streaming_rate = _streaming_ingest_rate(spark)
+        except Exception as exc:  # noqa: BLE001 - partial numbers beat none
+            errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+            streaming_rate = None
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

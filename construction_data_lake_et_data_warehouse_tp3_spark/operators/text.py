@@ -251,15 +251,26 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     and immediately rounded to integer micro-nats, so per-doc sums are
     integer arithmetic — engine-exact regardless of summation order; the
     ln(ratio)→round(×1e6) step itself was probe-verified bit-identical
-    across Spark/DuckDB over the full count range. Scale: token→model is
-    a shuffle join on the token (vocab-sized right side — broadcastable
-    when the vocab fits, left as a shuffle join here because 100 TB web
-    corpora have open vocabularies); everything else is two hash
-    aggregations."""
+    across Spark/DuckDB over the full count range. Scale: one corpus
+    tokenization feeding a (doc_id, tok) tf aggregation; the model and
+    grand total fold from that reduced frame, and scoring joins token
+    TYPES per doc (Σ tf·sur), never re-expanded occurrences. The
+    type-level join stays a shuffle join (vocab-sized right side —
+    broadcastable when the vocab fits, but 100 TB web corpora have open
+    vocabularies)."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
-    model = tokens.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = tokens.agg(F.count("*").alias("total"))
+    # ONE tokenize+explode: (doc_id, tok) term frequencies are the only
+    # corpus-sized aggregation; the model (per-token corpus counts) and
+    # the grand total both FOLD from this reduced frame instead of
+    # re-expanding the corpus (the r4 shape scanned+exploded 3× and
+    # shuffle-joined full occurrences; this joins token TYPES per doc).
+    per_doc = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    model = per_doc.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
     scored = model.crossJoin(F.broadcast(total)).select(
         "tok",
         F.round(-F.log(F.col("cnt") / F.col("total")) * 1e6)
@@ -267,9 +278,12 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sur_int"),
     )
     return (
-        tokens.join(scored, "tok")
+        per_doc.join(scored, "tok")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("sur_int").alias("sum_sur"))
+        .agg(
+            F.expr("CAST(sum(tf) AS BIGINT)").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("sur_int")).alias("sum_sur"),
+        )
         .select(
             "doc_id",
             "n_tokens",
