@@ -294,14 +294,15 @@ def main() -> None:
         "errors": errors,
     }
     print(f"# full: {json.dumps(full, separators=(',', ':'))}", file=sys.stderr)
-    try:
-        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_full.json")
-        with open(out_path, "w") as fh:
-            json.dump(full, fh, separators=(",", ":"))
-            fh.write("\n")
-    except OSError:
-        pass
+    if not only:  # a targeted subset run must not clobber the full map
+        try:
+            out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "bench_full.json")
+            with open(out_path, "w") as fh:
+                json.dump(full, fh, separators=(",", ":"))
+                fh.write("\n")
+        except OSError:
+            pass
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,

@@ -107,3 +107,13 @@ class TestStreamingClusters:
             m.process_batch(part, i)
         assert _canon(m.clusters()) == _canon(dup_clusters(spark, SF_DIR))
         pairs.unpersist()
+
+    def test_attach_drains_a_real_stream(self, spark, tmp_path):
+        pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+        src = str(tmp_path / "src")
+        pairs.write.parquet(src)
+        stream = spark.readStream.schema(pairs.schema).parquet(src)
+        m = StreamingClusterMaintainer(spark, str(tmp_path / "store"))
+        q = m.attach(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        assert _canon(m.clusters()) == _canon(cluster_edges(pairs))

@@ -265,3 +265,28 @@ class TestArrowKernel:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInArrow") == 1
         assert "hashpartitioning" not in plan
+
+
+class TestR6LmSurprisalPlan:
+    def test_single_tokenize_pass(self, spark):
+        """r6 restructure: ONE documents scan feeds the (doc_id, tok) tf
+        aggregate; model + total fold from the reduced frame and scoring
+        joins token TYPES (the r4 shape scanned the corpus 3x)."""
+        df = text.lm_surprisal(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the scoring join consumes the (doc_id, tok) tf AGGREGATE — the
+        # final doc aggregation must sum tf-weighted surprisal, never
+        # re-explode occurrences above the join (identical (doc_id, tok)
+        # exchange subtrees collapse via AQE stage reuse at runtime; a
+        # persist variant measured EQUAL at sf0.1, so the declarative
+        # form stays)
+        assert "sum((tf" in plan
+        gen_above_join = plan.index("Generate explode") < plan.index("HashJoin")
+        assert not gen_above_join  # explode only below the tf aggregate
+        from construction_data_lake_et_data_warehouse_tp3_spark.plans.analysis import (
+            shuffle_exchange_count,
+        )
+
+        # tf aggs + model agg + final doc agg bound the exchange count
+        # (pre-AQE static plan; runtime stage reuse dedups the repeats)
+        assert shuffle_exchange_count(df) <= 10
