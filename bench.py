@@ -148,6 +148,7 @@ HEADLINE = (
     "seasonal_naive_backtest",
     "ppm_resize_blocks",
     "ab_test_zscore",
+    "ab_test_mannwhitney",
     "suspect_duplicate_orders",
     "value_percentiles_by_type",
     "item_similarity_topk",
@@ -182,6 +183,7 @@ GRAPH_QUERIES = (
     "pagerank_products",
     "triangle_participation",
     "degree_assortativity",
+    "kcore_products",
 )
 
 #: wedge-enumeration queries benched at sf0.001: this synthetic

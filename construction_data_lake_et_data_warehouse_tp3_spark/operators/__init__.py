@@ -59,6 +59,9 @@ _DRIVER_PRIORITY = (
     "feature_hashing",
     "jl_projection",
     "inverted_index",
+    # new in r6 — never driver-checked
+    "kcore_products",
+    "ab_test_mannwhitney",
     "basket_lift",
     "bigram_surprisal",
     "chunk_documents",

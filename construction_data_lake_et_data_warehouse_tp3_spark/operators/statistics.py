@@ -644,6 +644,70 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the z closed form shared verbatim by both engines: doubled-rank
+#: arithmetic keeps every input to the float math an exact BIGINT
+#: (u2 = 2U so no halves exist), tie correction per the standard
+#: normal approximation.
+_MW_Z = (
+    "CAST(ra2 - n_a * (n_a + 1) - n_a * (n - n_a) AS DOUBLE)"
+    " / nullif(2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)"
+    " / 12.0 * (CAST(n + 1 AS DOUBLE)"
+    " - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))),"
+    " 0.0)"
+)
+
+
+def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test on order values across a deterministic md5
+    customer split — the NONPARAMETRIC complement of ab_test_zscore:
+    revenue distributions are heavy-tailed, so the rank test is what an
+    experimentation platform actually runs on order-value metrics (a
+    mean test is whale-dominated). A/A by construction, so E[z] ≈ 0.
+
+    Exactness: ranks never materialize per row — doubled average tie
+    ranks fold from the value-level frame (r2 = 2·prefix − t + 1 for a
+    tie group of size t ending at cumulative count prefix), so U, the
+    tie term Σ(t³−t), and every z input are exact BIGINTs; z is one
+    closed form evaluated identically by both engines.
+
+    Plan: one cents-level aggregation (the only corpus-sized shuffle),
+    a prefix window over the DISTINCT-VALUE frame (bounded by the value
+    domain, the revenue_gini discipline — never a per-row global sort),
+    one final row. Headroom: ra2 ≤ 2n² — promote to DECIMAL(38,0) past
+    n ≈ 2·10⁹ rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.expr(
+            "pmod(CAST(conv(substr(md5('mw:' || CAST(o_custkey AS STRING)), 1, 6),"
+            " 16, 10) AS BIGINT), 2)"
+        ).alias("arm"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    by_val = vals.groupBy("cents").agg(
+        F.count("*").alias("t"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "ta"
+        ),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = by_val.withColumn("prefix", F.sum("t").over(w)).withColumn(
+        "r2", F.expr("2 * prefix - t + 1")
+    )
+    g = ranked.agg(
+        F.expr("CAST(sum(t) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(ta) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(sum(ta * r2) AS BIGINT)").alias("ra2"),
+        F.expr("CAST(sum(t * t * t - t) AS BIGINT)").alias("tie3"),
+    )
+    return g.select(
+        "n_a",
+        F.expr("n - n_a").alias("n_b"),
+        F.expr("ra2 - n_a * (n_a + 1)").alias("u2_a"),
+        "tie3",
+        F.expr(_MW_Z).alias("z_score"),
+    )
+
+
 def suspect_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-payment screen: order pairs from the SAME customer
     within one day of each other whose amounts differ by at most 5% —
@@ -922,6 +986,7 @@ QUERIES = {
     "seasonal_naive_backtest": seasonal_naive_backtest,
     "seasonal_decomposition": seasonal_decomposition,
     "ab_test_zscore": ab_test_zscore,
+    "ab_test_mannwhitney": ab_test_mannwhitney,
     "suspect_duplicate_orders": suspect_duplicate_orders,
     "value_percentiles_by_type": value_percentiles_by_type,
     "new_vs_returning_revenue": new_vs_returning_revenue,
@@ -1167,6 +1232,40 @@ ORACLE = {
               AND (q.revenue_cents > p.revenue_cents
                    OR q.n_orders < p.n_orders)
         )
+    """,
+    "ab_test_mannwhitney": f"""
+        WITH vals AS (
+            SELECT ('0x' || substr(md5('mw:' || CAST(o_custkey AS VARCHAR)),
+                        1, 6))::BIGINT % 2 AS arm,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        by_val AS (
+            SELECT cents, count(*) AS t,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta
+            FROM vals GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *,
+                   sum(t) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prefix,
+                   2 * sum(t) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t + 1 AS r2
+            FROM by_val
+        ),
+        g AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n,
+                   CAST(sum(ta) AS BIGINT) AS n_a,
+                   CAST(sum(ta * r2) AS BIGINT) AS ra2,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+            FROM ranked
+        )
+        SELECT n_a, n - n_a AS n_b,
+               ra2 - n_a * (n_a + 1) AS u2_a, tie3,
+               {_MW_Z} AS z_score
+        FROM g
     """,
     "ab_test_zscore": """
         WITH per_user AS (

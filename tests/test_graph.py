@@ -42,3 +42,51 @@ class TestPageRank:
         one, three = plan_len(1), plan_len(3)
         # identical modulo checkpoint ids: allow a few % of string noise
         assert three <= one * 1.1, (one, three)
+
+
+class TestKCore:
+    def _write(self, spark, tmp_path, baskets):
+        """Each basket (one order) induces a clique among its parts."""
+        import datetime
+
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            (ok, pk, ts) for ok, parts in enumerate(baskets) for pk in parts
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_shipdate timestamp"
+        ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+        return out
+
+    def test_peel_cascade_on_planted_graph(self, spark, tmp_path):
+        """4-clique (deg 3 each) + a chain hanging off it: at k=3 the
+        chain peels over successive rounds while the clique survives
+        with its induced degrees intact."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            kcore_products,
+        )
+
+        # clique {1,2,3,4} via one basket; chain 4-10-11 via pair baskets
+        out = self._write(spark, tmp_path, [[1, 2, 3, 4], [4, 10], [10, 11]])
+        got = {
+            r.part_id: r.core_degree
+            for r in kcore_products(spark, out, k=3, rounds=3).collect()
+        }
+        # chain nodes 10, 11 peel (deg < 3); node 4's induced degree
+        # falls back to 3 once they are gone; clique survives whole
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_rounds_matter_for_cascades(self, spark, tmp_path):
+        """A pendant chain needs one round PER LINK to peel — rounds=1
+        keeps the middle node alive, rounds=2 completes the cascade
+        (locks that the loop really iterates)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            kcore_products,
+        )
+
+        out = self._write(spark, tmp_path, [[1, 2, 3], [3, 10], [10, 11]])
+        r1 = {r.part_id for r in kcore_products(spark, out, k=2, rounds=1).collect()}
+        r2 = {r.part_id for r in kcore_products(spark, out, k=2, rounds=2).collect()}
+        assert 10 in r1  # deg(10)=2 while 11 still alive
+        assert r2 == {1, 2, 3}  # 11 gone -> deg(10)=1 -> peeled

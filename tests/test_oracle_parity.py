@@ -1,13 +1,26 @@
 """Differential tests mirroring the driver's correctness gate: run every
 queries() entry on Spark and its oracle_sql() on DuckDB over the same
 parquet, then compare row count, column names, and order-insensitive
-values (SURVEY §5 item 1). Any failure here would fail CORRECTNESS_r{N}."""
+values (SURVEY §5 item 1). Any failure here would fail CORRECTNESS_r{N}.
+
+Two execution modes, identical comparisons either way:
+
+- default: ONE pooled test drives all queries through a thread pool
+  (Spark schedules concurrent jobs from multiple submitter threads; one
+  DuckDB connection per thread) and reports every failing query by name
+  — the plan-lint pattern, ~4-5× less wall clock than per-test runs
+  because the scheduler idle time between micro-jobs overlaps.
+- PARITY_GRANULAR=1: the per-query parametrized form, for bisecting a
+  single failure with pytest -k.
+"""
 
 from __future__ import annotations
 
 import datetime
 import os
 import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 import pytest
@@ -15,23 +28,26 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+GRANULAR = bool(os.environ.get("PARITY_GRANULAR"))
+POOL = int(os.environ.get("PARITY_POOL", "8"))
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
 
-_DUCK = None
+_LOCAL = threading.local()
 
 
 def _duck_connection():
-    global _DUCK
-    if _DUCK is None:
-        _DUCK = duckdb.connect()
+    con = getattr(_LOCAL, "con", None)
+    if con is None:
+        con = duckdb.connect()
         for name in TABLES:
-            _DUCK.execute(
+            con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
             )
-    return _DUCK
+        _LOCAL.con = con
+    return con
 
 
 def _normalize(value):
@@ -89,8 +105,8 @@ def assert_driver_canonicalizable(name, schema):
     )
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, name):
+def _check_query(spark, name):
+    """The full driver-gate comparison for one query; raises on mismatch."""
     fn = entry_mod.queries()[name]
     df = fn(spark, SF_DIR)
     assert_driver_canonicalizable(name, df.schema)
@@ -121,6 +137,40 @@ def test_query_matches_oracle(spark, name):
         (a, b) for a, b in zip(s_set, d_set) if a != b
     ]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+@pytest.mark.skipif(
+    GRANULAR, reason="PARITY_GRANULAR=1 runs the per-query form instead"
+)
+def test_all_queries_match_oracle_pooled(spark):
+    """The whole registry through a thread pool — every comparison the
+    parametrized form makes, one wall-clock-efficient test; failures
+    list every broken query by name."""
+    failures = []
+
+    def run(name):
+        try:
+            _check_query(spark, name)
+        except Exception as exc:  # noqa: BLE001 - aggregate, then fail
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+
+    with ThreadPoolExecutor(max_workers=POOL) as pool:
+        list(pool.map(run, QUERY_NAMES))
+    assert not failures, (
+        f"{len(failures)}/{len(QUERY_NAMES)} queries diverged "
+        f"(PARITY_GRANULAR=1 + pytest -k <name> to bisect):\n"
+        + "\n".join(sorted(failures))
+    )
+
+
+@pytest.mark.parametrize(
+    "name", QUERY_NAMES if GRANULAR else QUERY_NAMES[:1]
+)
+def test_query_matches_oracle(spark, name):
+    """Per-query form: full sweep under PARITY_GRANULAR=1 (for -k
+    bisection); otherwise one representative query keeps the path
+    itself exercised."""
+    _check_query(spark, name)
 
 
 def test_harness_rejects_array_columns(spark):

@@ -223,7 +223,11 @@ class TestNewOpPlans:
         df = text.lm_surprisal(spark, SF_DIR_01)
         plan = explain_str(df, "simple")
         assert "BroadcastExchange" in plan
-        assert shuffle_exchange_count(df) <= 6
+        # r6 restructure: the (doc_id, tok) tf subtree appears 3x in the
+        # STATIC plan (AQE stage reuse dedups at runtime) — 10 exchanges
+        # pre-reuse; see test_r5_plans.TestR6LmSurprisalPlan for the
+        # type-level-join lock
+        assert shuffle_exchange_count(df) <= 10
 
     def test_substring_pairs_select_before_shuffle(self, spark):
         """The 1/4 content-selection must run in the scan stage (before

@@ -116,3 +116,71 @@ class TestShareInvariants:
         assert {r["digit"] for r in rows} <= set(range(1, 10))
         total = sum(r["observed_bp"] for r in rows)
         assert 10000 - len(rows) < total <= 10000
+
+
+class TestMannWhitney:
+    def test_planted_exact_u_and_z(self, spark, tmp_path):
+        """Hand-computed U on a planted frame: arms derived with the SAME
+        md5 coin in pure Python, doubled tie-average ranks, exact 2U."""
+        import datetime
+        import hashlib
+        import math
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            ab_test_mannwhitney,
+        )
+
+        def arm(ck):
+            return int(hashlib.md5(f"mw:{ck}".encode()).hexdigest()[:6], 16) % 2
+
+        ts = datetime.datetime(2024, 1, 1)
+        prices = [5.00, 7.50, 7.50, 9.00, 12.25, 12.25, 12.25, 20.00]
+        rows = [
+            (i, ck, p, ts, "O", "1-URGENT")
+            for i, (ck, p) in enumerate(zip(range(100, 108), prices))
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate timestamp, o_orderstatus string, o_orderpriority string",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+
+        # expected: doubled average ranks over sorted cents with ties
+        cents = sorted(int(round(p * 100)) for p in prices)
+        r2 = {}
+        i = 0
+        while i < len(cents):
+            j = i
+            while j < len(cents) and cents[j] == cents[i]:
+                j += 1
+            r2[cents[i]] = (i + 1) + j  # 2 * avg rank of the tie block
+            i = j
+        arms = {ck: arm(ck) for ck in range(100, 108)}
+        n_a = sum(1 for a in arms.values() if a == 0)
+        n = len(prices)
+        ra2 = sum(
+            r2[int(round(p * 100))]
+            for ck, p in zip(range(100, 108), prices)
+            if arms[ck] == 0
+        )
+        u2 = ra2 - n_a * (n_a + 1)
+        tie3 = sum(
+            t**3 - t
+            for t in __import__("collections").Counter(cents).values()
+        )
+        got = ab_test_mannwhitney(spark, out).collect()[0]
+        assert (got.n_a, got.n_b, got.u2_a, got.tie3) == (n_a, n - n_a, u2, tie3)
+        var = n_a * (n - n_a) / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+        assert math.isclose(
+            got.z_score, (u2 - n_a * (n - n_a)) / (2.0 * math.sqrt(var))
+        )
+
+    def test_aa_split_z_is_small_on_corpus(self, spark):
+        """A/A by construction: |z| must sit well inside normal range."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            ab_test_mannwhitney,
+        )
+
+        r = ab_test_mannwhitney(spark, SF_DIR).collect()[0]
+        assert r.n_a + r.n_b > 100 and abs(r.z_score) < 4.0
