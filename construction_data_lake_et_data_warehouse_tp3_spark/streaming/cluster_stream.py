@@ -53,6 +53,39 @@ from pyspark.sql import functions as F
 from ..operators.curation import cluster_edges
 from ..warehouse.merge import ParquetTable, merge_into
 
+#: reduced-graph size gate for the driver-side union-find fast path.
+#: The reduced graph is ≤ |batch| edges over label-nodes BY CONSTRUCTION
+#: (one reduced edge per batch pair), and n_edges is COUNTED before the
+#: choice — below the gate a local union-find replaces ~10 Spark jobs of
+#: iterative propagation with one collect of batch-bounded metadata
+#: (this is remap computation, not corpus data); above it the SAME
+#: distributed min-label loop as the batch path runs. Both produce the
+#: identical old_label -> min-reachable-label map.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _local_min_label(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find with min-member roots: (node, min reachable label) for
+    every node appearing in `edges` — the exact semantics of
+    cluster_edges restricted to the remap columns."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(n, find(n)) for n in parent]
+
 
 class StreamingClusterMaintainer:
     """Persistent incremental connected-components over micro-batches of
@@ -137,11 +170,23 @@ class StreamingClusterMaintainer:
                 .join(lb, "doc_b")
                 .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
             )
-            # same propagation as the batch path; graph is label-sized
-            remap = cluster_edges(reduced).select(
-                F.col("doc_id").alias("old_lbl"),
-                F.col("cluster_id").alias("new_lbl"),
-            )
+            # old_label -> min reachable label over the reduced graph:
+            # local union-find below the size gate (n_edges is already
+            # counted and bounds the reduced edge count), the SAME
+            # distributed min-label propagation as the batch path above
+            if n_edges <= SMALL_GRAPH_EDGES:
+                pairs_local = [
+                    (r.doc_a, r.doc_b) for r in reduced.collect()
+                ]
+                remap = self.spark.createDataFrame(
+                    _local_min_label(pairs_local),
+                    "old_lbl long, new_lbl long",
+                )
+            else:
+                remap = cluster_edges(reduced).select(
+                    F.col("doc_id").alias("old_lbl"),
+                    F.col("cluster_id").alias("new_lbl"),
+                )
 
             # store rows whose label was absorbed by a merge re-label;
             # remap is batch-bounded -> broadcast, no store-wide shuffle

@@ -118,3 +118,20 @@ class TestStreamingClusters:
         q = m.attach(stream, str(tmp_path / "ckpt"))
         q.awaitTermination(120)
         assert _canon(m.clusters()) == _canon(cluster_edges(pairs))
+
+    def test_distributed_remap_path_equals_local(self, spark, tmp_path, monkeypatch):
+        """Force the size gate to 0 so the DISTRIBUTED min-label branch
+        computes the remap; result must equal the local union-find run."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming import (
+            cluster_stream,
+        )
+
+        batches = [[(1, 2), (5, 6)], [(2, 5), (8, 9)]]
+        a = StreamingClusterMaintainer(spark, str(tmp_path / "a"))
+        for i, rows in enumerate(batches):
+            a.process_batch(_pairs(spark, rows), i)
+        monkeypatch.setattr(cluster_stream, "SMALL_GRAPH_EDGES", 0)
+        b = StreamingClusterMaintainer(spark, str(tmp_path / "b"))
+        for i, rows in enumerate(batches):
+            b.process_batch(_pairs(spark, rows), i)
+        assert _canon(a.clusters()) == _canon(b.clusters())

@@ -63,22 +63,30 @@ def _family(t) -> str:
     return str(t)
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
+GRANULAR = bool(os.environ.get("PARITY_GRANULAR"))
+
+_LOCAL = __import__("threading").local()
+
+
+def _duck():
+    con = getattr(_LOCAL, "con", None)
+    if con is None:
+        con = duckdb.connect()
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+            )
+        _LOCAL.con = con
     return con
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
-def test_oracle_types_match_spark(spark, duck, name):
+def _check_types(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     spark_types = {f.name: _family(f.dataType.simpleString()) for f in df.schema.fields}
 
     # LIMIT 0 subquery: only the result SCHEMA matters here, and DuckDB
     # can derive it without executing the oracle
-    tbl = duck.execute(
+    tbl = _duck().execute(
         f"SELECT * FROM ({ORACLES[name]}) __t LIMIT 0"
     ).fetch_arrow_table()
     duck_types = {f.name: _family(f.type) for f in tbl.schema}
@@ -96,3 +104,34 @@ def test_oracle_types_match_spark(spark, duck, name):
         and {spark_types[c], duck_types[c]} & {"int", "float", "decimal"}
     }
     assert not mismatched, f"{name}: type-family mismatches {mismatched}"
+
+
+@pytest.mark.skipif(
+    GRANULAR, reason="PARITY_GRANULAR=1 runs the per-query form instead"
+)
+def test_all_oracle_types_pooled(spark):
+    """Whole-registry type-family sweep through a thread pool (the
+    test_oracle_parity pattern); every mismatching query named."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(name):
+        try:
+            _check_types(spark, name)
+        except Exception as exc:  # noqa: BLE001 - aggregate, then fail
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(run, QUERY_NAMES))
+    assert not failures, (
+        f"{len(failures)}/{len(QUERY_NAMES)} type mismatches:\n"
+        + "\n".join(sorted(failures))
+    )
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES if GRANULAR else QUERY_NAMES[:1])
+def test_oracle_types_match_spark(spark, name):
+    """Per-query form under PARITY_GRANULAR=1; one representative query
+    keeps the path exercised otherwise."""
+    _check_types(spark, name)

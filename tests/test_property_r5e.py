@@ -1,4 +1,8 @@
 """Property-based invariants (SURVEY §5) for the r5e statistics
+(4 hypothesis examples per property — each example is a full
+parquet-write + Spark query at ~3 s, and the invariants are exact
+algebraic identities also pinned by planted fixtures in
+test_r5e_ops.py, so examples buy breadth, not the core lock;
 operators — algebraic identities that must hold on ARBITRARY inputs,
 not just the planted fixtures:
 
@@ -34,7 +38,7 @@ def _orders(spark, out, cents_by_day):
     return out
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(series=st.lists(_cents, min_size=2, max_size=25))
 def test_cusum_telescopes_to_zero(spark, tmp_path_factory, series):
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
@@ -48,7 +52,7 @@ def test_cusum_telescopes_to_zero(spark, tmp_path_factory, series):
     assert sum(1 for r in rows if r.is_changepoint) == 1  # exactly one argmax
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     slope=st.integers(min_value=-500, max_value=500),
     intercept=st.integers(min_value=1000, max_value=100_000),
@@ -74,7 +78,7 @@ def test_ols_recovers_exact_linear_series(
     assert r.intercept_cents == float(intercept)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(groups=st.lists(st.lists(_cents, min_size=2, max_size=12), min_size=1, max_size=4))
 def test_loo_encoding_is_a_redistribution(spark, tmp_path_factory, groups):
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
