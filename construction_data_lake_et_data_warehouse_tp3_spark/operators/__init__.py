@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = (
     # new in r6 — never driver-checked
     "kcore_products",
     "ab_test_mannwhitney",
+    "quantile_sketch_check",
     "basket_lift",
     "bigram_surprisal",
     "chunk_documents",

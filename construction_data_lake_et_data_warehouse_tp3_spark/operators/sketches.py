@@ -256,10 +256,99 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bottom-k quantile sketch: sample size per group (rank error ~ 1/√k).
+QSK_K = 128
+QSK_GROUP = "o_orderpriority"
+
+
+def quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch with its exact twin beside it — the
+    rank-statistics member of the sketch family (KMV = cardinality,
+    CMS = frequency, this = quantiles): per group keep the QSK_K rows
+    with the smallest md5(o_orderkey) coins (a uniform sample that is a
+    MIN-K MONOID — partitions fold bottom-k locally and merge by
+    re-taking bottom-k, the StreamingFixedKSampler state), then read
+    p50/p90 off the sample as disc percentiles and emit the exact
+    percentiles and basis-point errors beside them (the approx-_check
+    discipline: accuracy is hash-checked, not asserted in prose).
+
+    Determinism: the sample is hash-defined (no rand()), the in-sample
+    percentile is value-at-position ceil(p·n) under a total (cents, h)
+    order — both engines replay the SAME sample and the SAME pick, so
+    even the estimates hash-match.
+
+    Scale: the sketch alone needs only per-partition bottom-k + a
+    K·|groups| merge (no corpus sort); the full-frame rank windows here
+    exist for the EXACT twin the check requires — at 100 TB you ship the
+    sketch and drop the twin."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col(QSK_GROUP).alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("md5('qsk:' || CAST(o_orderkey AS STRING))").alias("h"),
+        "o_orderkey",
+    )
+    ws = Window.partitionBy("grp").orderBy("h", "o_orderkey")
+    sample = base.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= QSK_K
+    )
+    wv_s = Window.partitionBy("grp").orderBy("cents", "h")
+    samp = sample.withColumn("vr", F.row_number().over(wv_s))
+    ns = sample.groupBy("grp").agg(F.count("*").alias("n_sample"))
+    est = (
+        samp.join(ns, "grp")
+        .groupBy("grp", "n_sample")
+        .agg(
+            F.expr(
+                "max(CASE WHEN vr <= (n_sample + 1) DIV 2 THEN cents END)"
+            ).alias("p50_est"),
+            F.expr(
+                "max(CASE WHEN vr <= (9 * n_sample + 9) DIV 10 THEN cents END)"
+            ).alias("p90_est"),
+        )
+    )
+    wv_f = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    nf = base.groupBy("grp").agg(F.count("*").alias("n"))
+    exact = (
+        base.withColumn("vr", F.row_number().over(wv_f))
+        .join(nf, "grp")
+        .groupBy("grp", "n")
+        .agg(
+            F.expr(
+                "max(CASE WHEN vr <= (n + 1) DIV 2 THEN cents END)"
+            ).alias("p50_exact"),
+            F.expr(
+                "max(CASE WHEN vr <= (9 * n + 9) DIV 10 THEN cents END)"
+            ).alias("p90_exact"),
+        )
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            "grp",
+            "n",
+            "n_sample",
+            "p50_est",
+            "p50_exact",
+            F.expr("abs(p50_est - p50_exact) * 10000 DIV p50_exact").alias(
+                "p50_err_bp"
+            ),
+            "p90_est",
+            "p90_exact",
+            F.expr("abs(p90_est - p90_exact) * 10000 DIV p90_exact").alias(
+                "p90_err_bp"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
     "kmv_user_overlap": kmv_user_overlap,
     "bootstrap_revenue_ci": bootstrap_revenue_ci,
+    "quantile_sketch_check": quantile_sketch_check,
 }
 
 
@@ -370,8 +459,64 @@ def _bootstrap_oracle() -> str:
     """
 
 
+def _qsk_oracle() -> str:
+    return f"""
+        WITH base AS (
+            SELECT {QSK_GROUP} AS grp,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   md5('qsk:' || CAST(o_orderkey AS VARCHAR)) AS h,
+                   o_orderkey
+            FROM orders
+        ),
+        sample AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY grp ORDER BY h, o_orderkey) AS rn
+                FROM base
+            ) WHERE rn <= {QSK_K}
+        ),
+        samp AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY cents, h) AS vr,
+                count(*) OVER (PARTITION BY grp) AS n_sample
+            FROM sample
+        ),
+        est AS (
+            SELECT grp, n_sample,
+                   max(CASE WHEN vr <= (n_sample + 1) // 2 THEN cents END)
+                       AS p50_est,
+                   max(CASE WHEN vr <= (9 * n_sample + 9) // 10 THEN cents END)
+                       AS p90_est
+            FROM samp GROUP BY 1, 2
+        ),
+        full_r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY cents, o_orderkey) AS vr,
+                count(*) OVER (PARTITION BY grp) AS n
+            FROM base
+        ),
+        exact AS (
+            SELECT grp, n,
+                   max(CASE WHEN vr <= (n + 1) // 2 THEN cents END)
+                       AS p50_exact,
+                   max(CASE WHEN vr <= (9 * n + 9) // 10 THEN cents END)
+                       AS p90_exact
+            FROM full_r GROUP BY 1, 2
+        )
+        SELECT grp, n, n_sample,
+               p50_est, p50_exact,
+               CAST(abs(p50_est - p50_exact) * 10000 // p50_exact AS BIGINT)
+                   AS p50_err_bp,
+               p90_est, p90_exact,
+               CAST(abs(p90_est - p90_exact) * 10000 // p90_exact AS BIGINT)
+                   AS p90_err_bp
+        FROM est JOIN exact USING (grp)
+    """
+
+
 ORACLE = {
     "kmv_distinct_users": _distinct_oracle(),
     "kmv_user_overlap": _overlap_oracle(),
     "bootstrap_revenue_ci": _bootstrap_oracle(),
+    "quantile_sketch_check": _qsk_oracle(),
 }

@@ -48,17 +48,29 @@ class StreamingFixedKSampler:
     """Persistent bottom-k uniform sample per group over micro-batches
     of (doc_id, group) rows."""
 
-    def __init__(self, spark: SparkSession, store_root: str, k: int, group_col: str = "lang"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        k: int,
+        group_col: str = "lang",
+        value_col: str | None = None,
+    ):
         self.spark = spark
         self.k = k
         self.group_col = group_col
+        #: optional metric column carried through the sample — turns the
+        #: maintained bottom-k into a streaming QUANTILE sketch (see
+        #: quantiles(); batch twin operators/sketches.quantile_sketch_check)
+        self.value_col = value_col
         self.store = ParquetTable(spark, os.path.join(store_root, "candidates"))
 
     def _candidates(self) -> DataFrame:
         if self.store.exists():
             return self.store.read()
+        extra = f", {self.value_col} bigint" if self.value_col else ""
         return self.spark.createDataFrame(
-            [], f"doc_id long, {self.group_col} string, h string"
+            [], f"doc_id long, {self.group_col} string, h string{extra}"
         )
 
     def sample(self) -> DataFrame:
@@ -80,8 +92,9 @@ class StreamingFixedKSampler:
         """Fold one micro-batch; returns the stored candidate count.
         No ledger: min-k of a deterministic coin is idempotent under
         replay and commutative across batch order by construction."""
+        carried = [self.value_col] if self.value_col else []
         coined = batch.select(
-            "doc_id", self.group_col, F.expr(_COIN).alias("h")
+            "doc_id", self.group_col, F.expr(_COIN).alias("h"), *carried
         )
         merged = self._candidates().unionByName(coined).dropDuplicates(
             ["doc_id", self.group_col]
@@ -90,13 +103,42 @@ class StreamingFixedKSampler:
         kept = (
             merged.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= self.k)
-            .select("doc_id", self.group_col, "h")
+            .select("doc_id", self.group_col, "h", *carried)
             .persist()
         )
         n = kept.count()
         self.store.overwrite(kept)
         kept.unpersist()
         return n
+
+    def quantiles(self, probs: tuple[float, ...] = (0.5, 0.9)) -> DataFrame:
+        """Disc-percentile estimates per group read off the maintained
+        sample (requires value_col) — the streaming quantile sketch:
+        value at position ceil(p·n) under the total (value, h) order,
+        the SAME pick as the batch quantile_sketch_check, so a stream
+        fold and the batch sketch over identical rows agree exactly."""
+        if not self.value_col:
+            raise ValueError("quantiles() needs value_col")
+        v = self.value_col
+        w = Window.partitionBy(self.group_col).orderBy(v, "h")
+        ranked = self._candidates().withColumn(
+            "vr", F.row_number().over(w)
+        )
+        ns = ranked.groupBy(self.group_col).agg(F.count("*").alias("n_sample"))
+        # ceil(p·n) in INTEGER basis points — float ceil(0.9·10) is 10 on
+        # IEEE doubles; the integer form matches the batch sketch exactly
+        aggs = []
+        for p in probs:
+            bp = int(round(p * 10000))
+            aggs.append(
+                F.expr(
+                    f"max(CASE WHEN vr <= ({bp} * n_sample + 9999) DIV 10000"
+                    f" THEN {v} END)"
+                ).alias(f"p{int(p * 100)}_est")
+            )
+        return ranked.join(ns, self.group_col).groupBy(
+            self.group_col, "n_sample"
+        ).agg(*aggs)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

@@ -101,3 +101,53 @@ class TestStreamingFixedK:
         q = s.attach(stream, str(tmp_path / "ckpt"))
         q.awaitTermination(120)
         assert _canon(s.sample()) == _canon(_batch_sample(rows, K))
+
+
+class TestStreamingQuantiles:
+    def _rows(self, spark, vals):
+        return spark.createDataFrame(
+            [(i, "g", v) for i, v in enumerate(vals)],
+            "doc_id long, lang string, cents long",
+        )
+
+    def test_sample_covers_all_gives_exact_disc_percentiles(self, spark, tmp_path):
+        """k >= n: the maintained sample IS the data, so the estimates
+        must equal exact disc percentiles (value at ceil(p*n))."""
+        vals = [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000]
+        s = StreamingFixedKSampler(
+            spark, str(tmp_path / "s"), k=100, value_col="cents"
+        )
+        s.process_batch(self._rows(spark, vals[:5]), 0)
+        s.process_batch(self._rows(spark, vals[5:]).withColumn(
+            "doc_id", F.col("doc_id") + 5), 1)
+        r = s.quantiles((0.5, 0.9)).collect()[0]
+        assert r.n_sample == 10
+        assert r.p50_est == 500  # ceil(0.5*10) = 5th smallest
+        assert r.p90_est == 900  # ceil(0.9*10) = 9th smallest
+
+    def test_stream_fold_matches_batch_bottom_k(self, spark, tmp_path):
+        """Quantiles off the streamed sample == quantiles off a one-shot
+        bottom-k over the same rows (same coin, same pick)."""
+        import hashlib
+
+        vals = [(i, (i * 37) % 1000 + 1) for i in range(200)]
+        rows = spark.createDataFrame(
+            [(i, "g", v) for i, v in vals], "doc_id long, lang string, cents long"
+        )
+        k = 32
+        s = StreamingFixedKSampler(
+            spark, str(tmp_path / "s"), k=k, value_col="cents"
+        )
+        s.process_batch(rows.where("doc_id < 80"), 0)
+        s.process_batch(rows.where("doc_id >= 80"), 1)
+        s.process_batch(rows.where("doc_id < 80"), 2)  # redelivery no-op
+        got = s.quantiles((0.5, 0.9)).collect()[0]
+        # reference: python bottom-k by the same md5 coin
+        coined = sorted(
+            ((hashlib.md5(str(i).encode()).hexdigest(), i, v) for i, v in vals)
+        )[:k]
+        ordered = sorted((v, h) for h, _, v in coined)
+        n = len(ordered)
+        p50 = ordered[(n + 1) // 2 - 1][0]
+        p90 = ordered[(9 * n + 9) // 10 - 1][0]
+        assert (got.n_sample, got.p50_est, got.p90_est) == (n, p50, p90)
