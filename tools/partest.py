@@ -37,6 +37,10 @@ TESTS = os.path.join(REPO, "tests")
 #: balance, never correctness.
 COSTS = {
     "test_cluster_stream.py": 60,
+    "test_manifest_stream.py": 55,
+    "test_cms_stream.py": 35,
+    "test_sample_stream.py": 36,
+    "test_empty_input.py": 29,
     "test_oracle_parity.py": 29,
     "test_lake_transaction.py": 29,
     "test_late_dim_stream.py": 29,
@@ -53,7 +57,6 @@ COSTS = {
     "test_dedup_stream.py": 15,
     "test_r5e_ops.py": 14,
     "test_scd2_stream.py": 14,
-    "test_sample_stream.py": 13,
     "test_multimodal_plans.py": 12,
     "test_cli.py": 11,
     "test_oracle_types.py": 11,
