@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = (
     "kcore_products",
     "ab_test_mannwhitney",
     "quantile_sketch_check",
+    "kruskal_wallis_priority",
+    "revenue_acf",
     "basket_lift",
     "bigram_surprisal",
     "chunk_documents",

@@ -708,6 +708,162 @@ def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the five TPC-H order priorities — FIXED group set, so the per-group
+#: rank sums pivot into one row and the H closed form is written in one
+#: fixed textual order (scalar IEEE ops, no multi-row float SUM whose
+#: accumulation order could differ between engines).
+_KW_GROUPS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _kw_h() -> str:
+    """Tie-corrected Kruskal-Wallis H over the pivoted doubled-rank
+    sums: H = 3/(n(n+1)) · Σ r2g²/ng − 3(n+1), corrected by
+    1 − Σ(t³−t)/(n³−n). (r2 = doubled ranks, so the usual 12 becomes 3.)"""
+    # unoccupied groups contribute 0 (and must not divide by zero)
+    ratio = " + ".join(
+        f"CASE WHEN n_{i} = 0 THEN 0.0 ELSE"
+        f" CAST(r2_{i} AS DOUBLE) * CAST(r2_{i} AS DOUBLE)"
+        f" / CAST(n_{i} AS DOUBLE) END"
+        for i in range(len(_KW_GROUPS))
+    )
+    h = (
+        f"(3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({ratio})"
+        f" - 3.0 * CAST(n + 1 AS DOUBLE))"
+    )
+    # nullif: a single all-tied value makes the tie correction 0 (every
+    # rank equal — H undefined), surface NULL, not a division error
+    return (
+        f"round({h} / nullif(1.0 - CAST(tie3 AS DOUBLE)"
+        f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" - CAST(n AS DOUBLE)), 0.0), 6)"
+    )
+
+
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test: do order values differ ACROSS the five
+    order priorities? — the k-group extension of ab_test_mannwhitney and
+    the nonparametric ANOVA a heavy-tailed revenue metric needs.
+
+    Same doubled-tie-average-rank discipline: every rank sum and the
+    Σ(t³−t) tie term fold as exact BIGINTs from the distinct-cents frame
+    (r2g ≤ 2n² — BIGINT-safe past 10⁹ rows); the per-group sums pivot
+    into ONE row over the FIXED priority set so the H closed form is
+    scalar float math in one textual order — hash-identical across
+    engines, never a multi-row float SUM.
+
+    Plan: one (cents, priority) aggregation, the prefix window on the
+    distinct-cents frame (value-domain-bounded), one final row."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    by_vg = vals.groupBy("cents", "grp").agg(F.count("*").alias("tg"))
+    by_v = by_vg.groupBy("cents").agg(
+        F.expr("CAST(sum(tg) AS BIGINT)").alias("t")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = by_v.withColumn("prefix", F.sum("t").over(w)).withColumn(
+        "r2", F.expr("2 * prefix - t + 1")
+    )
+    joined = by_vg.join(ranked.select("cents", "r2", "t"), "cents")
+    pivots = []
+    for i, g in enumerate(_KW_GROUPS):
+        pivots.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN grp = '{g}' THEN tg * r2 ELSE 0 END)"
+                f" AS BIGINT)"
+            ).alias(f"r2_{i}")
+        )
+        pivots.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN grp = '{g}' THEN tg ELSE 0 END) AS BIGINT)"
+            ).alias(f"n_{i}")
+        )
+    one = joined.agg(
+        F.expr("CAST(sum(tg) AS BIGINT)").alias("n"),
+        *pivots,
+    )
+    tie = ranked.agg(
+        F.expr("CAST(sum(t * t * t - t) AS BIGINT)").alias("tie3")
+    )
+    return one.crossJoin(F.broadcast(tie)).select(
+        "n",
+        *[F.col(f"n_{i}").alias(f"n_{i}") for i in range(len(_KW_GROUPS))],
+        "tie3",
+        F.expr(_kw_h()).alias("h_corrected"),
+    )
+
+
+#: ACF lags computed (the weekly-seasonality diagnostic window).
+ACF_MAX_LAG = 7
+
+
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..ACF_MAX_LAG — the
+    time-series diagnostic run before any forecasting model (lag-7 spike
+    = weekly seasonality, confirming what seasonal_decomposition fits;
+    slow decay = trend, what cusum_changepoint hunts).
+
+    Exactness: the standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x−x̄)²
+    expands to integer moments — multiplying through by n² gives
+    num_k = n²·Σx_t x_{t+k} − n·S·(head_k + tail_k) + (n−k)·S² and
+    den = n²·ΣX² − n·S² — every term an exact DECIMAL(38,0) /HUGEINT
+    product of BIGINT daily sums (≈3·10²⁶ at sf0.1, 38-digit-safe),
+    so the single final division is the only float op and hashes.
+
+    Plan: one orders aggregation to the O(days) daily frame; all 7 leads
+    ride ONE window sort; moments are one aggregation row. Corpus scan
+    once, everything after is day-count-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(F.expr("CAST(round(sum(o_totalprice) * 100) AS BIGINT)").alias("x"))
+    w = Window.orderBy("day")
+    with_leads = daily.select(
+        "x",
+        *[
+            F.lead("x", k).over(w).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    d = "CAST({e} AS DECIMAL(38,0))"
+    aggs = [
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(f"sum({d.format(e='x')})").alias("s"),
+        F.expr(f"sum({d.format(e='x')} * x)").alias("ss"),
+    ]
+    for k in range(1, ACF_MAX_LAG + 1):
+        aggs += [
+            F.expr(
+                f"sum(CASE WHEN x{k} IS NOT NULL THEN {d.format(e='x')} * x{k}"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            ).alias(f"xx{k}"),
+            F.expr(
+                f"sum(CASE WHEN x{k} IS NOT NULL THEN {d.format(e='x')}"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            ).alias(f"h{k}"),
+            F.expr(
+                f"sum(CASE WHEN x{k} IS NOT NULL THEN {d.format(e=f'x{k}')}"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            ).alias(f"t{k}"),
+        ]
+    m = with_leads.agg(*aggs)
+    lag_rows = ", ".join(
+        f"struct({k} AS lag, CAST(round("
+        f"CAST(CAST(n AS DECIMAL(38,0)) * n * xx{k}"
+        f" - CAST(n AS DECIMAL(38,0)) * s * (h{k} + t{k})"
+        f" + CAST(n - {k} AS DECIMAL(38,0)) * s * s AS DOUBLE)"
+        f" / CAST(CAST(n AS DECIMAL(38,0)) * n * ss"
+        f" - CAST(n AS DECIMAL(38,0)) * s * s AS DOUBLE)"
+        f", 6) AS DOUBLE) AS acf)"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return m.select(
+        "n", F.explode(F.expr(f"array({lag_rows})")).alias("p")
+    ).select(F.col("n").alias("n_days"), "p.lag", "p.acf")
+
+
 def suspect_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-payment screen: order pairs from the SAME customer
     within one day of each other whose amounts differ by at most 5% —
@@ -987,6 +1143,8 @@ QUERIES = {
     "seasonal_decomposition": seasonal_decomposition,
     "ab_test_zscore": ab_test_zscore,
     "ab_test_mannwhitney": ab_test_mannwhitney,
+    "kruskal_wallis_priority": kruskal_wallis_priority,
+    "revenue_acf": revenue_acf,
     "suspect_duplicate_orders": suspect_duplicate_orders,
     "value_percentiles_by_type": value_percentiles_by_type,
     "new_vs_returning_revenue": new_vs_returning_revenue,
@@ -1232,6 +1390,124 @@ ORACLE = {
               AND (q.revenue_cents > p.revenue_cents
                    OR q.n_orders < p.n_orders)
         )
+    """,
+    "revenue_acf": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        led AS (
+            SELECT x,
+                   lead(x, 1) OVER (ORDER BY day) AS x1,
+                   lead(x, 2) OVER (ORDER BY day) AS x2,
+                   lead(x, 3) OVER (ORDER BY day) AS x3,
+                   lead(x, 4) OVER (ORDER BY day) AS x4,
+                   lead(x, 5) OVER (ORDER BY day) AS x5,
+                   lead(x, 6) OVER (ORDER BY day) AS x6,
+                   lead(x, 7) OVER (ORDER BY day) AS x7
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(x::HUGEINT) AS s,
+                   sum(x::HUGEINT * x) AS ss,
+                   sum(CASE WHEN x1 IS NOT NULL THEN x::HUGEINT * x1 ELSE 0::HUGEINT END) AS xx1,
+                   sum(CASE WHEN x1 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h1,
+                   sum(CASE WHEN x1 IS NOT NULL THEN x1::HUGEINT ELSE 0::HUGEINT END) AS t1,
+                   sum(CASE WHEN x2 IS NOT NULL THEN x::HUGEINT * x2 ELSE 0::HUGEINT END) AS xx2,
+                   sum(CASE WHEN x2 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h2,
+                   sum(CASE WHEN x2 IS NOT NULL THEN x2::HUGEINT ELSE 0::HUGEINT END) AS t2,
+                   sum(CASE WHEN x3 IS NOT NULL THEN x::HUGEINT * x3 ELSE 0::HUGEINT END) AS xx3,
+                   sum(CASE WHEN x3 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h3,
+                   sum(CASE WHEN x3 IS NOT NULL THEN x3::HUGEINT ELSE 0::HUGEINT END) AS t3,
+                   sum(CASE WHEN x4 IS NOT NULL THEN x::HUGEINT * x4 ELSE 0::HUGEINT END) AS xx4,
+                   sum(CASE WHEN x4 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h4,
+                   sum(CASE WHEN x4 IS NOT NULL THEN x4::HUGEINT ELSE 0::HUGEINT END) AS t4,
+                   sum(CASE WHEN x5 IS NOT NULL THEN x::HUGEINT * x5 ELSE 0::HUGEINT END) AS xx5,
+                   sum(CASE WHEN x5 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h5,
+                   sum(CASE WHEN x5 IS NOT NULL THEN x5::HUGEINT ELSE 0::HUGEINT END) AS t5,
+                   sum(CASE WHEN x6 IS NOT NULL THEN x::HUGEINT * x6 ELSE 0::HUGEINT END) AS xx6,
+                   sum(CASE WHEN x6 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h6,
+                   sum(CASE WHEN x6 IS NOT NULL THEN x6::HUGEINT ELSE 0::HUGEINT END) AS t6,
+                   sum(CASE WHEN x7 IS NOT NULL THEN x::HUGEINT * x7 ELSE 0::HUGEINT END) AS xx7,
+                   sum(CASE WHEN x7 IS NOT NULL THEN x::HUGEINT ELSE 0::HUGEINT END) AS h7,
+                   sum(CASE WHEN x7 IS NOT NULL THEN x7::HUGEINT ELSE 0::HUGEINT END) AS t7
+            FROM led
+        )
+        SELECT n AS n_days, 1 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx1 - n::HUGEINT * s * (h1 + t1)
+                + (n - 1)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m UNION ALL SELECT n AS n_days, 2 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx2 - n::HUGEINT * s * (h2 + t2)
+                + (n - 2)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m UNION ALL SELECT n AS n_days, 3 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx3 - n::HUGEINT * s * (h3 + t3)
+                + (n - 3)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m UNION ALL SELECT n AS n_days, 4 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx4 - n::HUGEINT * s * (h4 + t4)
+                + (n - 4)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m UNION ALL SELECT n AS n_days, 5 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx5 - n::HUGEINT * s * (h5 + t5)
+                + (n - 5)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m UNION ALL SELECT n AS n_days, 6 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx6 - n::HUGEINT * s * (h6 + t6)
+                + (n - 6)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m UNION ALL SELECT n AS n_days, 7 AS lag,
+           CAST(round(CAST(n::HUGEINT * n * xx7 - n::HUGEINT * s * (h7 + t7)
+                + (n - 7)::HUGEINT * s * s AS DOUBLE)
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+    FROM m
+    """,
+    "kruskal_wallis_priority": f"""
+        WITH vals AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        by_vg AS (
+            SELECT cents, grp, count(*) AS tg FROM vals GROUP BY 1, 2
+        ),
+        by_v AS (
+            SELECT cents, CAST(sum(tg) AS BIGINT) AS t FROM by_vg GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cents, t,
+                   2 * sum(t) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t + 1 AS r2
+            FROM by_v
+        ),
+        joined AS (
+            SELECT v.cents, v.grp, v.tg, r.r2
+            FROM by_vg v JOIN ranked r ON v.cents = r.cents
+        ),
+        one AS (
+            SELECT CAST(sum(tg) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN grp = '1-URGENT' THEN tg * r2 ELSE 0 END) AS BIGINT) AS r2_0,
+                   CAST(sum(CASE WHEN grp = '1-URGENT' THEN tg ELSE 0 END) AS BIGINT) AS n_0,
+                   CAST(sum(CASE WHEN grp = '2-HIGH' THEN tg * r2 ELSE 0 END) AS BIGINT) AS r2_1,
+                   CAST(sum(CASE WHEN grp = '2-HIGH' THEN tg ELSE 0 END) AS BIGINT) AS n_1,
+                   CAST(sum(CASE WHEN grp = '3-MEDIUM' THEN tg * r2 ELSE 0 END) AS BIGINT) AS r2_2,
+                   CAST(sum(CASE WHEN grp = '3-MEDIUM' THEN tg ELSE 0 END) AS BIGINT) AS n_2,
+                   CAST(sum(CASE WHEN grp = '4-NOT SPECIFIED' THEN tg * r2 ELSE 0 END) AS BIGINT) AS r2_3,
+                   CAST(sum(CASE WHEN grp = '4-NOT SPECIFIED' THEN tg ELSE 0 END) AS BIGINT) AS n_3,
+                   CAST(sum(CASE WHEN grp = '5-LOW' THEN tg * r2 ELSE 0 END) AS BIGINT) AS r2_4,
+                   CAST(sum(CASE WHEN grp = '5-LOW' THEN tg ELSE 0 END) AS BIGINT) AS n_4
+            FROM joined
+        ),
+        tie AS (
+            SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM ranked
+        )
+        SELECT n, n_0, n_1, n_2, n_3, n_4, tie3,
+               {_kw_h()} AS h_corrected
+        FROM one CROSS JOIN tie
     """,
     "ab_test_mannwhitney": f"""
         WITH vals AS (

@@ -184,3 +184,85 @@ class TestMannWhitney:
 
         r = ab_test_mannwhitney(spark, SF_DIR).collect()[0]
         assert r.n_a + r.n_b > 100 and abs(r.z_score) < 4.0
+
+
+class TestKruskalWallis:
+    def _orders(self, spark, tmp_path, rows):
+        import datetime
+
+        ts = datetime.datetime(2024, 1, 1)
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            [(i, 1, p, ts, "O", pr) for i, (pr, p) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate timestamp, o_orderstatus string, o_orderpriority string",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        return out
+
+    def test_separated_groups_score_high_identical_groups_zero(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            kruskal_wallis_priority,
+        )
+
+        # perfectly separated: URGENT all low, HIGH all high -> H near max
+        rows = [("1-URGENT", float(v)) for v in range(1, 9)] + [
+            ("2-HIGH", float(v)) for v in range(100, 108)
+        ]
+        out = self._orders(spark, tmp_path, rows)
+        r = kruskal_wallis_priority(spark, out).collect()[0]
+        # 2 occupied groups, complete separation: H = n-1 * 12.../ exact
+        # bound check: must exceed the chi2(1) 99.9% point by far
+        assert r.h_corrected > 10
+        # hand formula cross-check (no ties): H = 12/(n(n+1)) ΣR²/n - 3(n+1)
+        n = 16
+        r1 = sum(range(1, 9))
+        r2 = sum(range(9, 17))
+        h = 12.0 / (n * (n + 1)) * (r1**2 / 8 + r2**2 / 8) - 3 * (n + 1)
+        assert abs(r.h_corrected - round(h, 6)) < 1e-9
+
+    def test_all_tied_values_yield_null(self, spark, tmp_path):
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            kruskal_wallis_priority,
+        )
+
+        rows = [("1-URGENT", 5.0)] * 4 + [("2-HIGH", 5.0)] * 4
+        out = self._orders(spark, tmp_path, rows)
+        r = kruskal_wallis_priority(spark, out).collect()[0]
+        assert r.h_corrected is None  # correction factor 0 -> undefined
+
+
+class TestRevenueAcf:
+    def test_planted_weekly_cycle_and_numpy_cross_check(self, spark, tmp_path):
+        """A perfectly 7-periodic daily series: lag-7 ACF near the top of
+        the diagnostic window; every lag cross-checked against the same
+        estimator computed directly in Python."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            ACF_MAX_LAG,
+            revenue_acf,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        pattern = [100.0, 250.0, 180.0, 90.0, 300.0, 510.0, 420.0]
+        days = 70
+        rows = [
+            (i, 1, pattern[i % 7], base + datetime.timedelta(days=i), "O", "5-LOW")
+            for i in range(days)
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate timestamp, o_orderstatus string, o_orderpriority string",
+        ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+        got = {r.lag: r.acf for r in revenue_acf(spark, out).collect()}
+
+        xs = [int(round(pattern[i % 7] * 100)) for i in range(days)]
+        n = len(xs)
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        for k in range(1, ACF_MAX_LAG + 1):
+            num = sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k))
+            assert abs(got[k] - round(num / den, 6)) < 1e-9, f"lag {k}"
+        assert got[7] > 0.85  # the weekly spike
