@@ -65,6 +65,8 @@ _DRIVER_PRIORITY = (
     "quantile_sketch_check",
     "kruskal_wallis_priority",
     "revenue_acf",
+    "dup_cluster_size_histogram",
+    "supplier_hhi",
     "basket_lift",
     "bigram_surprisal",
     "chunk_documents",

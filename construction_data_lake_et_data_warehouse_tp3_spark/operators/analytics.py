@@ -770,7 +770,51 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per nation: each
+    supplier's basis-point share of its nation's lineitem revenue,
+    squared and summed — the market-concentration scalar (10000 bp)² =
+    monopoly, ~(10000/k)²·k for k equal suppliers. The procurement-risk
+    twin of revenue_gini (customer side): a nation whose supply is
+    HHI-concentrated is one supplier outage away from a stockout.
+
+    Exactness: revenue in cents, shares as truncating-DIV basis points,
+    HHI = Σ share_bp² — pure BIGINT end to end. Plan: one lineitem
+    aggregation keyed by supplier (the only corpus-sized shuffle), the
+    supplier dim broadcasts, nation totals ride a window over the
+    aggregated ~|suppliers| frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_sup = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name")
+    shared = per_sup.select(
+        "n_name",
+        F.expr("cents").alias("cents"),
+        F.sum("cents").over(w).alias("nation_cents"),
+    ).select(
+        "n_name",
+        F.expr("cents * 10000 DIV nation_cents").alias("share_bp"),
+    )
+    return shared.groupBy("n_name").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_suppliers"),
+        F.expr("CAST(sum(share_bp * share_bp) AS BIGINT)").alias("hhi_bp2"),
+        F.expr("CAST(max(share_bp) AS BIGINT)").alias("top_share_bp"),
+    )
+
+
 QUERIES = {
+    "supplier_hhi": supplier_hhi,
     "above_avg_orders": above_avg_orders,
     "event_path_trigrams": event_path_trigrams,
     "cumulative_unique_users": cumulative_unique_users,
@@ -794,6 +838,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "supplier_hhi": """
+        WITH per_sup AS (
+            SELECT l_suppkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        located AS (
+            SELECT n.n_name, p.cents,
+                   sum(p.cents) OVER (PARTITION BY n.n_name) AS nation_cents
+            FROM per_sup p
+            JOIN supplier s ON s.s_suppkey = p.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        ),
+        shared AS (
+            SELECT n_name, cents * 10000 // nation_cents AS share_bp
+            FROM located
+        )
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+               CAST(max(share_bp) AS BIGINT) AS top_share_bp
+        FROM shared GROUP BY 1
+    """,
+
     "cumulative_unique_users": """
         WITH fd AS (
             SELECT user_id, CAST(min(ts) AS DATE) AS first_day

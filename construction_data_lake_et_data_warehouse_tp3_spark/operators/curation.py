@@ -120,6 +120,26 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_edges(minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b"))
 
 
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes — the dedup-QA readout run
+    after every pipeline change: a histogram dominated by pairs means
+    ordinary duplication, a long tail of giant clusters means template/
+    boilerplate families (or an LSH threshold set too loose) and is the
+    signal to tighten the verifier BEFORE keeping survivors.
+
+    Rides the full LSH->verify->connected-components pipeline; the
+    histogram itself is two tiny aggregations over the O(dup docs)
+    label frame."""
+    labels = dup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_size")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(count(*) / cluster_size AS BIGINT)").alias("n_clusters"),
+        )
+    )
+
+
 def _pred_lang() -> F.Column:
     """Argmax marker-language prediction (same rule as text.lang_id)."""
     hits = {
@@ -499,6 +519,7 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "weighted_sample_topk": weighted_sample_topk,
     "dup_clusters": dup_clusters,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "cluster_representatives": cluster_representatives,
     "leakage_safe_split": leakage_safe_split,
     "corpus_curation": corpus_curation,
@@ -562,6 +583,30 @@ ORACLE = {
     # reachable from each node through dup edges; min() per node is the
     # component's canonical id — the closed form of the Spark-side
     # propagation loop.
+    "dup_cluster_size_histogram": f"""
+        WITH RECURSIVE {duck_verified_dups_cte()},
+        dedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        dnodes AS (SELECT DISTINCT src AS node FROM dedges),
+        walk(node, lbl) AS (
+            SELECT node, node FROM dnodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN dedges e ON e.src = w.node
+        ),
+        comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+        csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+        labeled AS (
+            SELECT c.doc_id, s.cluster_size
+            FROM comp c JOIN csizes s USING (cluster_id)
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) // cluster_size AS BIGINT) AS n_clusters
+        FROM labeled GROUP BY 1
+    """,
     "dup_clusters": f"""
         WITH RECURSIVE {duck_verified_dups_cte()},
         dedges AS (

@@ -266,3 +266,36 @@ class TestRevenueAcf:
             num = sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k))
             assert abs(got[k] - round(num / den, 6)) < 1e-9, f"lag {k}"
         assert got[7] > 0.85  # the weekly spike
+
+
+class TestSupplierHhi:
+    def test_monopoly_and_equal_split_closed_forms(self, spark, tmp_path):
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            supplier_hhi,
+        )
+
+        ts = datetime.datetime(2024, 1, 1)
+        out = str(tmp_path / "sf")
+        # nation 0: one supplier (monopoly). nation 1: four equal suppliers.
+        li = [(1, 10, 100.0, 0.0, ts)] + [
+            (2 + i, 20 + i, 50.0, 0.0, ts) for i in range(4)
+        ]
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_suppkey long, l_extendedprice double,"
+            " l_discount double, l_shipdate timestamp",
+        ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+        spark.createDataFrame(
+            [(10, 0)] + [(20 + i, 1) for i in range(4)],
+            "s_suppkey long, s_nationkey long",
+        ).coalesce(1).write.parquet(f"{out}/supplier.parquet")
+        spark.createDataFrame(
+            [(0, "MONO"), (1, "QUAD")], "n_nationkey long, n_name string"
+        ).coalesce(1).write.parquet(f"{out}/nation.parquet")
+        got = {r.n_name: r for r in supplier_hhi(spark, out).collect()}
+        assert got["MONO"].hhi_bp2 == 10000**2  # monopoly = (10000 bp)^2
+        assert got["MONO"].top_share_bp == 10000
+        assert got["QUAD"].hhi_bp2 == 4 * 2500**2  # four equal = 25,000,000
+        assert got["QUAD"].n_suppliers == 4
