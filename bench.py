@@ -149,6 +149,10 @@ HEADLINE = (
     "ppm_resize_blocks",
     "ab_test_zscore",
     "ab_test_mannwhitney",
+    "kruskal_wallis_priority",
+    "revenue_acf",
+    "supplier_hhi",
+    "quantile_sketch_check",
     "suspect_duplicate_orders",
     "value_percentiles_by_type",
     "item_similarity_topk",
