@@ -7,6 +7,7 @@ unified (`python -m construction_data_lake_et_data_warehouse_tp3_spark <cmd>`):
   sync-warehouse [--version N]                    ≙ sync_to_mysql.py
   permissions grant|list                          ≙ permissions_manager.py
   generate --topic --messages                     ≙ kafka_producer.py
+  curate --input --store [--eval-shingles]        (continuous manifest)
   bench                                           (bench.py passthrough)
 
 One SparkSession per invocation; feeds live under --lake-root (default
@@ -239,6 +240,47 @@ def cmd_check(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Continuous training-manifest maintenance over a document stream:
+    drain everything currently in --input (availableNow) through the
+    StreamingManifest fold, then print the manifest. Re-running with the
+    same --store/--checkpoint resumes incrementally — only NEW files
+    fold, and the manifest stays equal to the batch capstone over
+    everything ingested so far."""
+    from pyspark.sql import functions as F
+
+    from .operators.quality import _SHINGLES, EVAL_MOD, TOKENS
+    from .streaming.manifest_stream import StreamingManifest
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    if args.eval_shingles:
+        ev = [s for s in open(args.eval_shingles).read().splitlines() if s]
+    else:
+        ev = [
+            r.ng
+            for r in docs.where(F.col("doc_id") % EVAL_MOD == 0)
+            .select(F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng"))
+            .distinct()
+            .collect()
+        ]
+    m = StreamingManifest(spark, args.store, eval_shingles=ev)
+    stream = spark.readStream.schema(docs.schema).parquet(args.input)
+    q = m.attach(
+        stream.select("doc_id", "text", "source"),
+        args.checkpoint or os.path.join(args.store, "_checkpoint"),
+    )
+    q.awaitTermination()
+    out = m.manifest()
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"manifest_rows": out.count(), "out": args.out}))
+    else:
+        for row in out.orderBy("doc_id").collect():
+            print(json.dumps(row.asDict()))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="tp3-spark")
     parser.add_argument("--lake-root", default=None)
@@ -323,6 +365,20 @@ def build_parser() -> argparse.ArgumentParser:
     check.add_argument("--expect", action="append", default=[], metavar="NAME=PREDICATE")
     check.add_argument("--on-violation", choices=["fail", "count"], default="fail")
     check.set_defaults(fn=cmd_check)
+
+    curate = sub.add_parser(
+        "curate",
+        help="continuous training-manifest fold over a document dir"
+        " (resumable: same --store/--checkpoint folds only new files)",
+    )
+    curate.add_argument("--input", required=True, help="parquet dir of (doc_id, text, source)")
+    curate.add_argument("--store", required=True, help="manifest state root")
+    curate.add_argument("--checkpoint", default=None)
+    curate.add_argument("--eval-shingles", default=None,
+                        help="file of frozen eval shingles, one per line"
+                        " (default: derive from --input's eval slice)")
+    curate.add_argument("--out", default=None, help="write manifest parquet here instead of stdout")
+    curate.set_defaults(fn=cmd_curate)
 
     return parser
 

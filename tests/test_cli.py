@@ -104,3 +104,39 @@ class TestCliProfileAndCheck:
             "--expect", "cheap=o_totalprice < 1000",
             "--on-violation", "count",
         ]) == 0
+
+
+class TestCurateVerb:
+    def test_curate_folds_and_resumes(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.__main__ import main
+
+        docs = str(tmp_path / "docs")
+        good_a = "the quick brown fox jumps over the lazy dog and runs far away home"
+        good_b = "a market of traders and the sellers of goods in a town square meet"
+        spark.createDataFrame(
+            [(1, good_a, "web"), (2, good_b, "books"), (3, good_a, "web")],
+            "doc_id long, text string, source string",
+        ).coalesce(1).write.parquet(docs)
+        store = str(tmp_path / "store")
+        assert main(["curate", "--input", docs, "--store", store]) == 0
+        rows = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        got = {r["doc_id"]: r for r in rows}
+        assert set(got) == {1, 2}  # exact dup 3 dropped
+        assert got[1]["weight"] == 0.75  # min(1, (1/2)/(2/3)) for the 2:1 mix
+        assert got[2]["weight"] == 1.0
+        # resume with one NEW file: only it folds; manifest re-derives
+        spark.createDataFrame(
+            [(4, good_b + " again and again today", "books")],
+            "doc_id long, text string, source string",
+        ).coalesce(1).write.mode("append").parquet(docs)
+        assert main(["curate", "--input", docs, "--store", store]) == 0
+        rows2 = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert {r["doc_id"] for r in rows2} == {1, 2, 4}
