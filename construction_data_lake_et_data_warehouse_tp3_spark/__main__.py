@@ -257,13 +257,43 @@ def cmd_curate(args) -> int:
     if args.eval_shingles:
         ev = [s for s in open(args.eval_shingles).read().splitlines() if s]
     else:
-        ev = [
-            r.ng
-            for r in docs.where(F.col("doc_id") % EVAL_MOD == 0)
-            .select(F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng"))
-            .distinct()
-            .collect()
-        ]
+        ev = None
+    # The manifest's differential guarantee requires the eval-shingle set
+    # FROZEN at first construction: candidates admitted in earlier runs
+    # were never screened against later shingles, so a set that drifts on
+    # resume silently breaks manifest == batch-capstone.  Persist the set
+    # into the store on first run and reload it on every resume; a
+    # conflicting explicit --eval-shingles is an error, not a silent swap.
+    frozen_path = os.path.join(args.store, "eval_shingles.json")
+    if os.path.exists(frozen_path):
+        with open(frozen_path) as fh:
+            frozen = json.load(fh)
+        if ev is not None and sorted(set(ev)) != frozen:
+            print(
+                json.dumps(
+                    {
+                        "error": "eval-shingles differ from the set frozen at "
+                        "first run; the manifest's resume guarantee requires "
+                        "the stored set",
+                        "store": frozen_path,
+                    }
+                )
+            )
+            return 1
+        ev = frozen
+    else:
+        if ev is None:
+            ev = [
+                r.ng
+                for r in docs.where(F.col("doc_id") % EVAL_MOD == 0)
+                .select(F.explode(F.expr(_SHINGLES.format(ws=TOKENS))).alias("ng"))
+                .distinct()
+                .collect()
+            ]
+        ev = sorted(set(ev))
+        os.makedirs(args.store, exist_ok=True)
+        with open(frozen_path, "w") as fh:
+            json.dump(ev, fh)
     m = StreamingManifest(spark, args.store, eval_shingles=ev)
     stream = spark.readStream.schema(docs.schema).parquet(args.input)
     q = m.attach(

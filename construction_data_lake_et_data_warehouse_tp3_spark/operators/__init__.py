@@ -49,64 +49,14 @@ _MODULES = (
 # back.  (CORRECTNESS_r01/r02 each contained exactly 50 rows while the
 # registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
 _DRIVER_PRIORITY = (
-    # r6 rotation (VERDICT r5 ask #3): the 3 array-canon ERRs fixed this
-    # round enumerate first for their green rows, then the 30 queries with
-    # no driver CORRECTNESS row in ANY round, then the four partsupp-form
-    # TPC-H rewrites whose r5 shape was never sampled, then staleness order
-    # (r2-latest -> r3 -> r4 -> r5 greens at the back).  The driver checks
-    # ~50/round, so r6 covers through the r2 refresh and r7 sweeps the r3
-    # block.
-    "feature_hashing",
-    "jl_projection",
-    "inverted_index",
-    # new in r6 — never driver-checked
-    "kcore_products",
-    "ab_test_mannwhitney",
-    "quantile_sketch_check",
-    "kruskal_wallis_priority",
-    "revenue_acf",
-    "dup_cluster_size_histogram",
-    "supplier_hhi",
-    "basket_lift",
-    "bigram_surprisal",
-    "chunk_documents",
-    "cluster_representatives",
-    "cms_heavy_hitters",
-    "dau_wau_stickiness",
-    "degree_distribution",
-    "dup_rate_by_source",
-    "event_funnel",
-    "event_transition_matrix",
-    "fixed_k_sample",
-    "interpolate_daily_revenue",
-    "label_centroids",
-    "lang_id_confusion",
-    "leakage_safe_split",
-    "median_order_value_approx_check",
-    "new_vs_returning_revenue",
-    "order_gap_histogram",
-    "pareto_revenue_share",
-    "ppjoin_jaccard_pairs",
-    "product_purchase_counts_approx_check",
-    "quantize_embeddings",
-    "retention_cohorts",
-    "revenue_anomalies",
-    "rfm_segments",
-    "scd2_user_state_history",
-    "status_priority_chisq",
-    "wav_audio_stats",
-    "weekday_revenue_profile",
-    "y4m_video_stats",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "array_functions_showcase",
-    "customer_order_counts_left",
-    "deterministic_sample",
-    "events_json_props",
-    "exists_high_qty_orders",
-    "median_order_value",
+    # r7 rotation (VERDICT r6 ask #1): new-in-r7 queries first (need
+    # their first driver row), then strict staleness order —
+    # r2-latest (6), the r3 block (50), then r4/r5/r6 greens at the
+    # back.  The driver checks ~50/round: r7 covers the new pair, the
+    # r2 six, and ~42 of the r3 block; the r3 remainder heads the r8
+    # sweep, after which no row is older than 2 rounds.
+    "ann_index_recall_check",
+    "kmv_distinct_check",
     "median_order_value_approx",
     "order_event_days_full",
     "pivot_status_revenue",
@@ -255,6 +205,56 @@ _DRIVER_PRIORITY = (
     "weighted_sample_topk",
     "winsorized_order_stats",
     "y4m_keyframe_sample",
+    "ab_test_mannwhitney",
+    "array_functions_showcase",
+    "basket_lift",
+    "bigram_surprisal",
+    "chunk_documents",
+    "cluster_representatives",
+    "cms_heavy_hitters",
+    "customer_order_counts_left",
+    "dau_wau_stickiness",
+    "degree_distribution",
+    "deterministic_sample",
+    "dup_cluster_size_histogram",
+    "dup_rate_by_source",
+    "event_funnel",
+    "event_transition_matrix",
+    "events_json_props",
+    "exists_high_qty_orders",
+    "feature_hashing",
+    "fixed_k_sample",
+    "interpolate_daily_revenue",
+    "inverted_index",
+    "jl_projection",
+    "kcore_products",
+    "kruskal_wallis_priority",
+    "label_centroids",
+    "lang_id_confusion",
+    "leakage_safe_split",
+    "median_order_value",
+    "median_order_value_approx_check",
+    "new_vs_returning_revenue",
+    "order_gap_histogram",
+    "pareto_revenue_share",
+    "ppjoin_jaccard_pairs",
+    "product_purchase_counts_approx_check",
+    "quantile_sketch_check",
+    "quantize_embeddings",
+    "retention_cohorts",
+    "revenue_acf",
+    "revenue_anomalies",
+    "rfm_segments",
+    "scd2_user_state_history",
+    "status_priority_chisq",
+    "supplier_hhi",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "wav_audio_stats",
+    "weekday_revenue_profile",
+    "y4m_video_stats",
 )
 
 

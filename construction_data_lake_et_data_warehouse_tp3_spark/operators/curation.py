@@ -45,10 +45,16 @@ DEFAULT_RATE = 10000
 MIN_QUALITY = 0.35
 
 
-def cluster_edges(pairs: DataFrame) -> DataFrame:
+def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> DataFrame:
     """Connected components over an undirected pair list
     `(doc_a, doc_b)` → `(doc_id, cluster_id, cluster_size, is_canonical)`
     where cluster_id is the smallest reachable doc_id.
+
+    ``max_iters=None`` loops until no label moves (exact on any diameter)
+    — safe only when the caller knows the graph is bounded, e.g. the
+    streaming maintainer's batch-bounded reduced graph; the corpus-scale
+    batch default keeps the MAX_CC_ITERS cap and RAISES if it converges
+    late rather than silently returning partial labels.
 
     Min-label propagation: each round every node takes the min of its own
     label and its neighbours' labels; converged when no label moves. The
@@ -75,32 +81,45 @@ def cluster_edges(pairs: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(MAX_CC_ITERS):
+    def _propagate(cur):
         nbr_min = (
             edges.join(
-                labels.select(F.col("node").alias("doc_b"), F.col("lbl").alias("nbl")),
+                cur.select(F.col("node").alias("doc_b"), F.col("lbl").alias("nbl")),
                 "doc_b",
             )
             .groupBy("doc_a")
             .agg(F.min("nbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.doc_a, "left")
+        nxt = (
+            cur.join(nbr_min, cur.node == nbr_min.doc_a, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+        moved = (
+            nxt.alias("n")
+            .join(cur.alias("o"), "node")
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        return nxt, moved
+
+    rounds, changed = 0, 1
+    while changed and (max_iters is None or rounds < max_iters):
+        rounds += 1
+        labels, changed = _propagate(labels)
+    if changed:
+        # exhausted the cap with the final round still moving labels —
+        # may be converged-at-exactly-cap: one verification round decides
+        # instead of silently returning possibly-partial labels.
+        labels, changed = _propagate(labels)
+        if changed:
+            raise RuntimeError(
+                f"cluster_edges did not converge in {max_iters} rounds; "
+                "rerun with max_iters=None or a higher cap"
+            )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

@@ -388,8 +388,8 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # postings_csv, not a raw ARRAY column: driver-side canonicalization
     # (pandas sort over every column) cannot order array cells, so the
-    # public result carries the deterministic CSV form; the array stays
-    # available internally for index consumers (StreamingIndexStats).
+    # public result carries the deterministic CSV form; consumers needing
+    # the array can split(postings_csv, ",").
     return idx.where(F.col("df").between(INDEX_MIN_DF, INDEX_MAX_DF)).select(
         "term",
         "df",

@@ -183,7 +183,10 @@ class StreamingClusterMaintainer:
                     "old_lbl long, new_lbl long",
                 )
             else:
-                remap = cluster_edges(reduced).select(
+                # max_iters=None: the reduced graph is batch-bounded, so
+                # running to convergence is safe and keeps the documented
+                # "identical remap" invariant for diameters > the batch cap
+                remap = cluster_edges(reduced, max_iters=None).select(
                     F.col("doc_id").alias("old_lbl"),
                     F.col("cluster_id").alias("new_lbl"),
                 )

@@ -104,9 +104,40 @@ class StreamingCountMin:
 
     def compact(self) -> int:
         """Fold per-batch partials into one sentinel row per cell; the
-        ledger keeps replays of compacted batches short-circuited."""
-        g = self.grid().withColumn("batch_id", F.lit(_COMPACTED).cast("long"))
-        rows = g.persist()
+        ledger keeps replays of compacted batches short-circuited.
+
+        Only LEDGERED partials fold into the sentinel: a batch that
+        crashed between the cells merge and the applied merge in
+        process_batch has partials but no ledger row, and its replay
+        passes the _is_applied check — folding those partials would
+        double-count the batch once the replay re-merges them.  Such
+        unledgered rows keep their (d, bucket, batch_id) identity so
+        the replay's merge_into overwrites them idempotently."""
+        if not self.cells.exists():
+            return 0
+        cells = self.cells.read()
+        applied = (
+            self.applied.read()
+            if self.applied.exists()
+            else self.spark.createDataFrame([], "batch_id long")
+        )
+        sentinel = F.col("batch_id") == _COMPACTED
+        ledgered = cells.where(sentinel).unionByName(
+            cells.where(~sentinel).join(
+                F.broadcast(applied), "batch_id", "left_semi"
+            )
+        )
+        unledgered = cells.where(~sentinel).join(
+            F.broadcast(applied), "batch_id", "left_anti"
+        )
+        folded = (
+            ledgered.groupBy("d", "bucket")
+            .agg(F.expr("CAST(sum(cell) AS BIGINT)").alias("cell"))
+            .withColumn("batch_id", F.lit(_COMPACTED).cast("long"))
+        )
+        rows = folded.unionByName(
+            unledgered.select("d", "bucket", "cell", "batch_id")
+        ).persist()
         n = rows.count()
         self.cells.overwrite(rows.select("d", "bucket", "cell", "batch_id"))
         rows.unpersist()

@@ -140,3 +140,51 @@ class TestCurateVerb:
             for line in capsys.readouterr().out.strip().splitlines()
         ]
         assert {r["doc_id"] for r in rows2} == {1, 2, 4}
+
+    def test_curate_freezes_eval_shingles_on_first_run(
+        self, spark, tmp_path, capsys
+    ):
+        """The eval-shingle set is FROZEN at first construction: a resumed
+        run with a NEW eval doc (doc_id % 97 == 0) must keep the stored
+        set (else earlier admissions were never screened against the new
+        shingles and manifest != batch capstone), and a conflicting
+        explicit --eval-shingles must error, not silently swap."""
+        import json as _json
+        import os as _os
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.__main__ import main
+
+        docs = str(tmp_path / "docs")
+        good_a = "the quick brown fox jumps over the lazy dog and runs far away home"
+        spark.createDataFrame(
+            [(1, good_a, "web")], "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(docs)
+        store = str(tmp_path / "store")
+        assert main(["curate", "--input", docs, "--store", store]) == 0
+        capsys.readouterr()
+        frozen_path = _os.path.join(store, "eval_shingles.json")
+        frozen = _json.load(open(frozen_path))
+        assert frozen == []  # no doc_id % 97 == 0 in the first batch
+
+        # resume with an eval doc present: stored set must NOT change
+        spark.createDataFrame(
+            [(97, "brand new eval text with many fresh unseen tokens inside it", "web")],
+            "doc_id long, text string, source string",
+        ).coalesce(1).write.mode("append").parquet(docs)
+        assert main(["curate", "--input", docs, "--store", store]) == 0
+        capsys.readouterr()
+        assert _json.load(open(frozen_path)) == frozen
+
+        # conflicting explicit set on resume -> error exit, set unchanged
+        conflict = tmp_path / "ev.txt"
+        conflict.write_text("brand new eval\n")
+        assert (
+            main([
+                "curate", "--input", docs, "--store", store,
+                "--eval-shingles", str(conflict),
+            ])
+            == 1
+        )
+        err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "frozen" in err["error"]
+        assert _json.load(open(frozen_path)) == frozen

@@ -44,6 +44,24 @@ def test_long_path_converges_within_iteration_bound(spark):
     assert by_doc[1].cluster_size == n + 1
 
 
+def test_diameter_beyond_cap_raises_not_partial(spark):
+    """A chain whose diameter exceeds the cap (+1 verification round)
+    must RAISE rather than silently return unconverged labels, and the
+    same graph converges exactly with max_iters=None (the streaming
+    maintainer's batch-bounded reduced-graph mode)."""
+    import pytest
+
+    n = MAX_CC_ITERS + 2  # needs n rounds; cap admits MAX_CC_ITERS + 1
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n + 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_edges(df).collect()
+    rows = cluster_edges(df, max_iters=None).collect()
+    assert {r.cluster_id for r in rows} == {1}
+    assert len(rows) == n + 1
+
+
 def test_star_and_reversed_edges(spark):
     """Hub-and-spoke with edges pointing both ways resolves to the min id
     even when the min is a leaf."""
