@@ -9,11 +9,11 @@ and scanned for the two anti-patterns that silently kill 100 TB runs —
   mapInArrow).
 
 Per-operator plan locks pin specific shapes; this net catches the
-query NOBODY remembered to lock.  Surveyed clean across all 174
-registry entries when introduced (62 s full build); the iterative
-operators that materialize localCheckpoints at PLAN-BUILD time are
-excluded here to keep the lint cheap — each carries its own plan-lock
-or differential test.
+query NOBODY remembered to lock.  The registry is linted in two
+partitions whose union test_lint_partition_covers_entire_registry
+asserts equals set(queries()) exactly: the pooled fast path, and the
+_BUILD_TIME_HEAVY set (operators that run jobs at DataFrame-build
+time) linted sequentially at 1-iteration shape.
 """
 
 from __future__ import annotations
@@ -45,6 +45,14 @@ _BUILD_TIME_HEAVY = {
 _NAMES = sorted(set(entry_mod.queries()) - _BUILD_TIME_HEAVY)
 
 
+def test_lint_partition_covers_entire_registry():
+    """The two lint tests together must cover EXACTLY set(queries()):
+    any future exclusion has to be added to _BUILD_TIME_HEAVY and shows
+    up here as a visible diff, not a silent narrowing."""
+    assert set(_NAMES) | _BUILD_TIME_HEAVY == set(entry_mod.queries())
+    assert _BUILD_TIME_HEAVY <= set(entry_mod.queries())
+
+
 def test_no_cartesian_and_no_row_python(spark):
     """One test, all plans: compiled on a thread pool (Catalyst plan
     compilation is driver-side and thread-safe), failures aggregated by
@@ -65,4 +73,34 @@ def test_no_cartesian_and_no_row_python(spark):
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         found = [p for ps in pool.map(lint, _NAMES) for p in ps]
+    assert not found, found
+
+
+def test_build_time_heavy_plans_lint_at_tiny_shape(spark, monkeypatch):
+    """The 12 _BUILD_TIME_HEAVY queries are exactly the heaviest plans —
+    the ones where a CartesianProduct or BatchEvalPython would hurt most
+    at 100 TB — so they get the SAME mechanical check, just at 1-iteration
+    shape: fixed-iteration training constants (Lloyd rounds, PageRank
+    rounds) are patched to 1 so the build-time jobs stay tiny, while the
+    convergence-terminated CC loop keeps its cap (it exits on its own at
+    sf0.001's tiny dup graphs). Sequential, not pooled: these queries RUN
+    jobs during DataFrame construction, and monkeypatched module constants
+    must be visible to each build."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+        clustering,
+        graph,
+    )
+
+    monkeypatch.setattr(clustering, "N_ITERS", 1)
+    monkeypatch.setattr(graph, "N_ITERS", 1)
+
+    queries = entry_mod.queries()
+    found = []
+    for name in sorted(_BUILD_TIME_HEAVY):
+        df = queries[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            found.append(f"{name}: unbroadcast cross join")
+        if "BatchEvalPython" in plan:
+            found.append(f"{name}: row-at-a-time Python UDF")
     assert not found, found
