@@ -175,6 +175,10 @@ HEADLINE = (
     "tpch_q19",
     "tpch_q20",
     "tpch_q22",
+    # r7: persisted-index build+reload+probe vs brute force (lake/ann.py),
+    # and the bottom-k KMV order-statistic check (sketches.py)
+    "ann_index_recall_check",
+    "kmv_distinct_check",
 )
 
 #: Iterative graph queries are dominated by the co-purchase graph BUILD

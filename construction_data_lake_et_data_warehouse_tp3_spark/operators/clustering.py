@@ -46,15 +46,22 @@ _NORM = (
 )
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id + int64 micro-unit components + the derived working doubles."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+def prep_vectors(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → vec_id + int64 micro-unit components + the
+    derived working doubles — the ONE quantization used by batch k-means,
+    the streaming index, and the persisted index, so their assignments
+    can never disagree."""
+    return df.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
         ).alias("vint"),
     ).withColumn("vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))"))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + int64 micro-unit components + the derived working doubles."""
+    return prep_vectors(load_table(spark, sf_dir, "embeddings"))
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -152,36 +159,126 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast crossJoin, the probe join shuffles on cid — i.e.
     inverted-list locality — and the rerank is bounded by
     NPROBE/K_CLUSTERS of the corpus per query, never all pairs."""
-    from pyspark.sql import Window
-
     vecs = _vectors(spark, sf_dir).withColumn("nrm", F.expr(_NORM.format(a="vd")))
     cents = _train(vecs)
     q = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
     )
+    stored = _assign(vecs, cents).select(F.col("vec_id").alias("cand_id"), "cid").join(
+        vecs.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("vd").alias("cv"),
+            F.col("nrm").alias("cn"),
+        ),
+        "cand_id",
+    )
+    return ivf_probe_topk(cents, stored, q)
+
+
+def ivf_probe_topk(
+    centroids: DataFrame,
+    stored: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """The IVF probe+rerank kernel shared by ivf_kmeans_topk, the
+    streaming index (streaming/ann_stream.py), and the persisted index
+    (lake/ann.py) — one implementation, so a probe against any of the
+    three can never disagree.
+
+    `centroids`: (cid, cd array<double>) — K rows, broadcast.
+    `stored`:    (cand_id, cid, cv array<double>, cn) inverted lists.
+    `queries`:   (query_id, qv array<double>, qn).
+
+    Scale shape: the query×centroid scoring is a broadcast crossJoin
+    against K rows; the candidate join shuffles on cid (inverted-list
+    locality) touching only the probed nprobe/K fraction of the corpus;
+    the rerank is a per-query top-k window."""
+    from pyspark.sql import Window
+
     cell_w = Window.partitionBy("query_id").orderBy("dist2", "cid")
     qcells = (
-        q.crossJoin(F.broadcast(cents))
+        queries.crossJoin(F.broadcast(centroids))
         .withColumn("dist2", F.expr(_DIST2.format(a="qv", b="cd")))
         .withColumn("cell_rank", F.row_number().over(cell_w))
-        .where(F.col("cell_rank") <= NPROBE)
+        .where(F.col("cell_rank") <= nprobe)
         .select("query_id", "qv", "qn", "cid")
     )
-    inv_lists = _assign(vecs, cents).select(F.col("vec_id").alias("cand_id"), "cid")
-    cvecs = vecs.select(
-        F.col("vec_id").alias("cand_id"), F.col("vd").alias("cv"), F.col("nrm").alias("cn")
+    cosine = F.round(
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
     )
-    pairs = (
-        qcells.join(inv_lists, "cid")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .join(cvecs, "cand_id")
-    )
-    cosine = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
     rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
-        pairs.select("query_id", "cand_id", cosine.alias("cosine"))
+        qcells.join(stored, "cid")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the PERSISTED IVF index (lake/ann.py) into a scratch lake
+    root, reopen it from disk, probe the demo queries against the stored
+    tables, and lock per-query recall vs the exact brute-force twin.
+
+    Because quantization/training/probe all share the fixed-point kernels
+    and parquet round-trips them bit-for-bit, the persisted-index result
+    equals the fresh-fit result EXACTLY — so this query is hash-checkable
+    against a pure-SQL oracle that never sees the index files: the oracle
+    recomputes the IVF result from the unrolled training chain and the
+    brute-force top-k directly. Any divergence in the save/load path
+    (lost precision, stale version read, wrong cell routing) breaks the
+    hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..lake.ann import AnnIndex
+    from pyspark.sql import Window
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"tp3_ann_check_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    AnnIndex.build(spark, root, emb)
+    idx = AnnIndex(spark, root)  # fresh handle: everything read from disk
+    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = idx.topk(q_rows).select("query_id", "cand_id")
+
+    vecs = _vectors(spark, sf_dir).withColumn("nrm", F.expr(_NORM.format(a="vd")))
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vd").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cosine = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    brute = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    hit = brute.withColumn("hit", F.lit(1))
+    return (
+        ann.join(hit, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.expr("CAST(count(hit) AS BIGINT)").alias("n_hits"),
+            F.expr(
+                f"CAST(round(10000.0 * count(hit) / {TOP_K}) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
     )
 
 
@@ -320,6 +417,7 @@ QUERIES = {
     "embedding_drift": embedding_drift,
     "kmeans_embeddings": kmeans_embeddings,
     "ivf_kmeans_topk": ivf_kmeans_topk,
+    "ann_index_recall_check": ann_index_recall_check,
     "label_centroids": label_centroids,
     "quantize_embeddings": quantize_embeddings,
 }
@@ -525,5 +623,64 @@ ORACLE = {
                 PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
             FROM scored
         ) WHERE rank <= {TOP_K}
+    """,
+    # the persisted-index probe equals the fresh fit exactly, so the
+    # oracle recomputes the IVF result from the unrolled training chain
+    # (never reading the index files) plus the brute-force top-k, and
+    # aggregates per-query hits/recall.
+    "ann_index_recall_check": f"""
+        {_TRAIN_DUCK},
+        vn AS (
+            SELECT vec_id, vd,
+                   sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id AS query_id, vd AS qv, nrm AS qn
+            FROM vn WHERE vec_id < {N_QUERIES}
+        ),
+        qc AS (
+            SELECT query_id, qv, qn, cid FROM (
+                SELECT q.query_id, q.qv, q.qn, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+                               i -> (q.qv[i] - c.cd[i]) * (q.qv[i] - c.cd[i]))), c.cid
+                       ) AS cell_rank
+                FROM q CROSS JOIN c2 c
+            ) WHERE cell_rank <= {NPROBE}
+        ),
+        cand AS (
+            SELECT qc.query_id, qc.qv, qc.qn, a.vec_id AS cand_id
+            FROM qc JOIN a3 a ON a.cid = qc.cid
+            WHERE a.vec_id != qc.query_id
+        ),
+        ivf AS (
+            SELECT query_id, cand_id FROM (
+                SELECT c.query_id, c.cand_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY round({_COS_DIM.replace('cv[i]', 'n.vd[i]')}
+                                 / (c.qn * n.nrm), 4) DESC, c.cand_id) AS rank
+                FROM cand c JOIN vn n ON n.vec_id = c.cand_id
+            ) WHERE rank <= {TOP_K}
+        ),
+        brute AS (
+            SELECT query_id, cand_id FROM (
+                SELECT q.query_id, n.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round({_COS_DIM.replace('cv[i]', 'n.vd[i]').replace('qv[i]', 'q.qv[i]')}
+                                 / (q.qn * n.nrm), 4) DESC, n.vec_id) AS rank
+                FROM q CROSS JOIN vn n WHERE n.vec_id != q.query_id
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT i.query_id,
+               CAST(count(b.cand_id) AS BIGINT) AS n_hits,
+               CAST(round(10000.0 * count(b.cand_id) / {TOP_K}) AS BIGINT)
+                   AS recall_bp
+        FROM ivf i LEFT JOIN brute b
+          ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+        GROUP BY 1
     """,
 }

@@ -113,6 +113,60 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide distinct-user estimate from the CLASSICAL bottom-k KMV
+    order statistic — n̂ = (B−1)·M / h_B with h_B the B-th smallest
+    distinct hash — hash-locked beside the exact distinct count and the
+    signed error in basis points (the quantile_sketch_check discipline:
+    estimate + exact twin + error, all deterministic).
+
+    Complements kmv_distinct_users (K independent minima, one per
+    aggregate) with the single-hash bottom-k form that real systems
+    persist (ThetaSketch/KMV): the sketch is the B smallest hashes, it
+    merges by union+truncate, and the estimator is exact integer
+    arithmetic both engines replay bit-for-bit.
+
+    Plan: one scan → distinct on the 8-byte hash (map-side partial), a
+    TakeOrderedAndProject for the bottom-B (per-partition top-k, no full
+    sort), and a broadcast of the 1-row sketch against the 1-row exact
+    twin. At 100 TB the exact branch is the one you drop; the sketch
+    path never shuffles user ids, only distinct 52-bit hashes."""
+    B = KMV_K
+    events = load_table(spark, sf_dir, "events")
+    h = _h(0, "spark")
+    bottom = (
+        events.select(F.expr(h).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(B)
+    )
+    sketch = bottom.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("bk"),
+        F.expr("CAST(max(h) AS BIGINT)").alias("hb"),
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = (
+        f"CASE WHEN bk < {B} THEN n_exact"
+        f" ELSE CAST({KMV_M} AS BIGINT) * (bk - 1)"
+        f" DIV greatest(hb, CAST(1 AS BIGINT)) END"
+    )
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.expr(est).alias("est_distinct"),
+        )
+        .select(
+            "n_exact",
+            "est_distinct",
+            F.expr(
+                "((est_distinct - n_exact) * 10000)"
+                " DIV greatest(n_exact, CAST(1 AS BIGINT))"
+            ).alias("err_bp"),
+        )
+    )
+
+
 def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between OVERLAP_A and OVERLAP_B event types:
     exact distinct users of each side and of the intersection, beside
@@ -346,6 +400,7 @@ def quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
+    "kmv_distinct_check": kmv_distinct_check,
     "kmv_user_overlap": kmv_user_overlap,
     "bootstrap_revenue_ci": bootstrap_revenue_ci,
     "quantile_sketch_check": quantile_sketch_check,
@@ -373,6 +428,30 @@ def _distinct_oracle() -> str:
         )
         SELECT event_type, n_exact, est_distinct,
                CAST(((est_distinct - n_exact) * 10000) // n_exact AS BIGINT)
+                   AS err_bp
+        FROM e
+    """
+
+
+def _distinct_check_oracle() -> str:
+    B = KMV_K
+    return f"""
+        WITH dh AS (SELECT DISTINCT {_h(0, 'duck')} AS h FROM events),
+        b AS (SELECT h FROM dh ORDER BY h LIMIT {B}),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS bk,
+                     CAST(max(h) AS BIGINT) AS hb FROM b),
+        x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events),
+        e AS (
+            SELECT n_exact,
+                   CAST(CASE WHEN bk < {B} THEN n_exact
+                        ELSE CAST({KMV_M} AS BIGINT) * (bk - 1)
+                             // greatest(hb, CAST(1 AS BIGINT)) END
+                        AS BIGINT) AS est_distinct
+            FROM s CROSS JOIN x
+        )
+        SELECT n_exact, est_distinct,
+               CAST(((est_distinct - n_exact) * 10000)
+                    // greatest(n_exact, CAST(1 AS BIGINT)) AS BIGINT)
                    AS err_bp
         FROM e
     """
@@ -516,6 +595,7 @@ def _qsk_oracle() -> str:
 
 ORACLE = {
     "kmv_distinct_users": _distinct_oracle(),
+    "kmv_distinct_check": _distinct_check_oracle(),
     "kmv_user_overlap": _overlap_oracle(),
     "bootstrap_revenue_ci": _bootstrap_oracle(),
     "quantile_sketch_check": _qsk_oracle(),

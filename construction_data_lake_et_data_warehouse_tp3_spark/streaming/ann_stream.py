@@ -31,7 +31,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.clustering import DIM, NPROBE, SCALE, TOP_K, _DIST2, _DOT, _NORM, _assign
+from ..operators.clustering import (
+    NPROBE,
+    SCALE,
+    TOP_K,
+    _NORM,
+    _assign,
+    ivf_probe_topk,
+    prep_vectors,
+)
 from ..warehouse.merge import ParquetTable, merge_into
 
 
@@ -52,12 +60,7 @@ class StreamingVectorIndex:
         """vec_id + micro-unit ints + working doubles (the exact
         representation operators.clustering uses, so batch and streaming
         assignments can never disagree)."""
-        return batch.select(
-            "vec_id",
-            F.expr(
-                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
-            ).alias("vint"),
-        ).withColumn("vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))"))
+        return prep_vectors(batch)
 
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
         """Assign the batch's vectors to cells and MERGE into the store;
@@ -93,8 +96,6 @@ class StreamingVectorIndex:
         """ANN top-k for (query_id, embedding) rows over everything
         ingested so far: probe the nprobe nearest cells, exact-cosine
         rerank inside them (identical shape to ivf_kmeans_topk)."""
-        from pyspark.sql import Window
-
         q = self._prep(
             queries.select(F.col("query_id").alias("vec_id"), "embedding")
         ).select(
@@ -102,27 +103,9 @@ class StreamingVectorIndex:
             F.col("vd").alias("qv"),
             F.expr(_NORM.format(a="vd")).alias("qn"),
         )
-        cell_w = Window.partitionBy("query_id").orderBy("dist2", "cid")
-        qcells = (
-            q.crossJoin(F.broadcast(self.centroids))
-            .withColumn("dist2", F.expr(_DIST2.format(a="qv", b="cd")))
-            .withColumn("cell_rank", F.row_number().over(cell_w))
-            .where(F.col("cell_rank") <= nprobe)
-            .select("query_id", "qv", "qn", "cid")
-        )
         stored = self.table.read().select(
             F.col("vec_id").alias("cand_id"),
             "cid",
             F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))").alias("cv"),
         ).withColumn("cn", F.expr(_NORM.format(a="cv")))
-        cosine = F.round(
-            F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
-        )
-        rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-        return (
-            qcells.join(stored, "cid")
-            .where(F.col("query_id") != F.col("cand_id"))
-            .select("query_id", "cand_id", cosine.alias("cosine"))
-            .withColumn("rank", F.row_number().over(rank_w))
-            .where(F.col("rank") <= k)
-        )
+        return ivf_probe_topk(self.centroids, stored, q, k=k, nprobe=nprobe)

@@ -1,0 +1,77 @@
+"""Persisted ANN index (lake/ann.py): the fit-once / probe-forever
+contract. The load-bearing lock is query-after-reload == query-against-
+fresh-fit — any precision loss, stale-version read, or cell-routing bug
+in the save/load path breaks the row-for-row equality with the in-memory
+ivf_kmeans_topk result, which shares every kernel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from construction_data_lake_et_data_warehouse_tp3_spark.lake.ann import AnnIndex
+from construction_data_lake_et_data_warehouse_tp3_spark.operators.clustering import (
+    N_QUERIES,
+    ivf_kmeans_topk,
+)
+from construction_data_lake_et_data_warehouse_tp3_spark.sources.registry import (
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestAnnIndex:
+    def test_query_after_reload_equals_fresh_fit(self, spark, tmp_path):
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        meta = AnnIndex.build(spark, str(tmp_path), emb)
+        assert meta["centroid_version"] == 1 and meta["posting_version"] == 1
+        assert meta["vectors"] == emb.count()
+
+        # a FRESH handle reads everything from the stored tables
+        idx = AnnIndex(spark, str(tmp_path))
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        stored_result = _canon(idx.topk(q))
+        fresh_result = _canon(ivf_kmeans_topk(spark, SF_DIR))
+        assert stored_result == fresh_result
+
+    def test_rebuild_versions_and_pinned_reads(self, spark, tmp_path):
+        """A rebuild claims the next version through the commit log; the
+        previous version stays readable by pin, and the default read
+        moves to the latest."""
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        AnnIndex.build(spark, str(tmp_path), emb)
+        half = emb.where("vec_id % 2 = 0")
+        meta2 = AnnIndex.build(spark, str(tmp_path), half)
+        assert meta2["posting_version"] == 2
+        assert meta2["vectors"] == half.count()
+
+        idx = AnnIndex(spark, str(tmp_path))
+        assert idx.postings().count() == half.count()  # latest = v2
+        assert idx.postings(version=1).count() == emb.count()
+
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # v2 only holds even vectors -> all candidates even; v1 differs
+        v2_cands = {r.cand_id for r in idx.topk(q, version=2).collect()}
+        assert v2_cands and all(c % 2 == 0 for c in v2_cands)
+        assert _canon(idx.topk(q, version=1)) == _canon(ivf_kmeans_topk(spark, SF_DIR))
+
+    def test_index_feeds_are_catalogued_tables(self, spark, tmp_path):
+        """Index components are ordinary version-partitioned table feeds
+        under the lake root — visible to feeds list, covered by version
+        retention, committed through the commit log."""
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        AnnIndex.build(spark, str(tmp_path), emb, name="vecidx")
+        idx = AnnIndex(spark, str(tmp_path), name="vecidx")
+        names = {c.feed_name for c in idx.catalog.list()}
+        assert {"vecidx_centroids", "vecidx_postings"} <= names
+        cfg = idx.catalog.get("vecidx_postings")
+        assert cfg.partition_columns() == ("version",)
+        assert idx.writer.committed_versions(cfg) == {1}

@@ -28,6 +28,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: (k-means training, label propagation, PageRank localCheckpoints) —
 #: linted implicitly by their own tests, skipped here for suite cost.
 _BUILD_TIME_HEAVY = {
+    "ann_index_recall_check",
     "kmeans_embeddings",
     "ivf_kmeans_topk",
     "semdedup_pairs",

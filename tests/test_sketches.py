@@ -52,6 +52,32 @@ class TestKmvAccuracy:
         for r in got.values():
             assert abs(r.err_bp) <= 2500, r
 
+    def test_bottom_k_estimate_within_sketch_error(self, spark, planted_dir):
+        """The classical bottom-k order statistic (kmv_distinct_check)
+        on the planted 1,150-distinct corpus: exact twin counts the truth,
+        the estimate lands in the 1/sqrt(B) band, exact-fallback never
+        fires (1,150 > B)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+            kmv_distinct_check,
+        )
+
+        row = kmv_distinct_check(spark, planted_dir).collect()[0]
+        # 'small' reuses user ids 0..199 of 'big' -> 1000 global distinct
+        assert row.n_exact == 1000
+        assert row.est_distinct != row.n_exact  # estimator path, not fallback
+        assert abs(row.err_bp) <= 2500, row
+
+    def test_bottom_k_small_corpus_is_exact(self, spark):
+        """Fewer distinct users than B: the sketch holds every hash, so
+        the estimator must fall back to the exact count (err_bp == 0)."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+            kmv_distinct_check,
+        )
+
+        row = kmv_distinct_check(spark, SF_DIR).collect()[0]
+        assert row.n_exact < KMV_K
+        assert row.est_distinct == row.n_exact and row.err_bp == 0
+
     def test_duplicates_do_not_move_the_sketch(self, spark, planted_dir):
         """Same users, different row multiplicity → identical estimate."""
         import pyspark.sql.functions as F

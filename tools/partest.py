@@ -38,7 +38,7 @@ TESTS = os.path.join(REPO, "tests")
 COSTS = {
     "test_cluster_stream.py": 60,
     "test_manifest_stream.py": 55,
-    "test_cms_stream.py": 35,
+    "test_cms_stream.py": 50,
     "test_sample_stream.py": 36,
     "test_empty_input.py": 29,
     "test_oracle_parity.py": 29,
@@ -58,12 +58,13 @@ COSTS = {
     "test_r5e_ops.py": 14,
     "test_scd2_stream.py": 14,
     "test_multimodal_plans.py": 12,
-    "test_cli.py": 11,
+    "test_cli.py": 45,
+    "test_ann_index.py": 30,
     "test_oracle_types.py": 11,
     "test_graph.py": 10,
     "test_incremental_sync.py": 10,
     "test_sketch_stream.py": 10,
-    "test_plan_lint.py": 9,
+    "test_plan_lint.py": 35,
     "test_rollup_stream.py": 9,
     "test_sketches.py": 9,
     "test_rate_stream_live.py": 8,
