@@ -849,14 +849,21 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"t{k}"),
         ]
     m = with_leads.agg(*aggs)
+    # zero-variance guard: n <= 1 day or a constant series makes the
+    # denominator exactly 0 (ACF undefined) -> NULL, not DIVIDE_BY_ZERO
+    # under ANSI mode; same CASE in the oracle so the hash still locks.
+    den = (
+        "CAST(n AS DECIMAL(38,0)) * n * ss"
+        " - CAST(n AS DECIMAL(38,0)) * s * s"
+    )
     lag_rows = ", ".join(
-        f"struct({k} AS lag, CAST(round("
+        f"struct({k} AS lag, CASE WHEN {den} = 0 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE CAST(round("
         f"CAST(CAST(n AS DECIMAL(38,0)) * n * xx{k}"
         f" - CAST(n AS DECIMAL(38,0)) * s * (h{k} + t{k})"
         f" + CAST(n - {k} AS DECIMAL(38,0)) * s * s AS DOUBLE)"
-        f" / CAST(CAST(n AS DECIMAL(38,0)) * n * ss"
-        f" - CAST(n AS DECIMAL(38,0)) * s * s AS DOUBLE)"
-        f", 6) AS DOUBLE) AS acf)"
+        f" / CAST({den} AS DOUBLE)"
+        f", 6) AS DOUBLE) END AS acf)"
         for k in range(1, ACF_MAX_LAG + 1)
     )
     return m.select(
@@ -1436,33 +1443,40 @@ ORACLE = {
             FROM led
         )
         SELECT n AS n_days, 1 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx1 - n::HUGEINT * s * (h1 + t1)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx1 - n::HUGEINT * s * (h1 + t1)
                 + (n - 1)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m UNION ALL SELECT n AS n_days, 2 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx2 - n::HUGEINT * s * (h2 + t2)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx2 - n::HUGEINT * s * (h2 + t2)
                 + (n - 2)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m UNION ALL SELECT n AS n_days, 3 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx3 - n::HUGEINT * s * (h3 + t3)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx3 - n::HUGEINT * s * (h3 + t3)
                 + (n - 3)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m UNION ALL SELECT n AS n_days, 4 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx4 - n::HUGEINT * s * (h4 + t4)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx4 - n::HUGEINT * s * (h4 + t4)
                 + (n - 4)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m UNION ALL SELECT n AS n_days, 5 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx5 - n::HUGEINT * s * (h5 + t5)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx5 - n::HUGEINT * s * (h5 + t5)
                 + (n - 5)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m UNION ALL SELECT n AS n_days, 6 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx6 - n::HUGEINT * s * (h6 + t6)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx6 - n::HUGEINT * s * (h6 + t6)
                 + (n - 6)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m UNION ALL SELECT n AS n_days, 7 AS lag,
-           CAST(round(CAST(n::HUGEINT * n * xx7 - n::HUGEINT * s * (h7 + t7)
+           CASE WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s = 0 THEN NULL
+                ELSE CAST(round(CAST(n::HUGEINT * n * xx7 - n::HUGEINT * s * (h7 + t7)
                 + (n - 7)::HUGEINT * s * s AS DOUBLE)
-           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) AS acf
+           / CAST(n::HUGEINT * n * ss - n::HUGEINT * s * s AS DOUBLE), 6) AS DOUBLE) END AS acf
     FROM m
     """,
     "kruskal_wallis_priority": f"""

@@ -299,3 +299,132 @@ class TestSupplierHhi:
         assert got["MONO"].top_share_bp == 10000
         assert got["QUAD"].hhi_bp2 == 4 * 2500**2  # four equal = 25,000,000
         assert got["QUAD"].n_suppliers == 4
+
+
+class TestDegenerateInputs:
+    """Planted-fixture degenerate cases with ASSERTED outputs (the r6
+    empty-table sweep only proved 'runs cleanly'): zero-variance ACF,
+    single-supplier HHI, k-core with no edges, quantile sketch and
+    range window over empty orders."""
+
+    ORDERS_DDL = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+
+    def test_acf_single_day_is_null_not_divide_by_zero(self, spark, tmp_path):
+        """n_days = 1 makes the variance denominator exactly 0; ACF is
+        undefined -> every lag row present with acf NULL (ANSI mode would
+        otherwise raise DIVIDE_BY_ZERO)."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            ACF_MAX_LAG,
+            revenue_acf,
+        )
+
+        ts = datetime.datetime(2024, 1, 1)
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            [(1, 10, "O", 100.0, ts, "1-URGENT"), (2, 11, "O", 50.0, ts, "2-HIGH")],
+            self.ORDERS_DDL,
+        ).write.parquet(f"{out}/orders.parquet")
+        rows = revenue_acf(spark, out).collect()
+        assert len(rows) == ACF_MAX_LAG
+        assert all(r.n_days == 1 and r.acf is None for r in rows)
+
+    def test_acf_constant_series_is_null(self, spark, tmp_path):
+        """Multiple days but constant revenue: variance 0 again -> NULL,
+        not +-inf or a crash."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.statistics import (
+            revenue_acf,
+        )
+
+        out = str(tmp_path / "sf")
+        rows = [
+            (i, 10, "O", 75.0, datetime.datetime(2024, 1, 1 + i), "2-HIGH")
+            for i in range(5)
+        ]
+        spark.createDataFrame(rows, self.ORDERS_DDL).write.parquet(
+            f"{out}/orders.parquet"
+        )
+        got = revenue_acf(spark, out).collect()
+        assert all(r.n_days == 5 and r.acf is None for r in got)
+
+    def test_hhi_single_supplier_is_monopoly(self, spark, tmp_path):
+        """One supplier owning a nation's whole revenue: share must be
+        exactly 10000 bp and HHI exactly 10000^2 — the monopoly anchor
+        of the concentration scale."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.analytics import (
+            supplier_hhi,
+        )
+
+        out = str(tmp_path / "sf")
+        ts = datetime.datetime(2024, 1, 1)
+        spark.createDataFrame(
+            [(1, "S1", 7, 100.0)],
+            "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+        ).write.parquet(f"{out}/supplier.parquet")
+        spark.createDataFrame(
+            [(7, "FRANCE", 1)], "n_nationkey long, n_name string, n_regionkey long"
+        ).write.parquet(f"{out}/nation.parquet")
+        spark.createDataFrame(
+            [(1, 5, 1, 1, 2.0, 100.0, 0.1, 0.0, "N", "O", ts)],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).write.parquet(f"{out}/lineitem.parquet")
+        rows = supplier_hhi(spark, out).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.n_name, r.n_suppliers, r.hhi_bp2, r.top_share_bp) == (
+            "FRANCE",
+            1,
+            10000 * 10000,
+            10000,
+        )
+
+    def test_kcore_no_edges_returns_empty(self, spark, tmp_path):
+        """Single-item orders build zero co-purchase edges; every peeling
+        round must survive the empty alive set and return 0 rows."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            kcore_products,
+        )
+
+        out = str(tmp_path / "sf")
+        ts = datetime.datetime(2024, 1, 1)
+        spark.createDataFrame(
+            [(o, 100 + o, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts) for o in range(3)],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).write.parquet(f"{out}/lineitem.parquet")
+        assert kcore_products(spark, out).collect() == []
+
+    def test_quantile_sketch_and_range_window_over_empty_orders(
+        self, spark, tmp_path
+    ):
+        """Empty orders: grouped sketch emits no group rows (NOT a
+        null-stats row), and the global RANGE window emits nothing rather
+        than a frame over zero days."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+            quantile_sketch_check,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.windows import (
+            rolling_7d_revenue,
+        )
+
+        out = str(tmp_path / "sf")
+        spark.createDataFrame([], self.ORDERS_DDL).write.parquet(
+            f"{out}/orders.parquet"
+        )
+        assert quantile_sketch_check(spark, out).collect() == []
+        assert rolling_7d_revenue(spark, out).collect() == []
