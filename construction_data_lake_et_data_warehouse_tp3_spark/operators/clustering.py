@@ -244,6 +244,13 @@ def ann_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb.isEmpty():
+        # nothing to index: export_table deliberately skips empty
+        # snapshots (reference empty-input guard), so there is no
+        # version to reopen — and no recall to check
+        return spark.createDataFrame(
+            [], "query_id long, n_hits bigint, recall_bp bigint"
+        )
     AnnIndex.build(spark, root, emb)
     idx = AnnIndex(spark, root)  # fresh handle: everything read from disk
     q_rows = emb.where(F.col("vec_id") < N_QUERIES).select(

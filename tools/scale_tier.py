@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""One-decade strong-scaling probe for the five heaviest registry
+queries (VERDICT r6 ask #5): semdedup_pairs, kcore_products,
+kmeans_embeddings, ppjoin_jaccard_pairs, leakage_safe_split.
+
+The committed sf0.001→0.1 table (SCALING.md) never stresses these —
+they run at fixed doc/embedding counts or at the sibling sf0.01 — so
+this tool synthesizes a 10×-sf0.1 tier for JUST the three tables they
+read (documents 50k, embeddings 20k, lineitem 6M) with the same
+generative shape as the driver testdata (measured empirically from
+sf0.1: 31-word vocabulary, uniform 10–100-word docs, 20 sources,
+empirical language mix; label-centroid Gaussian embeddings; empirical
+items-per-order distribution with parts scaled with orders so per-node
+co-purchase degree stays constant), then measures each query at sf0.1
+and at the tier (warmup + min-of-3) and prints one JSON line per query.
+
+Deterministic: numpy PCG64 seed 42. The tier is cached under /tmp and
+reused across runs; delete the dir to regenerate.
+
+Usage: python tools/scale_tier.py [--tier-dir /tmp/tp3_scale_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+
+#: the sf0.1 document vocabulary (measured: 31 distinct words).
+VOCAB = None  # filled from sf0.1 at generation time
+
+QUERIES = (
+    "semdedup_pairs",
+    "kcore_products",
+    "kmeans_embeddings",
+    "ppjoin_jaccard_pairs",
+    "leakage_safe_split",
+)
+
+
+def _gen_documents(rng: np.random.Generator, out: str, n: int) -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(string_split(text,' ')) w FROM "
+            f"read_parquet('{SF01}/documents.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    langs, lang_n = zip(
+        *con.execute(
+            f"SELECT lang, count(*) FROM read_parquet('{SF01}/documents.parquet')"
+            " GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    )
+    p_lang = np.array(lang_n, dtype=float)
+    p_lang /= p_lang.sum()
+    lengths = rng.integers(10, 101, size=n)
+    texts = [
+        " ".join(rng.choice(vocab, size=int(ln))) for ln in lengths
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": texts,
+            "lang": rng.choice(langs, size=n, p=p_lang),
+            "source": [f"src{i % 20}" for i in range(n)],
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+
+
+def _gen_embeddings(rng: np.random.Generator, out: str, n: int) -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    cent = con.execute(
+        f"""SELECT label, list(m ORDER BY dim) FROM (
+            SELECT label, dim, avg(e) m FROM (
+                SELECT label,
+                       generate_subscripts(embedding, 1) dim,
+                       unnest(embedding) e
+                FROM read_parquet('{SF01}/embeddings.parquet')
+            ) GROUP BY 1, 2
+        ) GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    std = con.execute(
+        f"""SELECT stddev_samp(e) FROM (
+            SELECT unnest(embedding) e
+            FROM read_parquet('{SF01}/embeddings.parquet'))"""
+    ).fetchone()[0]
+    centroids = {lbl: np.array(m) for lbl, m in cent}
+    labels = rng.integers(0, len(centroids), size=n)
+    vecs = np.stack(
+        [centroids[int(l)] for l in labels]
+    ) + rng.normal(0, std * 0.6, size=(n, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int64)),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+
+
+def _gen_lineitem(rng: np.random.Generator, out: str, n_orders: int, n_parts: int) -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    items, counts = zip(
+        *con.execute(
+            f"""SELECT items, count(*) FROM (
+                SELECT l_orderkey, count(*) items
+                FROM read_parquet('{SF01}/lineitem.parquet') GROUP BY 1
+            ) GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    )
+    p = np.array(counts, dtype=float)
+    p /= p.sum()
+    per_order = rng.choice(np.array(items), size=n_orders, p=p)
+    total = int(per_order.sum())
+    orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), per_order)
+    partkeys = rng.integers(0, n_parts, size=total).astype(np.int64)
+    tbl = pa.table({"l_orderkey": orderkeys, "l_partkey": partkeys})
+    pq.write_table(tbl, os.path.join(out, "lineitem.parquet"))
+
+
+def ensure_tier(tier_dir: str) -> None:
+    marker = os.path.join(tier_dir, "_complete")
+    if os.path.exists(marker):
+        return
+    os.makedirs(tier_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    print(f"generating 10x tier under {tier_dir} ...", file=sys.stderr)
+    _gen_documents(rng, tier_dir, 50_000)
+    _gen_embeddings(rng, tier_dir, 20_000)
+    _gen_lineitem(rng, tier_dir, 1_500_000, 200_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier-dir", default="/tmp/tp3_scale_sf1")
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    args = ap.parse_args()
+    ensure_tier(args.tier_dir)
+
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+        all_queries,
+    )
+    from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
+
+    spark = get_spark("scale-tier")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def measure(name: str, sf_dir: str) -> float:
+        times = []
+        for i in range(4):  # 1 warmup + 3 measured
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            if i:
+                times.append(dt)
+        return min(times)
+
+    for name in args.queries.split(","):
+        base = measure(name, SF01)
+        big = measure(name, args.tier_dir)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": round(base, 3),
+                    "tier10x_sec": round(big, 3),
+                    "slope": round(big / base, 2),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
