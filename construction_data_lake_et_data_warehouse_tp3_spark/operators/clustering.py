@@ -98,11 +98,13 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _train(vecs: DataFrame) -> DataFrame:
+def _train(vecs: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
     """N_ITERS Lloyd iterations from the deterministic init (centroid k =
     vector with vec_id k); centroids localCheckpointed per iteration so
-    the iterated plan stays linear."""
-    cents = vecs.where(F.col("vec_id") < K_CLUSTERS).select(
+    the iterated plan stays linear. `k` defaults to the testdata
+    quantizer size the oracles unroll; corpus-adaptive callers
+    (semdedup_pairs) pass k ∝ N to keep expected cell size constant."""
+    cents = vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vd").alias("cd")
     )
     for _ in range(N_ITERS):

@@ -270,6 +270,11 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tests/test_retrieval.py. At deploy time this is the SemDeDup ε knob.
 SEM_TAU = 0.45
 
+#: target expected k-means cell size for semdedup's adaptive quantizer
+#: (k = max(8, N DIV SEM_CELL_TARGET)): bounds the within-cell pair join
+#: to ~N·SEM_CELL_TARGET comparisons at any corpus size.
+SEM_CELL_TARGET = 250
+
 _COS_NUM = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
     " cast(0 as double), (acc, x) -> acc + x)"
@@ -290,12 +295,18 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the cell join bounds pair expansion to Σ|cell|² instead of
     N² — with K grown ∝ N (the SemDeDup paper runs 50k clusters for
     LAION-scale corpora) expected cell size is constant, so the operator
-    stays linear; here K=8 matches the testdata quantizer shared with
-    kmeans_embeddings/ivf_kmeans_topk. Cosine folds are the sequential
-    double folds proven bit-identical in similarity.py; rounding to 4
-    decimals happens AFTER the ≥ τ comparison, which itself runs on the
-    bit-identical raw doubles."""
+    stays linear. The quantizer size IS grown that way here:
+    k = max(8, N // SEM_CELL_TARGET), so expected cell size stays ≤
+    SEM_CELL_TARGET and the pair join stays linear at any corpus — at
+    every driver-checked SF (N ≤ 2000) the formula yields exactly the
+    K=8 testdata quantizer the unrolled oracle replays (measured: the
+    fixed-K=8 form cost 8.4× at a 10× corpus — the quadratic
+    Σ|cell|² regime this formula removes; see SCALING.md r7). Cosine
+    folds are the sequential double folds proven bit-identical in
+    similarity.py; rounding to 4 decimals happens AFTER the ≥ τ
+    comparison, which itself runs on the bit-identical raw doubles."""
     vecs = _vectors(spark, sf_dir)
+    k = max(8, vecs.count() // SEM_CELL_TARGET)
     # per-vector norm computed ONCE before the pair expansion — inside
     # the |cell|² join only the dot-product fold remains (recomputing
     # both norms per pair tripled the fold work; the VALUE is unchanged
@@ -303,7 +314,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which still writes the norms inline, hashes identically).
     # Measured at sf0.1: 4.9 s → ~2 s for the bench line.
     assigned = (
-        _assign(vecs, _train(vecs))
+        _assign(vecs, _train(vecs, k=k))
         .withColumn(
             "vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))")
         )

@@ -143,7 +143,19 @@ def _gen_lineitem(rng: np.random.Generator, out: str, n_orders: int, n_parts: in
     total = int(per_order.sum())
     orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), per_order)
     partkeys = rng.integers(0, n_parts, size=total).astype(np.int64)
-    tbl = pa.table({"l_orderkey": orderkeys, "l_partkey": partkeys})
+    # l_shipdate present because load_table normalizes it (ns→µs repair);
+    # kcore never reads it, so a constant epoch-day spread is enough
+    ship_ns = (
+        np.int64(1_600_000_000_000_000_000)
+        + (orderkeys % 365) * np.int64(86_400_000_000_000)
+    )
+    tbl = pa.table(
+        {
+            "l_orderkey": orderkeys,
+            "l_partkey": partkeys,
+            "l_shipdate": pa.array(ship_ns, type=pa.int64()),
+        }
+    )
     pq.write_table(tbl, os.path.join(out, "lineitem.parquet"))
 
 
