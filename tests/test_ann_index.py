@@ -24,15 +24,28 @@ def _canon(df):
     return sorted(map(tuple, df.collect()))
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory):
+    """One build shared READ-ONLY by the reload-equality and catalog
+    tests (each build is ~8 s of training + two versioned exports); the
+    version-semantics test builds its own store because it mutates."""
+    root = str(tmp_path_factory.mktemp("ann_shared"))
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    meta = AnnIndex.build(spark, root, emb, name="vecidx")
+    return root, emb, meta
+
+
 class TestAnnIndex:
-    def test_query_after_reload_equals_fresh_fit(self, spark, tmp_path):
-        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-        meta = AnnIndex.build(spark, str(tmp_path), emb)
+    def test_query_after_reload_equals_fresh_fit(self, spark, built_index):
+        root, emb, meta = built_index
         assert meta["centroid_version"] == 1 and meta["posting_version"] == 1
         assert meta["vectors"] == emb.count()
 
         # a FRESH handle reads everything from the stored tables
-        idx = AnnIndex(spark, str(tmp_path))
+        idx = AnnIndex(spark, root, name="vecidx")
         q = emb.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
@@ -63,13 +76,12 @@ class TestAnnIndex:
         assert v2_cands and all(c % 2 == 0 for c in v2_cands)
         assert _canon(idx.topk(q, version=1)) == _canon(ivf_kmeans_topk(spark, SF_DIR))
 
-    def test_index_feeds_are_catalogued_tables(self, spark, tmp_path):
+    def test_index_feeds_are_catalogued_tables(self, spark, built_index):
         """Index components are ordinary version-partitioned table feeds
         under the lake root — visible to feeds list, covered by version
         retention, committed through the commit log."""
-        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-        AnnIndex.build(spark, str(tmp_path), emb, name="vecidx")
-        idx = AnnIndex(spark, str(tmp_path), name="vecidx")
+        root, _, _ = built_index
+        idx = AnnIndex(spark, root, name="vecidx")
         names = {c.feed_name for c in idx.catalog.list()}
         assert {"vecidx_centroids", "vecidx_postings"} <= names
         cfg = idx.catalog.get("vecidx_postings")

@@ -43,22 +43,22 @@ class TestStreamingClusters:
         for i, rows in enumerate(batches):
             m.process_batch(_pairs(spark, rows), i)
         all_edges = _pairs(spark, [e for rows in batches for e in rows])
-        assert _canon(m.clusters()) == _canon(cluster_edges(all_edges))
+        truth = _canon(m.clusters())
+        assert truth == _canon(cluster_edges(all_edges))
         # the bridged cluster collapsed to the global min label
         got = {r.doc_id: r.cluster_id for r in m.clusters().collect()}
         assert got[6] == 1 and got[5] == 1 and got[3] == 1
-
-    def test_replay_and_duplicate_edges_are_noops(self, spark, tmp_path):
-        m = StreamingClusterMaintainer(spark, str(tmp_path / "store"))
-        b0 = _pairs(spark, [(1, 2), (3, 4)])
-        m.process_batch(b0, 0)
-        truth = _canon(m.clusters())
-        # exact replay (same batch id) short-circuits on the ledger
-        c = m.process_batch(b0, 0)
+        # replay + redelivery noops on the SAME store (merged here from a
+        # standalone test: one maintainer setup instead of two, identical
+        # coverage): exact replay (same batch id) ledger-short-circuits,
+        # and the same edges under a NEW batch id are an idempotent fold
+        # (reversed orientation included).
+        c = m.process_batch(_pairs(spark, batches[0]), 0)
         assert c == {"edges": 0, "relabeled": 0}
         assert _canon(m.clusters()) == truth
-        # same edges re-delivered under a NEW batch id: idempotent fold
-        m.process_batch(_pairs(spark, [(2, 1), (3, 4)]), 1)
+        m.process_batch(
+            _pairs(spark, [(b, a) for a, b in batches[1]]), len(batches)
+        )
         assert _canon(m.clusters()) == truth
 
     def test_order_independence(self, spark, tmp_path):

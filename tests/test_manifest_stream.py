@@ -72,13 +72,20 @@ class TestStreamingManifest:
             half_b.localCheckpoint(eager=True),
         ]
         m = StreamingManifest(spark, str(tmp_path / "s"), eval_shingles=ev)
+        # fold every batch, compare the FINAL state against the batch
+        # capstone over the union (the intermediate-prefix capstone
+        # rebuild was cut for suite cost — r6 VERDICT ask #6; intermediate
+        # correctness stays covered by the planted prefix flows in
+        # test_late_smaller_doc_id_demotes_earlier_survivor and
+        # test_replay_is_a_noop_and_weights_shift_with_mix, and the fold
+        # is prefix-monotone: each process_batch only merges forward)
         seen = None
         for i, part in enumerate(batches):
             m.process_batch(part, i)
             seen = part if seen is None else seen.unionByName(part)
-            got = _canon(m.manifest())
-            want = _canon(_manifest_over(spark, seen, tmp_path, f"b{i}"))
-            assert got == want, f"diverged after batch {i}"
+        got = _canon(m.manifest())
+        want = _canon(_manifest_over(spark, seen, tmp_path, "final"))
+        assert got == want
 
     def test_late_smaller_doc_id_demotes_earlier_survivor(self, spark, tmp_path):
         """doc 50 (kept in batch 0) shares content with doc 3 arriving in

@@ -36,39 +36,41 @@ TESTS = os.path.join(REPO, "tests")
 #: Only the RELATIVE sizes matter for bucketing; stale entries degrade
 #: balance, never correctness.
 COSTS = {
-    "test_cluster_stream.py": 60,
-    "test_manifest_stream.py": 55,
+    "test_statistics_invariants.py": 28,
+    "test_cluster_stream.py": 75,
+    "test_manifest_stream.py": 45,
     "test_cms_stream.py": 50,
-    "test_sample_stream.py": 36,
-    "test_empty_input.py": 29,
-    "test_oracle_parity.py": 29,
-    "test_lake_transaction.py": 29,
-    "test_late_dim_stream.py": 29,
-    "test_r5h_ops.py": 27,
+    "test_sample_stream.py": 25,
+    "test_empty_input.py": 20,
+    "test_oracle_parity.py": 37,
+    "test_lake_transaction.py": 36,
+    "test_late_dim_stream.py": 43,
+    "test_r5h_ops.py": 60,
     "test_jdbc_sink.py": 24,
-    "test_warehouse.py": 24,
+    "test_warehouse.py": 35,
     "test_property_r5e.py": 21,
-    "test_stateful_sessions.py": 20,
-    "test_stream_join.py": 20,
-    "test_ann_stream.py": 20,
-    "test_r4_late_ops.py": 17,
+    "test_stateful_sessions.py": 12,
+    "test_stream_join.py": 30,
+    "test_ann_stream.py": 8,
+    "test_r4_late_ops.py": 30,
     "test_index_stream.py": 17,
     "test_streaming.py": 15,
     "test_dedup_stream.py": 15,
     "test_r5e_ops.py": 14,
     "test_scd2_stream.py": 14,
     "test_multimodal_plans.py": 12,
-    "test_cli.py": 45,
-    "test_ann_index.py": 30,
-    "test_oracle_types.py": 11,
-    "test_graph.py": 10,
+    "test_cli.py": 60,
+    "test_ann_index.py": 11,
+    "test_oracle_types.py": 16,
+    "test_graph.py": 14,
     "test_incremental_sync.py": 10,
     "test_sketch_stream.py": 10,
-    "test_plan_lint.py": 35,
+    "test_plan_lint.py": 23,
     "test_rollup_stream.py": 9,
     "test_sketches.py": 9,
     "test_rate_stream_live.py": 8,
     "test_clustering.py": 7,
+    "test_curation.py": 14,
     "test_curation_stream.py": 7,
     "test_quality.py": 7,
     "test_r5f_ops.py": 7,
@@ -109,6 +111,8 @@ def main() -> int:
             "-m",
             "pytest",
             "-q",
+            "--durations=0",
+            "--durations-min=0.05",
             "--basetemp",
             os.path.join(tmp, f"bt{i}"),
             *[os.path.join("tests", f) for f in bucket],
@@ -137,7 +141,34 @@ def main() -> int:
             print(f"    {line}")
         rc = rc or p.returncode
     print(f"total wall: {time.monotonic() - t0:.1f}s rc={rc}")
+    _report_measured_costs(tmp)
     return rc
+
+
+def _report_measured_costs(tmp: str) -> None:
+    """Sum per-test durations (pytest --durations=0 lines) into per-file
+    wall costs and print the ones that drifted >30% from COSTS — paste
+    the printed block over COSTS to retune the balance."""
+    import glob
+    import re
+
+    pat = re.compile(r"^\s*([0-9.]+)s\s+(?:call|setup|teardown)\s+tests/([^:]+)::")
+    measured: dict[str, float] = {}
+    for log in glob.glob(os.path.join(tmp, "shard*.log")):
+        for line in open(log):
+            m = pat.match(line)
+            if m:
+                measured[m.group(2)] = measured.get(m.group(2), 0.0) + float(m.group(1))
+    drifted = {
+        f: c
+        for f, c in measured.items()
+        if abs(c - COSTS.get(f, DEFAULT_COST)) > 0.3 * max(c, COSTS.get(f, DEFAULT_COST))
+        and max(c, COSTS.get(f, DEFAULT_COST)) >= 8
+    }
+    if drifted:
+        print("\nCOSTS drift detected (measured vs table); refreshed entries:")
+        for f, c in sorted(drifted.items(), key=lambda kv: -kv[1]):
+            print(f'    "{f}": {round(c)},   # was {COSTS.get(f, DEFAULT_COST)}')
 
 
 if __name__ == "__main__":
