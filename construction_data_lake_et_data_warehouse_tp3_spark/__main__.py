@@ -8,7 +8,7 @@ unified (`python -m construction_data_lake_et_data_warehouse_tp3_spark <cmd>`):
   permissions grant|list                          ≙ permissions_manager.py
   generate --topic --messages                     ≙ kafka_producer.py
   curate --input --store [--eval-shingles]        (continuous manifest)
-  ann build|query --name [--k --nprobe]           (persisted IVF index)
+  ann build|query|publish --name [--k --nprobe]   (persisted IVF index)
   bench                                           (bench.py passthrough)
 
 One SparkSession per invocation; feeds live under --lake-root (default
@@ -338,6 +338,13 @@ def cmd_ann(args) -> int:
         print(json.dumps(meta))
         return 0
     idx = AnnIndex(spark, root, name=args.name)
+    if args.action == "publish":
+        if not args.stream_store:
+            print("error: ann publish requires --stream-store", file=sys.stderr)
+            return 2
+        postings = spark.read.parquet(os.path.join(args.stream_store, "vectors"))
+        print(json.dumps(idx.publish_postings(postings)))
+        return 0
     qcol = "query_id" if "query_id" in df.columns else "vec_id"
     queries = df.select(F.col(qcol).alias("query_id"), "embedding")
     if args.limit:
@@ -441,7 +448,9 @@ def build_parser() -> argparse.ArgumentParser:
         "ann",
         help="persisted ANN index: build (fit+store versioned) / query (probe stored)",
     )
-    ann.add_argument("action", choices=["build", "query"])
+    ann.add_argument("action", choices=["build", "query", "publish"])
+    ann.add_argument("--stream-store", default=None,
+                     help="publish: StreamingVectorIndex store root to snapshot")
     ann.add_argument("--input", default=None,
                      help="parquet of (vec_id|query_id, embedding); default: embeddings table at --sf-dir")
     ann.add_argument("--sf-dir", default="/root/testdata/sf0.001")

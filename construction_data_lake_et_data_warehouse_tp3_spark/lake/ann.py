@@ -112,6 +112,60 @@ class AnnIndex:
             "vectors": meta_p.get("records"),
         }
 
+    @classmethod
+    def publish_from(
+        cls,
+        spark: SparkSession,
+        lake_root: str,
+        stream_index,
+        name: str = "ann",
+    ) -> dict:
+        """Publish a continuously-maintained StreamingVectorIndex
+        (streaming/ann_stream.py) as a new committed persisted-index
+        version: the stream store's postings (already cell-assigned with
+        the SAME _assign kernel) and its frozen centroids export through
+        the commit-log path. This is the FAISS-style lifecycle closed
+        end to end — train offline, ingest continuously, snapshot the
+        live index into a versioned artifact any later session can
+        probe; the in-flight stream keeps folding while readers pin the
+        published version."""
+        idx = cls(spark, lake_root, name)
+        meta_c = idx.writer.export_table(
+            stream_index.centroids.select("cid", "cd"), idx._cfg("centroids")
+        )
+        meta_p = idx.writer.export_table(
+            stream_index.table.read().select("vec_id", "cid", "vint"),
+            idx._cfg("postings"),
+        )
+        return {
+            "name": name,
+            "centroid_version": meta_c.get("version"),
+            "posting_version": meta_p.get("version"),
+            "centroids": meta_c.get("records"),
+            "vectors": meta_p.get("records"),
+        }
+
+    def publish_postings(self, postings: DataFrame) -> dict:
+        """Export a (vec_id, cid, vint) postings frame as a new committed
+        postings version under the EXISTING centroids — the CLI half of
+        publish_from for a stream store opened by path. Requires a
+        committed centroids version: postings carry cell ids that only
+        mean anything under the quantizer that assigned them."""
+        if not self.writer.committed_versions(self._cfg("centroids")):
+            raise LookupError(
+                f"index {self.name!r} has no committed centroids; "
+                "run `ann build` first — stream postings are only valid "
+                "under the quantizer that assigned them"
+            )
+        meta_p = self.writer.export_table(
+            postings.select("vec_id", "cid", "vint"), self._cfg("postings")
+        )
+        return {
+            "name": self.name,
+            "posting_version": meta_p.get("version"),
+            "vectors": meta_p.get("records"),
+        }
+
     # ---- read side -------------------------------------------------------
 
     def centroids(self, version: int | None = None) -> DataFrame:

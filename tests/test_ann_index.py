@@ -76,6 +76,38 @@ class TestAnnIndex:
         assert v2_cands and all(c % 2 == 0 for c in v2_cands)
         assert _canon(idx.topk(q, version=1)) == _canon(ivf_kmeans_topk(spark, SF_DIR))
 
+    def test_publish_from_streaming_index_equals_fresh_fit(
+        self, spark, tmp_path
+    ):
+        """Streaming ingest → publish → probe must equal the one-shot
+        fit: the stream store and the batch path share the assignment
+        kernel and the quantizer, so the published snapshot can't
+        diverge. Readers pin the published version while the stream
+        keeps folding."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.clustering import (
+            _train,
+            _vectors,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.ann_stream import (
+            StreamingVectorIndex,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        cents = _train(_vectors(spark, SF_DIR))
+        sidx = StreamingVectorIndex(spark, str(tmp_path / "stream"), cents)
+        sidx.process_batch(emb.where("vec_id % 2 = 0"), 0)
+        sidx.process_batch(emb.where("vec_id % 2 = 1"), 1)
+
+        meta = AnnIndex.publish_from(spark, str(tmp_path / "lake"), sidx)
+        assert meta["posting_version"] == 1
+        assert meta["vectors"] == emb.count()
+
+        idx = AnnIndex(spark, str(tmp_path / "lake"))
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        assert _canon(idx.topk(q)) == _canon(ivf_kmeans_topk(spark, SF_DIR))
+
     def test_index_feeds_are_catalogued_tables(self, spark, built_index):
         """Index components are ordinary version-partitioned table feeds
         under the lake root — visible to feeds list, covered by version
