@@ -72,6 +72,20 @@ def _gen_documents(rng: np.random.Generator, out: str, n: int) -> None:
     texts = [
         " ".join(rng.choice(vocab, size=int(ln))) for ln in lengths
     ]
+    # plant ~5% near-duplicates (copy an earlier doc, swap two words):
+    # the LSH→verify→CC pipelines cost tracks DUP DENSITY, so a tier
+    # with zero planted structure understates their work (the r7
+    # leakage_safe_split 0.62x row); 5% at ~2 edits keeps the dup rate
+    # in the testdata's ballpark while still exceeding the verify
+    # threshold for most pairs.
+    n_dups = n // 20
+    for j in range(n_dups):
+        i = n - n_dups + j
+        src = int(rng.integers(0, n - n_dups))
+        words = texts[src].split(" ")
+        for _ in range(min(2, len(words))):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+        texts[i] = " ".join(words)
     tbl = pa.table(
         {
             "doc_id": pa.array(range(n), type=pa.int64()),
