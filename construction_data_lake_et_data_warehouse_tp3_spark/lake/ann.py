@@ -48,6 +48,7 @@ from ..operators.clustering import (
     _train,
     ivf_probe_topk,
     prep_vectors,
+    quantizer_fingerprint,
 )
 from .catalog import FeedCatalog, FeedConfig, FeedType, PartitioningType, StorageMode
 from .writer import DataLakeWriter
@@ -101,9 +102,15 @@ class AnnIndex:
         idx = cls(spark, lake_root, name)
         vecs = prep_vectors(vectors)
         cents = _train(vecs)
+        fp = quantizer_fingerprint(cents)
         postings = _assign(vecs, cents).select("vec_id", "cid", "vint")
-        meta_c = idx.writer.export_table(cents.select("cid", "cd"), idx._cfg("centroids"))
-        meta_p = idx.writer.export_table(postings, idx._cfg("postings"))
+        meta_c = idx.writer.export_table(
+            cents.select("cid", "cd").withColumn("qfp", F.lit(fp)),
+            idx._cfg("centroids"),
+        )
+        meta_p = idx.writer.export_table(
+            postings.withColumn("qfp", F.lit(fp)), idx._cfg("postings")
+        )
         return {
             "name": name,
             "centroid_version": meta_c.get("version"),
@@ -130,11 +137,15 @@ class AnnIndex:
         probe; the in-flight stream keeps folding while readers pin the
         published version."""
         idx = cls(spark, lake_root, name)
+        fp = quantizer_fingerprint(stream_index.centroids)
         meta_c = idx.writer.export_table(
-            stream_index.centroids.select("cid", "cd"), idx._cfg("centroids")
+            stream_index.centroids.select("cid", "cd").withColumn("qfp", F.lit(fp)),
+            idx._cfg("centroids"),
         )
         meta_p = idx.writer.export_table(
-            stream_index.table.read().select("vec_id", "cid", "vint"),
+            stream_index.table.read()
+            .select("vec_id", "cid", "vint")
+            .withColumn("qfp", F.lit(fp)),
             idx._cfg("postings"),
         )
         return {
@@ -157,8 +168,28 @@ class AnnIndex:
                 "run `ann build` first — stream postings are only valid "
                 "under the quantizer that assigned them"
             )
+        # stamp AND verify the quantizer identity: a stream store carries
+        # the fingerprint of the quantizer that assigned its cells
+        # (StreamingVectorIndex stamps each row); publishing it under a
+        # mismatching centroids version would make every probe silently
+        # wrong, so that is an error, not a warning.
+        cents_fp = self.centroids().select("qfp").limit(1).collect()
+        own_fp = cents_fp[0].qfp if cents_fp and "qfp" in self.centroids().columns else None
+        if "qfp" in postings.columns:
+            store_fp = postings.select("qfp").limit(1).collect()
+            if store_fp and own_fp is not None and store_fp[0].qfp != own_fp:
+                raise ValueError(
+                    f"quantizer mismatch: stream store was assigned under "
+                    f"quantizer {store_fp[0].qfp[:12]}… but index "
+                    f"{self.name!r}'s committed centroids are "
+                    f"{own_fp[:12]}… — rebuild the stream store against "
+                    "the current centroids or re-run ann build"
+                )
         meta_p = self.writer.export_table(
-            postings.select("vec_id", "cid", "vint"), self._cfg("postings")
+            postings.select("vec_id", "cid", "vint").withColumn(
+                "qfp", F.lit(own_fp)
+            ),
+            self._cfg("postings"),
         )
         return {
             "name": self.name,
@@ -184,6 +215,21 @@ class AnnIndex:
         """ANN top-k for (query_id, embedding) rows against the stored
         index — identical kernel (ivf_probe_topk) to the fresh-fit and
         streaming paths, reading centroids + postings from the lake."""
+        cents = self.centroids(version)
+        posts = self.postings(version)
+        # pairing guard: the probed postings must have been assigned by
+        # the probed centroids (publish can advance the two feeds at
+        # different rates; a mismatched pair returns silently wrong
+        # neighbors, so it raises instead)
+        if "qfp" in cents.columns and "qfp" in posts.columns:
+            c_fp = cents.select("qfp").limit(1).collect()
+            p_fp = posts.select("qfp").limit(1).collect()
+            if c_fp and p_fp and c_fp[0].qfp != p_fp[0].qfp:
+                raise ValueError(
+                    f"quantizer mismatch in index {self.name!r}: centroids "
+                    f"{c_fp[0].qfp[:12]}… vs postings {p_fp[0].qfp[:12]}… — "
+                    "pin matching versions or republish"
+                )
         q = prep_vectors(
             queries.select(F.col("query_id").alias("vec_id"), "embedding")
         ).select(
@@ -192,7 +238,7 @@ class AnnIndex:
             F.expr(_NORM.format(a="vd")).alias("qn"),
         )
         stored = (
-            self.postings(version)
+            posts
             .select(
                 F.col("vec_id").alias("cand_id"),
                 "cid",

@@ -112,6 +112,23 @@ def _train(vecs: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
     return cents
 
 
+def quantizer_fingerprint(centroids: DataFrame) -> str:
+    """Deterministic identity of a trained coarse quantizer: md5 over the
+    (cid, micro-unit components) rows in cid order. Two centroid frames
+    fingerprint equal iff every component is bit-identical — the check
+    that stops an IVF posting list from being probed under a DIFFERENT
+    quantizer than the one that assigned it (cell ids are meaningless
+    across quantizers). K rows collect to the driver; the fingerprint is
+    corpus-size-independent."""
+    import hashlib
+
+    rows = sorted(
+        (int(r.cid), tuple(int(round(x * SCALE)) for x in r.cd))
+        for r in centroids.select("cid", "cd").collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd training + final assignment stats per cluster: member count,
     centroid norm, and inertia (Σ dist², accumulated in micro-units so

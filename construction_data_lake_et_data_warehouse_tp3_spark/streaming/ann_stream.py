@@ -39,6 +39,7 @@ from ..operators.clustering import (
     _assign,
     ivf_probe_topk,
     prep_vectors,
+    quantizer_fingerprint,
 )
 from ..warehouse.merge import ParquetTable, merge_into
 
@@ -51,7 +52,11 @@ class StreamingVectorIndex:
         self.table = ParquetTable(spark, os.path.join(store_root, "vectors"))
         # freeze the quantizer: the index contract is that cell ids are
         # stable for its lifetime (retrain offline → build a new index)
-        self.centroids = centroids.localCheckpoint(eager=True)
+        self.centroids = centroids.select("cid", "cd").localCheckpoint(eager=True)
+        #: quantizer identity stamped onto every store row, so a later
+        #: `ann publish` can refuse to pair these postings with different
+        #: centroids (lake/ann.py publish_postings guard)
+        self.qfp = quantizer_fingerprint(self.centroids)
 
     # ---- write side -----------------------------------------------------
 
@@ -66,8 +71,10 @@ class StreamingVectorIndex:
         """Assign the batch's vectors to cells and MERGE into the store;
         returns rows upserted. Idempotent on vec_id — a replayed batch
         (at-least-once delivery) re-lands the same rows."""
-        assigned = _assign(self._prep(batch), self.centroids).select(
-            "vec_id", "cid", "vint"
+        assigned = (
+            _assign(self._prep(batch), self.centroids)
+            .select("vec_id", "cid", "vint")
+            .withColumn("qfp", F.lit(self.qfp))
         )
         return merge_into(self.table, assigned, ("vec_id",), stamp_updated_at=False)
 

@@ -108,6 +108,48 @@ class TestAnnIndex:
         )
         assert _canon(idx.topk(q)) == _canon(ivf_kmeans_topk(spark, SF_DIR))
 
+    def test_publish_refuses_mismatched_quantizer(self, spark, tmp_path):
+        """A stream store assigned under a DIFFERENT quantizer than the
+        index's committed centroids must be rejected at publish — cell
+        ids are meaningless across quantizers, and a silent pairing
+        would return wrong neighbors on every probe."""
+        import pytest
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.clustering import (
+            _train,
+            _vectors,
+        )
+        from construction_data_lake_et_data_warehouse_tp3_spark.streaming.ann_stream import (
+            StreamingVectorIndex,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        AnnIndex.build(spark, str(tmp_path / "lake"), emb)
+        idx = AnnIndex(spark, str(tmp_path / "lake"))
+
+        # different quantizer: trained on a shifted subset -> different fp
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.clustering import (
+            prep_vectors,
+        )
+
+        doubled = emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").alias(
+                "embedding"
+            ),
+        )
+        other_cents = _train(prep_vectors(doubled))
+        sidx = StreamingVectorIndex(spark, str(tmp_path / "stream"), other_cents)
+        sidx.process_batch(emb.where("vec_id < 50"), 0)
+        with pytest.raises(ValueError, match="quantizer mismatch"):
+            idx.publish_postings(sidx.table.read())
+
+        # the matching store publishes cleanly
+        ok = StreamingVectorIndex(spark, str(tmp_path / "stream_ok"), idx.centroids())
+        ok.process_batch(emb.where("vec_id < 50"), 0)
+        meta = idx.publish_postings(ok.table.read())
+        assert meta["posting_version"] == 2 and meta["vectors"] == 50
+
     def test_index_feeds_are_catalogued_tables(self, spark, built_index):
         """Index components are ordinary version-partitioned table feeds
         under the lake root — visible to feeds list, covered by version
