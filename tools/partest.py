@@ -42,6 +42,7 @@ COSTS = {
     "test_cms_stream.py": 50,
     "test_sample_stream.py": 25,
     "test_empty_input.py": 20,
+    "test_singleton_input.py": 35,
     "test_oracle_parity.py": 37,
     "test_lake_transaction.py": 36,
     "test_late_dim_stream.py": 43,
