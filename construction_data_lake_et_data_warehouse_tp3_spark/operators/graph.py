@@ -254,12 +254,18 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("y * y")).alias("syy"),
         )
     )
+    # zero-variance guard: a REGULAR graph (all endpoint degrees equal,
+    # e.g. a cycle) zeroes both variance terms — assortativity is
+    # undefined, so NULL, not an ANSI DIVIDE_BY_ZERO; same CASE in the
+    # oracle so the hash still locks.
     return m.select(
         "n_edges",
         F.expr(
-            "CAST(n_edges * sxy - sx * sy AS DOUBLE)"
+            "CASE WHEN n_edges * sxx - sx * sx = 0"
+            " OR n_edges * syy - sy * sy = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(n_edges * sxy - sx * sy AS DOUBLE)"
             " / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))"
-            "    * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)))"
+            "    * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) END"
         ).alias("assortativity"),
     )
 
@@ -433,9 +439,11 @@ ORACLE = {
             JOIN deg dy ON dy.node = e.dst
         )
         SELECT n_edges,
-               CAST(n_edges * sxy - sx * sy AS DOUBLE)
+               CASE WHEN n_edges * sxx - sx * sx = 0
+                    OR n_edges * syy - sy * sy = 0 THEN NULL
+               ELSE CAST(n_edges * sxy - sx * sy AS DOUBLE)
                    / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
-                      * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)))
+                      * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) END
                    AS assortativity
         FROM m
     """,

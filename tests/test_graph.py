@@ -90,3 +90,31 @@ class TestKCore:
         r2 = {r.part_id for r in kcore_products(spark, out, k=2, rounds=2).collect()}
         assert 10 in r1  # deg(10)=2 while 11 still alive
         assert r2 == {1, 2, 3}  # 11 gone -> deg(10)=1 -> peeled
+
+
+class TestAssortativityDegenerate:
+    def test_regular_graph_is_null_not_divide_by_zero(self, spark, tmp_path):
+        """A cycle (every endpoint degree 2) zeroes both variance terms —
+        assortativity is undefined, so the result must be NULL rather
+        than an ANSI DIVIDE_BY_ZERO (found by the r7 degenerate-input
+        probes; the oracle carries the same guard so the hash locks)."""
+        import datetime
+
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            (o, pk, ts)
+            for o, pair in enumerate([(101, 102), (102, 103), (103, 101)])
+            for pk in pair
+        ]
+        out = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_shipdate timestamp"
+        ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+        got = degree_assortativity(spark, out).collect()
+        assert len(got) == 1
+        assert got[0].n_edges == 6  # 3 undirected edges, both orientations
+        assert got[0].assortativity is None
