@@ -217,6 +217,11 @@ def ivf_probe_topk(
     from pyspark.sql import Window
 
     cell_w = Window.partitionBy("query_id").orderBy("dist2", "cid")
+    # zero-norm vectors cannot participate in the cosine rerank
+    # (undefined; ANSI DIVIDE_BY_ZERO) — excluded on both sides; the
+    # exact-SQL oracles carry the same nrm > 0 predicate
+    queries = queries.where(F.col("qn") > 0)
+    stored = stored.where(F.col("cn") > 0)
     qcells = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("dist2", F.expr(_DIST2.format(a="qv", b="cd")))
@@ -277,7 +282,11 @@ def ann_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ann = idx.topk(q_rows).select("query_id", "cand_id")
 
-    vecs = _vectors(spark, sf_dir).withColumn("nrm", F.expr(_NORM.format(a="vd")))
+    vecs = (
+        _vectors(spark, sf_dir)
+        .withColumn("nrm", F.expr(_NORM.format(a="vd")))
+        .where(F.col("nrm") > 0)  # cosine-undefined vectors excluded (oracle vn matches)
+    )
     q = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -428,13 +437,17 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("e * e")).alias("ee"),
         F.sum(F.expr("o * o")).alias("oo"),
     )
+    # all-zero half-centroid (possible only when every vector of a
+    # label-parity is zero) -> cosine undefined -> NULL, not ANSI
+    # DIVIDE_BY_ZERO; same CASE in the oracle
     return g.select(
         "label",
         "n_even",
         "n_odd",
         F.expr(
-            "CAST(dot AS DOUBLE)"
-            " / (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE)))"
+            "CASE WHEN ee = 0 OR oo = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE))) END"
         ).alias("drift_cos"),
     )
 
@@ -540,8 +553,9 @@ ORACLE = {
             FROM byd GROUP BY 1
         )
         SELECT label, n_even, n_odd,
-               CAST(dot AS DOUBLE)
-                   / (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE)))
+               CASE WHEN ee = 0 OR oo = 0 THEN NULL
+               ELSE CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE))) END
                    AS drift_cos
         FROM g
     """,
@@ -617,6 +631,7 @@ ORACLE = {
             SELECT vec_id, vd,
                    sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
             FROM v
+            WHERE list_sum(list_transform(vd, x -> x * x)) > 0
         ),
         q AS (
             SELECT vec_id AS query_id, vd AS qv, nrm AS qn
@@ -660,6 +675,7 @@ ORACLE = {
             SELECT vec_id, vd,
                    sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
             FROM v
+            WHERE list_sum(list_transform(vd, x -> x * x)) > 0
         ),
         q AS (
             SELECT vec_id AS query_id, vd AS qv, nrm AS qn

@@ -319,6 +319,10 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))")
         )
         .withColumn("nrm", F.expr(_COS_NRM.format(a="vd")))
+        # zero-norm vectors can train/assign but cannot join the cosine
+        # pair expansion (undefined; ANSI DIVIDE_BY_ZERO) — same
+        # predicate in the oracle's withvd CTE
+        .where(F.col("nrm") > 0)
     )
     a = assigned.select(
         F.col("cid"),
@@ -533,6 +537,7 @@ def _semdedup_oracle() -> str:
             SELECT vec_id, cid,
                    list_transform(vint, x -> x / CAST({SCALE} AS DOUBLE)) AS vdx
             FROM a3
+            WHERE list_sum(list_transform(vint, x -> x * x)) > 0
         ),
         pairs AS (
             SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,

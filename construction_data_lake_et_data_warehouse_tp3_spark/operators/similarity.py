@@ -57,8 +57,14 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair loop only the dot-product fold remains (computing norms per pair
     tripled the fold work and the generated code size)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "label", F.expr(_TO_DOUBLE).alias("v")).withColumn(
-        "norm", F.expr(_NORM.format(a="v"))
+    return (
+        emb.select("vec_id", "label", F.expr(_TO_DOUBLE).alias("v"))
+        .withColumn("norm", F.expr(_NORM.format(a="v")))
+        # zero-norm vectors cannot participate in cosine similarity
+        # (undefined; would DIVIDE_BY_ZERO under ANSI) — excluded from
+        # the similarity universe here, with the same predicate in every
+        # consumer's oracle so hashes lock even on pathological input
+        .where(F.col("norm") > 0)
     )
 
 
@@ -246,7 +252,8 @@ def _duck_band_union() -> str:
 
 ORACLE = {
     "cosine_topk": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
         p AS (
             SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                    round(list_dot_product(q.v, c.v)
@@ -259,7 +266,8 @@ ORACLE = {
         ) WHERE rank <= {TOP_K}
     """,
     "embedding_dup_pairs": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
@@ -268,7 +276,8 @@ ORACLE = {
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {DUP_TAU}
     """,
     "embedding_dup_pairs_bucketed": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
         sigs AS (SELECT vec_id, v, {_duck_band_sigs()} FROM e),
         bands AS ({_duck_band_union()})
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -280,7 +289,8 @@ ORACLE = {
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {DUP_TAU}
     """,
     "lsh_buckets": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
         sigs AS (SELECT vec_id, concat({_DUCK_BITS}) AS bucket FROM e)
         SELECT bucket, count(*) AS n_vectors FROM sigs GROUP BY 1
     """,
