@@ -36,7 +36,7 @@ TESTS = os.path.join(REPO, "tests")
 #: Only the RELATIVE sizes matter for bucketing; stale entries degrade
 #: balance, never correctness.
 COSTS = {
-    "test_statistics_invariants.py": 28,
+    "test_statistics_invariants.py": 24,
     "test_cluster_stream.py": 75,
     "test_manifest_stream.py": 45,
     "test_cms_stream.py": 50,
@@ -50,32 +50,32 @@ COSTS = {
     "test_r5h_ops.py": 60,
     "test_jdbc_sink.py": 24,
     "test_warehouse.py": 35,
-    "test_property_r5e.py": 21,
+    "test_property_r5e.py": 40,
     "test_stateful_sessions.py": 12,
     "test_stream_join.py": 30,
     "test_ann_stream.py": 8,
-    "test_r4_late_ops.py": 30,
+    "test_r4_late_ops.py": 38,
     "test_index_stream.py": 17,
     "test_streaming.py": 15,
-    "test_dedup_stream.py": 15,
+    "test_dedup_stream.py": 19,
     "test_r5e_ops.py": 14,
     "test_scd2_stream.py": 14,
     "test_multimodal_plans.py": 12,
     "test_cli.py": 60,
-    "test_ann_index.py": 11,
+    "test_ann_index.py": 22,
     "test_oracle_types.py": 16,
-    "test_graph.py": 14,
+    "test_graph.py": 20,
     "test_incremental_sync.py": 10,
     "test_sketch_stream.py": 10,
     "test_plan_lint.py": 23,
     "test_rollup_stream.py": 9,
-    "test_sketches.py": 9,
+    "test_sketches.py": 13,
     "test_rate_stream_live.py": 8,
     "test_clustering.py": 7,
     "test_curation.py": 14,
     "test_curation_stream.py": 7,
     "test_quality.py": 7,
-    "test_r5f_ops.py": 7,
+    "test_r5f_ops.py": 15,
     "test_timetravel_schema.py": 7,
     "test_retrieval.py": 7,
     "test_property_money.py": 6,
