@@ -396,7 +396,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: with an even numeric suffix get 3× the sampling weight of odd ones, so
 #: the uniformly-generated testdata yields a genuinely non-uniform target
 #: and the downsampling branch is exercised.
-_MIX_WEIGHT = "CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN 3.0 ELSE 1.0 END"
+#: try_cast: a source whose name does not follow the srcN convention
+#: yields NULL (NULL % 2 = 0 is NULL -> ELSE arm) instead of an ANSI
+#: CAST_INVALID_INPUT crash — identical TRY_CAST semantics on DuckDB.
+_MIX_WEIGHT = (
+    "CASE WHEN try_cast(substr(source, 4, 10) AS INT) % 2 = 0"
+    " THEN 3.0 ELSE 1.0 END"
+)
 
 
 def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,8 +107,16 @@ def quality_signals(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("sym_chars"),
         F.length("text").alias("n_chars"),
     )
-    mean_len = F.round(F.col("word_chars") / F.col("n_words").cast("double"), 4)
-    sym_ratio = F.round(F.col("sym_chars") / F.col("n_chars").cast("double"), 4)
+    # empty/whitespace-only text: n_chars = 0 (and a pathological
+    # tokenizer change could zero n_words) — the ratios are undefined,
+    # so NULL (which fails the keep gate) rather than ANSI
+    # DIVIDE_BY_ZERO; the oracles carry the same nullif
+    mean_len = F.round(
+        F.col("word_chars") / F.expr("CAST(nullif(n_words, 0) AS DOUBLE)"), 4
+    )
+    sym_ratio = F.round(
+        F.col("sym_chars") / F.expr("CAST(nullif(n_chars, 0) AS DOUBLE)"), 4
+    )
     out = t.select(
         "doc_id",
         "text",
@@ -639,8 +647,8 @@ ORACLE = {
         ),
         s AS (
             SELECT doc_id, n_words,
-                   round(word_chars / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
-                   round(sym_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+                   round(word_chars / CAST(nullif(n_words, 0) AS DOUBLE), 4) AS mean_word_len,
+                   round(sym_chars / CAST(nullif(n_chars, 0) AS DOUBLE), 4) AS symbol_ratio,
                    stop_hits > 0 AS has_stopword
             FROM t
         )
@@ -752,8 +760,8 @@ ORACLE = {
         ),
         s AS (
             SELECT doc_id, source, h, n_words,
-                   round(word_chars / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
-                   round(sym_chars / CAST(n_chars AS DOUBLE), 4) AS symbol_ratio,
+                   round(word_chars / CAST(nullif(n_words, 0) AS DOUBLE), 4) AS mean_word_len,
+                   round(sym_chars / CAST(nullif(n_chars, 0) AS DOUBLE), 4) AS symbol_ratio,
                    stop_hits > 0 AS has_stopword
             FROM t
         ),

@@ -1,0 +1,75 @@
+"""Empty/whitespace-text robustness: every registry query must execute
+cleanly when the corpus contains empty and whitespace-only documents and
+sources that do not follow the srcN naming convention. Before the r7
+guards this input crashed training_manifest (symbol_ratio divides by
+n_chars = 0 under ANSI) and mixture_resample (CAST of a non-numeric
+source suffix). Engine semantics, mirrored in the oracles: undefined
+quality ratios are NULL (which fails the keep gate), and a non-srcN
+source takes the default mix weight via try_cast."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SRC = "/root/testdata/sf0.001"
+OTHER_TABLES = (
+    "region nation customer supplier part orders lineitem events embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_text_dir(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_empty_text"))
+    for t in OTHER_TABLES:
+        src = f"{SRC}/{t}.parquet"
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+            src, f"{dst}/{t}.parquet"
+        )
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (90001, "", "en", "srcX", 0),
+            (90002, "   ", "en", "srcX", 3),
+            (90003, "\t\n ", "fr", "srcY", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        extra
+    ).coalesce(1).write.parquet(f"{dst}/documents.parquet")
+    return dst
+
+
+def test_every_query_survives_empty_text(spark, empty_text_dir):
+    failures = []
+
+    def run(item):
+        name, fn = item
+        try:
+            fn(spark, empty_text_dir).count()
+        except Exception as exc:  # noqa: BLE001 - aggregate, then fail
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(run, sorted(entry_mod.queries().items())))
+    assert not failures, (
+        f"{len(failures)} queries crash on empty/odd-source documents:\n"
+        + "\n".join(sorted(failures))
+    )
+
+
+def test_empty_text_fails_the_keep_gate(spark, empty_text_dir):
+    """The undefined-ratio documents must be EXCLUDED by the quality
+    gate (NULL keep), not admitted with null signals."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.quality import (
+        training_manifest,
+    )
+
+    kept = {r.doc_id for r in training_manifest(spark, empty_text_dir).collect()}
+    assert kept and not kept & {90001, 90002, 90003}

@@ -44,6 +44,7 @@ COSTS = {
     "test_empty_input.py": 20,
     "test_singleton_input.py": 35,
     "test_zero_vector_input.py": 25,
+    "test_empty_text_input.py": 40,
     "test_oracle_parity.py": 37,
     "test_lake_transaction.py": 36,
     "test_late_dim_stream.py": 43,
