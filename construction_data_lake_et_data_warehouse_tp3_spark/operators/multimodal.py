@@ -189,7 +189,10 @@ def ppm_box_downsample(
         for pdf in batches:
             out = {k: [] for k in PPM_RESIZE_SCHEMA.fieldNames()}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                arr = _ppm_array(content).astype("int64")
+                try:
+                    arr = _ppm_array(content).astype("int64")
+                except (ValueError, TypeError):
+                    continue  # malformed blob: quarantine (skip), never fail the job
                 h, w = arr.shape[0] // factor, arr.shape[1] // factor
                 for by in range(h):
                     for bx in range(w):
@@ -233,10 +236,16 @@ def ppm_channel_stats(media: DataFrame, batch_partitions: int | None = None) -> 
         )
 
         for pdf in batches:
-            decoded = [decode_ppm(c) for c in pdf["content"]]
+            ids, decoded = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    decoded.append(decode_ppm(c))
+                    ids.append(mid)
+                except (ValueError, TypeError):
+                    continue  # malformed blob: quarantine (skip), never fail the job
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": ids,
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "r_mean": [d[2] for d in decoded],
@@ -375,10 +384,16 @@ def wav_waveform_stats(media: DataFrame, batch_partitions: int | None = None) ->
         )
 
         for pdf in batches:
-            decoded = [decode_wav(c) for c in pdf["content"]]
+            ids, decoded = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    decoded.append(decode_wav(c))
+                    ids.append(mid)
+                except (ValueError, TypeError):
+                    continue  # malformed blob: quarantine (skip), never fail the job
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": ids,
                     "n_samples": [d[0] for d in decoded],
                     "sample_rate": [d[1] for d in decoded],
                     "peak_abs": [d[2] for d in decoded],
@@ -505,10 +520,16 @@ def y4m_frame_stats(media: DataFrame, batch_partitions: int | None = None) -> Da
         )
 
         for pdf in batches:
-            decoded = [decode_y4m(c) for c in pdf["content"]]
+            ids, decoded = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    decoded.append(decode_y4m(c))
+                    ids.append(mid)
+                except (ValueError, TypeError):
+                    continue  # malformed blob: quarantine (skip), never fail the job
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": ids,
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "n_frames": [d[2] for d in decoded],
@@ -561,7 +582,10 @@ def y4m_frame_sample(
         for pdf in batches:
             ids, idxs, tss, lumas = [], [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                _, _, frame_lumas = decode_y4m_frames(content)
+                try:
+                    _, _, frame_lumas = decode_y4m_frames(content)
+                except (ValueError, TypeError):
+                    continue  # malformed blob: quarantine (skip), never fail the job
                 for i in range(0, len(frame_lumas), every_n):
                     ids.append(media_id)
                     idxs.append(i)

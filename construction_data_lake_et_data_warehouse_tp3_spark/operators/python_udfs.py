@@ -29,7 +29,9 @@ def pandas_scalar_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def normalize(texts: pd.Series) -> pd.Series:
         return texts.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # null text: nothing to normalize (oracle matches)
+    )
     return docs.select("doc_id", normalize("text").alias("norm_text"))
 
 
@@ -97,7 +99,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine compare is bit-stable."""
     from .multimodal import extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # null text -> null blob: quarantined (oracle matches)
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -216,7 +220,9 @@ def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["doc_id", "n_chars", "n_spaces"],
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # null text has no stats (oracle matches)
+    )
     return docs.select("doc_id", "text").mapInArrow(
         kernel, "doc_id long, n_chars long, n_spaces long"
     )
@@ -276,7 +282,7 @@ ORACLE = {
         WITH h AS (
             SELECT doc_id AS media_id,
                    md5(text) || md5(text || '1') || md5(text || '2') AS hx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         b AS (
             SELECT media_id, hx, CAST(unnest(range(0, 2)) AS INT) AS block_y
@@ -311,7 +317,7 @@ ORACLE = {
     "pandas_scalar_norm": """
         SELECT doc_id,
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     "pandas_udaf_value_stats": """
         SELECT event_type AS payment_method,
@@ -332,7 +338,7 @@ ORACLE = {
     # f0 = fraction of the 16 md5(text) bytes with byte % 8 == 0; bytes
     # re-derived from the hex digits, no blob handling needed
     "multimodal_features": """
-        WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+        WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL),
         b AS (
             SELECT media_id,
                    list_transform(range(0, 16),
@@ -352,7 +358,7 @@ ORACLE = {
         WITH h AS (
             SELECT doc_id AS media_id,
                    md5(text) || md5(text || '1') || md5(text || '2') AS hx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT media_id,
                4 AS width,
@@ -370,7 +376,7 @@ ORACLE = {
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
                    AS n_spaces
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     # the per-frame explode twin: one row per (doc, frame), luma mean
     # re-derived from the same digest bytes the kernel reads
@@ -378,7 +384,7 @@ ORACLE = {
         WITH h AS (
             SELECT doc_id AS media_id,
                    md5(text) || md5(text || '1') || md5(text || '2') AS hx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         f AS (
             SELECT media_id, hx, CAST(unnest(range(0, 2)) AS INT) AS frame_idx
@@ -398,7 +404,7 @@ ORACLE = {
         WITH h AS (
             SELECT doc_id AS media_id,
                    md5(text) || md5(text || '1') || md5(text || '2') AS hx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         fl AS (
             SELECT media_id,
@@ -421,7 +427,7 @@ ORACLE = {
         WITH h AS (
             SELECT doc_id AS media_id,
                    md5(text) || md5(text || '1') || md5(text || '2') AS hx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         s AS (
             SELECT media_id,

@@ -1,11 +1,15 @@
-"""Empty/whitespace-text robustness: every registry query must execute
-cleanly when the corpus contains empty and whitespace-only documents and
-sources that do not follow the srcN naming convention. Before the r7
-guards this input crashed training_manifest (symbol_ratio divides by
-n_chars = 0 under ANSI) and mixture_resample (CAST of a non-numeric
-source suffix). Engine semantics, mirrored in the oracles: undefined
-quality ratios are NULL (which fails the keep gate), and a non-srcN
-source takes the default mix weight via try_cast."""
+"""Dirty-input robustness: every registry query must execute cleanly
+when the corpus contains empty, whitespace-only, and NULL documents,
+sources that do not follow the srcN naming convention, and orders with
+negative or NULL prices. Before the r7 guards this input crashed
+training_manifest (symbol_ratio divides by n_chars = 0 under ANSI),
+mixture_resample (CAST of a non-numeric source suffix), and all five
+real-decode media kernels (a NULL text seed builds a NULL blob, and the
+PPM/WAV/Y4M decoders raised instead of quarantining). Engine semantics,
+mirrored in the oracles: undefined quality ratios are NULL (failing the
+keep gate), non-srcN sources take the default mix weight via try_cast,
+and malformed/NULL blobs are SKIPPED by the decode kernels — a corrupt
+object in a 100 TB corpus must never fail the job."""
 
 from __future__ import annotations
 
@@ -19,7 +23,7 @@ import __spark_entry__ as entry_mod
 
 SRC = "/root/testdata/sf0.001"
 OTHER_TABLES = (
-    "region nation customer supplier part orders lineitem events embeddings"
+    "region nation customer supplier part lineitem events embeddings"
 ).split()
 
 
@@ -37,12 +41,23 @@ def empty_text_dir(spark, tmp_path_factory):
             (90001, "", "en", "srcX", 0),
             (90002, "   ", "en", "srcX", 3),
             (90003, "\t\n ", "fr", "srcY", 3),
+            (90004, None, "en", "src0", 0),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
         extra
     ).coalesce(1).write.parquet(f"{dst}/documents.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    first = orders.limit(1).collect()[0]
+    dirty = spark.createDataFrame(
+        [
+            (900001, first.o_custkey, "F", -125.5, first.o_orderdate, "3-MEDIUM"),
+            (900002, first.o_custkey, "F", None, first.o_orderdate, "3-MEDIUM"),
+        ],
+        orders.schema,
+    )
+    orders.unionByName(dirty).coalesce(1).write.parquet(f"{dst}/orders.parquet")
     return dst
 
 
@@ -62,6 +77,19 @@ def test_every_query_survives_empty_text(spark, empty_text_dir):
         f"{len(failures)} queries crash on empty/odd-source documents:\n"
         + "\n".join(sorted(failures))
     )
+
+
+def test_null_blob_is_quarantined_not_fatal(spark, empty_text_dir):
+    """The NULL-text doc builds a NULL blob; the decode kernels must
+    SKIP it (quarantine) while decoding every well-formed sibling."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.python_udfs import (
+        ppm_pixel_stats,
+        wav_audio_stats,
+    )
+
+    for q in (ppm_pixel_stats, wav_audio_stats):
+        ids = {r.media_id for r in q(spark, empty_text_dir).collect()}
+        assert ids and 90004 not in ids
 
 
 def test_empty_text_fails_the_keep_gate(spark, empty_text_dir):
