@@ -72,14 +72,18 @@ def apply_in_pandas_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (UDTF-ish, §2.10 #68): arbitrary per-group pandas
     logic; here fixed-point group stats with an exact SQL twin."""
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["value"] * 100).round().astype("int64")
+        # SQL-aggregate NULL semantics, matching the oracle exactly:
+        # count(*) counts every row; sum/min/max ignore NULL values
+        # (a NaN reaching astype(int64) would raise IntCastingNaNError)
+        vals = pdf["value"].dropna()
+        cents = (vals * 100).round().astype("int64")
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_events": [len(pdf)],
-                "total_cents": [int(cents.sum())],
-                "min_cents": [int(cents.min())],
-                "max_cents": [int(cents.max())],
+                "total_cents": [int(cents.sum()) if len(cents) else None],
+                "min_cents": [int(cents.min()) if len(cents) else None],
+                "max_cents": [int(cents.max()) if len(cents) else None],
             }
         )
 

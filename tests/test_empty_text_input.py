@@ -1,7 +1,9 @@
 """Dirty-input robustness: every registry query must execute cleanly
 when the corpus contains empty, whitespace-only, and NULL documents,
-sources that do not follow the srcN naming convention, and orders with
-negative or NULL prices. Before the r7 guards this input crashed
+sources that do not follow the srcN naming convention, orders with
+negative or NULL prices, events with NULL user/type/value/timestamp,
+and embeddings that are NULL or wrong-length. Before the r7 guards this
+input crashed
 training_manifest (symbol_ratio divides by n_chars = 0 under ANSI),
 mixture_resample (CAST of a non-numeric source suffix), and all five
 real-decode media kernels (a NULL text seed builds a NULL blob, and the
@@ -9,7 +11,10 @@ PPM/WAV/Y4M decoders raised instead of quarantining). Engine semantics,
 mirrored in the oracles: undefined quality ratios are NULL (failing the
 keep gate), non-srcN sources take the default mix weight via try_cast,
 and malformed/NULL blobs are SKIPPED by the decode kernels — a corrupt
-object in a 100 TB corpus must never fail the job."""
+object in a 100 TB corpus must never fail the job. The applyInPandas
+group-stats kernel keeps SQL aggregate NULL semantics (count(*) counts
+every row, sum/min/max ignore NULLs) instead of letting a NaN reach an
+int64 cast."""
 
 from __future__ import annotations
 
@@ -23,7 +28,7 @@ import __spark_entry__ as entry_mod
 
 SRC = "/root/testdata/sf0.001"
 OTHER_TABLES = (
-    "region nation customer supplier part lineitem events embeddings"
+    "region nation customer supplier part lineitem"
 ).split()
 
 
@@ -58,6 +63,24 @@ def empty_text_dir(spark, tmp_path_factory):
         orders.schema,
     )
     orders.unionByName(dirty).coalesce(1).write.parquet(f"{dst}/orders.parquet")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    first_ev = ev.limit(1).collect()[0]
+    dirty_ev = spark.createDataFrame(
+        [
+            (990001, None, None, None, None, None),
+            (990002, first_ev.ts, None, "view", 1.0, "{}"),
+        ],
+        ev.schema,
+    )
+    ev.unionByName(dirty_ev).coalesce(1).write.parquet(f"{dst}/events.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    bad_emb = spark.createDataFrame(
+        [(100001, None, 0), (100002, [0.5] * 63, 1), (100003, [0.25] * 70, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.select("vec_id", "embedding", "label").unionByName(bad_emb).coalesce(
+        1
+    ).write.parquet(f"{dst}/embeddings.parquet")
     return dst
 
 
