@@ -54,6 +54,24 @@ from .catalog import FeedCatalog, FeedConfig, FeedType, PartitioningType, Storag
 from .writer import DataLakeWriter
 
 
+def _sole_fingerprint(df: DataFrame, what: str) -> str | None:
+    """The single quantizer fingerprint a frame is stamped with, or None
+    when the frame predates stamping (no qfp column / no rows). A frame
+    carrying MORE than one distinct fingerprint is corrupt by definition
+    (its cell ids were assigned by different quantizers) and raises —
+    deterministically, unlike sampling one arbitrary row."""
+    if "qfp" not in df.columns:
+        return None
+    fps = sorted(r.qfp for r in df.select("qfp").distinct().collect() if r.qfp is not None)
+    if len(fps) > 1:
+        raise ValueError(
+            f"{what} mixes rows stamped under {len(fps)} different "
+            f"quantizers ({', '.join(fp[:12] + '…' for fp in fps)}) — "
+            "the store is corrupt; rebuild it under one quantizer"
+        )
+    return fps[0] if fps else None
+
+
 def _table_cfg(feed_name: str) -> FeedConfig:
     return FeedConfig(
         feed_name=feed_name,
@@ -172,22 +190,28 @@ class AnnIndex:
         # the fingerprint of the quantizer that assigned its cells
         # (StreamingVectorIndex stamps each row); publishing it under a
         # mismatching centroids version would make every probe silently
-        # wrong, so that is an error, not a warning.
-        cents_fp = self.centroids().select("qfp").limit(1).collect()
-        own_fp = cents_fp[0].qfp if cents_fp and "qfp" in self.centroids().columns else None
+        # wrong, so that is an error, not a warning. The column-existence
+        # check runs BEFORE any select so a legacy centroids table
+        # without qfp takes the own_fp=None fallback instead of raising
+        # AnalysisException, and DISTINCT fingerprints are compared (not
+        # one arbitrary limit(1) row) so a store mixing rows stamped
+        # under two quantizers fails deterministically.
+        own_fp = _sole_fingerprint(self.centroids(), f"index {self.name!r} centroids")
         if "qfp" in postings.columns:
-            store_fp = postings.select("qfp").limit(1).collect()
-            if store_fp and own_fp is not None and store_fp[0].qfp != own_fp:
+            store_fp = _sole_fingerprint(postings, "stream store postings")
+            if store_fp is not None and own_fp is not None and store_fp != own_fp:
                 raise ValueError(
                     f"quantizer mismatch: stream store was assigned under "
-                    f"quantizer {store_fp[0].qfp[:12]}… but index "
+                    f"quantizer {store_fp[:12]}… but index "
                     f"{self.name!r}'s committed centroids are "
                     f"{own_fp[:12]}… — rebuild the stream store against "
                     "the current centroids or re-run ann build"
                 )
         meta_p = self.writer.export_table(
+            # cast the stamp: F.lit(None) alone is void-typed, which the
+            # parquet writer rejects when own_fp is the legacy fallback
             postings.select("vec_id", "cid", "vint").withColumn(
-                "qfp", F.lit(own_fp)
+                "qfp", F.lit(own_fp).cast("string")
             ),
             self._cfg("postings"),
         )
@@ -220,14 +244,18 @@ class AnnIndex:
         # pairing guard: the probed postings must have been assigned by
         # the probed centroids (publish can advance the two feeds at
         # different rates; a mismatched pair returns silently wrong
-        # neighbors, so it raises instead)
+        # neighbors, so it raises instead). DISTINCT fingerprints, not
+        # limit(1): a postings version mixing rows stamped under two
+        # quantizers must fail every probe, not only the probes whose
+        # arbitrary sampled row happened to mismatch. The distinct is a
+        # column-pruned scan of one dictionary-encoded string column.
         if "qfp" in cents.columns and "qfp" in posts.columns:
-            c_fp = cents.select("qfp").limit(1).collect()
-            p_fp = posts.select("qfp").limit(1).collect()
-            if c_fp and p_fp and c_fp[0].qfp != p_fp[0].qfp:
+            c_fp = _sole_fingerprint(cents, f"index {self.name!r} centroids")
+            p_fp = _sole_fingerprint(posts, f"index {self.name!r} postings")
+            if c_fp is not None and p_fp is not None and c_fp != p_fp:
                 raise ValueError(
                     f"quantizer mismatch in index {self.name!r}: centroids "
-                    f"{c_fp[0].qfp[:12]}… vs postings {p_fp[0].qfp[:12]}… — "
+                    f"{c_fp[:12]}… vs postings {p_fp[:12]}… — "
                     "pin matching versions or republish"
                 )
         q = prep_vectors(

@@ -134,8 +134,14 @@ def kmv_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = KMV_K
     events = load_table(spark, sf_dir, "events")
     h = _h(0, "spark")
+    # NULL user_id hashes to NULL; Spark's ascending sort puts NULLs
+    # FIRST while DuckDB's puts them LAST, so an unfiltered NULL would
+    # silently occupy a bottom-B slot on one engine only (count(*) sees
+    # it, max(h) ignores it) and skew the estimate. Drop it explicitly
+    # on BOTH engines — a NULL key is not a distinct user.
     bottom = (
         events.select(F.expr(h).alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(B)
@@ -436,7 +442,8 @@ def _distinct_oracle() -> str:
 def _distinct_check_oracle() -> str:
     B = KMV_K
     return f"""
-        WITH dh AS (SELECT DISTINCT {_h(0, 'duck')} AS h FROM events),
+        WITH dh AS (SELECT DISTINCT {_h(0, 'duck')} AS h FROM events
+                    WHERE user_id IS NOT NULL),
         b AS (SELECT h FROM dh ORDER BY h LIMIT {B}),
         s AS (SELECT CAST(count(*) AS BIGINT) AS bk,
                      CAST(max(h) AS BIGINT) AS hb FROM b),

@@ -150,6 +150,25 @@ class TestAnnIndex:
         meta = idx.publish_postings(ok.table.read())
         assert meta["posting_version"] == 2 and meta["vectors"] == 50
 
+    def test_publish_refuses_mixed_fingerprint_store(self, spark, built_index):
+        """A store whose rows are stamped under TWO quantizers is corrupt
+        by definition and must fail DETERMINISTICALLY — the guard compares
+        DISTINCT fingerprints, not one arbitrary limit(1) row that could
+        let the same corrupt store pass or fail run to run (ADVICE r7)."""
+        import pytest
+
+        root, emb, _ = built_index
+        idx = AnnIndex(spark, root, name="vecidx")
+        good = idx.postings()
+        mixed = good.withColumn(
+            "qfp",
+            F.when(F.col("vec_id") % 2 == 0, F.col("qfp")).otherwise(
+                F.lit("0" * 32)
+            ),
+        )
+        with pytest.raises(ValueError, match="mixes rows"):
+            idx.publish_postings(mixed)
+
     def test_index_feeds_are_catalogued_tables(self, spark, built_index):
         """Index components are ordinary version-partitioned table feeds
         under the lake root — visible to feeds list, covered by version

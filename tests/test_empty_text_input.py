@@ -115,6 +115,29 @@ def test_null_blob_is_quarantined_not_fatal(spark, empty_text_dir):
         assert ids and 90004 not in ids
 
 
+def test_kmv_distinct_check_null_user_parity(spark, empty_text_dir):
+    """NULL user_id must not skew the bottom-k sketch: Spark sorts NULLs
+    FIRST and DuckDB LAST, so an unfiltered NULL hash occupies a bottom-B
+    slot on one engine only (ADVICE r7). Both engines now drop it; this
+    locks value parity on the dirty corpus, where the no-crash sweep
+    alone let the divergence pass silently."""
+    import duckdb
+
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.sketches import (
+        ORACLE,
+        kmv_distinct_check,
+    )
+
+    srow = kmv_distinct_check(spark, empty_text_dir).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{empty_text_dir}/events.parquet/*.parquet')"
+    )
+    orow = con.execute(ORACLE["kmv_distinct_check"]).fetchone()
+    assert (srow.n_exact, srow.est_distinct, srow.err_bp) == orow
+
+
 def test_empty_text_fails_the_keep_gate(spark, empty_text_dir):
     """The undefined-ratio documents must be EXCLUDED by the quality
     gate (NULL keep), not admitted with null signals."""
