@@ -46,65 +46,20 @@ _MODULES = (
 # most ~50 queries per round in registry order.  Queries with no driver-green
 # row in any prior round enumerate first so every query accumulates at least
 # one CORRECTNESS_r{N} row across rounds; long-green queries rotate to the
-# back.  (CORRECTNESS_r01/r02 each contained exactly 50 rows while the
-# registry held 69 — see VERDICT.md round 2, "Next round" item 1.)
+# back.
+# r8 rotation (VERDICT r7 ask #1): STRICT staleness order — each query
+# sorted by the round of its latest green driver row (r3 block of 8
+# first, then the r4 / r5 / r6 / r7 blocks, alphabetical within a
+# block). The driver checks ~50/round, so this ordering refreshes the
+# oldest fifth of the registry every round and no row ever ages past
+# 4 rounds. GOVERNANCE (VERDICT r7 ask #5): the registry is CAPPED at
+# 200 = 4 rounds x 50 driver checks; a new query must replace a
+# retired one. tools/freshness.py (run by tests/test_freshness.py)
+# enforces both invariants: it fails the suite if any query's latest
+# green row is >4 rounds older than the newest committed CORRECTNESS
+# file, if a registry query has no committed row and no head-of-line
+# priority slot, or if the registry outgrows rotation capacity.
 _DRIVER_PRIORITY = (
-    # r7 rotation (VERDICT r6 ask #1): new-in-r7 queries first (need
-    # their first driver row), then strict staleness order —
-    # r2-latest (6), the r3 block (50), then r4/r5/r6 greens at the
-    # back.  The driver checks ~50/round: r7 covers the new pair, the
-    # r2 six, and ~42 of the r3 block; the r3 remainder heads the r8
-    # sweep, after which no row is older than 2 rounds.
-    "ann_index_recall_check",
-    "kmv_distinct_check",
-    "median_order_value_approx",
-    "order_event_days_full",
-    "pivot_status_revenue",
-    "price_band_range_join",
-    "regexp_extract_ids",
-    "tfidf_top_terms",
-    "above_avg_orders",
-    "amount_bucket_histogram",
-    "ann_ivf_topk",
-    "anonymize_stream",
-    "apply_in_pandas_group_stats",
-    "blacklist_filter",
-    "bpe_token_count",
-    "corpus_curation",
-    "cosine_topk",
-    "cube_revenue",
-    "doc_fingerprint",
-    "dup_clusters",
-    "embedding_dup_pairs",
-    "embedding_dup_pairs_bucketed",
-    "fk_miss_detection",
-    "grouping_sets_revenue",
-    "lang_id",
-    "latest_version_per_feed",
-    "lsh_buckets",
-    "minhash_verified_dups",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "open_only_buyers_except",
-    "order_status_matrix",
-    "pandas_scalar_norm",
-    "pandas_udaf_value_stats",
-    "payment_method_lookup",
-    "payment_method_totals",
-    "ppm_pixel_stats",
-    "product_purchase_counts",
-    "product_purchase_counts_approx",
-    "projection_pushdown",
-    "repeat_buyers_intersect",
-    "retention_candidates",
-    "rolling_7d_revenue",
-    "rollup_revenue",
-    "simhash_hamming_pairs",
-    "simhash_signatures",
-    "star_schema_revenue",
-    "stratified_sample",
-    "string_functions_showcase",
-    "text_quality",
     "time_bucket_rollup",
     "token_count",
     "top_event_per_user",
@@ -255,6 +210,56 @@ _DRIVER_PRIORITY = (
     "wav_audio_stats",
     "weekday_revenue_profile",
     "y4m_video_stats",
+    "above_avg_orders",
+    "amount_bucket_histogram",
+    "ann_index_recall_check",
+    "ann_ivf_topk",
+    "anonymize_stream",
+    "apply_in_pandas_group_stats",
+    "blacklist_filter",
+    "bpe_token_count",
+    "corpus_curation",
+    "cosine_topk",
+    "cube_revenue",
+    "doc_fingerprint",
+    "dup_clusters",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_bucketed",
+    "fk_miss_detection",
+    "grouping_sets_revenue",
+    "kmv_distinct_check",
+    "lang_id",
+    "latest_version_per_feed",
+    "lsh_buckets",
+    "median_order_value_approx",
+    "minhash_verified_dups",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "open_only_buyers_except",
+    "order_event_days_full",
+    "order_status_matrix",
+    "pandas_scalar_norm",
+    "pandas_udaf_value_stats",
+    "payment_method_lookup",
+    "payment_method_totals",
+    "pivot_status_revenue",
+    "ppm_pixel_stats",
+    "price_band_range_join",
+    "product_purchase_counts",
+    "product_purchase_counts_approx",
+    "projection_pushdown",
+    "regexp_extract_ids",
+    "repeat_buyers_intersect",
+    "retention_candidates",
+    "rolling_7d_revenue",
+    "rollup_revenue",
+    "simhash_hamming_pairs",
+    "simhash_signatures",
+    "star_schema_revenue",
+    "stratified_sample",
+    "string_functions_showcase",
+    "text_quality",
+    "tfidf_top_terms",
 )
 
 
