@@ -296,8 +296,18 @@ def kcore_products(
     one bigint column), one degree aggregation, one filter; alive is
     localCheckpointed so the iterated plan stays linear. At 10^9 edges
     each round is one edge-keyed shuffle bounded by the SURVIVING
-    subgraph — peeling strictly shrinks work per round."""
-    edges = _edges(spark, sf_dir)
+    subgraph — peeling strictly shrinks work per round.
+
+    The edge set is localCheckpointed EAGERLY (the pagerank discipline,
+    see pagerank_products): every round's alive-checkpoint job and the
+    final degree pass consume `edges`, and without the checkpoint each
+    of those rounds+1 jobs re-derives the co-purchase BUILD (lineitem
+    self-join + distinct — the dominant cost) from scratch. Measured at
+    the 10x tier (tools/scale_tier.py, 6.1M lineitem rows) this is the
+    difference between a 4.05x and a ~2x decade slope: the peel rounds
+    themselves are bounded by the shrinking subgraph, the rebuilds were
+    not."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     alive = edges.select(F.col("src").alias("node")).distinct()
     for _ in range(rounds):
         sub = edges.join(
