@@ -240,32 +240,8 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shingles for counts, one per-doc sort of ~m entries, candidate
     buckets bounded by rare-shingle frequencies."""
     docs = load_table(spark, sf_dir, "documents")
-    # explode the EXPRESSION, not the aliased column: exploding `ts`
-    # makes Spark infer a size(ts) > 0 filter below the exchange that
-    # re-evaluates the whole shingle transform a second time (~6× the
-    # stage cost, measured at sf0.1)
-    ex = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
-    cnt = ex.groupBy("s").agg(F.count("*").alias("cnt"))
-    # `ordered` is consumed three times (prefix explode + both verify
-    # sides). The static plan re-expands the subtree, but Spark's
-    # exchange-reuse dedupes the identical groupBy exchange at runtime —
-    # measured FASTER than an eager localCheckpoint of the index at
-    # sf0.1 (2.5 s vs 3.8 s), because the checkpoint pays a full
-    # materialization without saving any distinct exchange. If a future
-    # Spark stops reusing these exchanges, checkpointing `ordered` here
-    # is the PPJoin-literature "build the prefix index" fallback.
-    ordered = ex.join(cnt, "s").groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(cnt, s))), p -> p.s)"
-        ).alias("os"),
-        F.count("*").alias("m"),
-    )
-    ceil_tm = f"CAST((m * {PPJOIN_NUM} + {PPJOIN_DEN} - 1) DIV {PPJOIN_DEN} AS INT)"
-    pex = ordered.select(
-        "doc_id",
-        "m",
-        F.posexplode(F.expr(f"slice(os, 1, m - {ceil_tm} + 1)")).alias("pos", "s"),
-    )
+    ordered = _ppjoin_ordered(docs)
+    pex = _ppjoin_prefix(ordered)
     cand = (
         pex.alias("a")
         .join(pex.alias("b"), "s")
@@ -282,10 +258,54 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify against the ORDERED arrays already built for the prefixes —
-    # `os` is the same distinct-shingle set as `ts` (array_intersect is
-    # order-insensitive), so the verify side re-uses the ordered subtree
-    # instead of re-deriving corpus shingles twice more
+    return _ppjoin_verify(cand, ordered)
+
+
+def _ppjoin_ordered(docs: DataFrame) -> DataFrame:
+    """(doc_id, os, m): each doc's distinct word-3-gram shingles ordered
+    by (global frequency asc, shingle) — the PPJoin prefix index base,
+    shared by the generator, the verify kernel, and the saturation probe.
+
+    The shingle EXPRESSION is exploded, not an aliased column: exploding
+    `ts` makes Spark infer a size(ts) > 0 filter below the exchange that
+    re-evaluates the whole shingle transform a second time (~6× the
+    stage cost, measured at sf0.1). `ordered` is consumed three times
+    (prefix explode + both verify sides); the static plan re-expands the
+    subtree, but Spark's exchange-reuse dedupes the identical groupBy
+    exchange at runtime — measured FASTER than an eager localCheckpoint
+    of the index at sf0.1 (2.5 s vs 3.8 s), because the checkpoint pays
+    a full materialization without saving any distinct exchange. If a
+    future Spark stops reusing these exchanges, checkpointing here is
+    the PPJoin-literature "build the prefix index" fallback."""
+    ex = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
+    cnt = ex.groupBy("s").agg(F.count("*").alias("cnt"))
+    return ex.join(cnt, "s").groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(cnt, s))), p -> p.s)"
+        ).alias("os"),
+        F.count("*").alias("m"),
+    )
+
+
+def _ppjoin_prefix(ordered: DataFrame) -> DataFrame:
+    """(doc_id, m, pos, s): the prefix entries — first m − ⌈θ·m⌉ + 1
+    frequency-ordered shingles per doc, with 0-based position."""
+    ceil_tm = f"CAST((m * {PPJOIN_NUM} + {PPJOIN_DEN} - 1) DIV {PPJOIN_DEN} AS INT)"
+    return ordered.select(
+        "doc_id",
+        "m",
+        F.posexplode(F.expr(f"slice(os, 1, m - {ceil_tm} + 1)")).alias("pos", "s"),
+    )
+
+
+def _ppjoin_verify(cand: DataFrame, ordered: DataFrame) -> DataFrame:
+    """The exact θ-Jaccard verification kernel: join candidate (doc_a,
+    doc_b) pairs to the ordered shingle arrays, exact array_intersect,
+    integer guard (DEN+NUM)·i ≥ NUM·(m_a+m_b) ⇔ J ≥ θ. Shared by the
+    PPJoin generator and the saturation-routed LSH path — `os` is the
+    same distinct-shingle set as the raw shingles (array_intersect is
+    order-insensitive), so the verify side re-uses the ordered subtree
+    instead of re-deriving corpus shingles."""
     ta = ordered.select(F.col("doc_id").alias("doc_a"), F.col("os").alias("ts_a"))
     tb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("os").alias("ts_b"))
     verified = (
@@ -312,6 +332,70 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+#: saturation cutoff for the routed entry point: an UNSATURATED corpus
+#: grows its prefix-shingle vocabulary at least linearly with docs
+#: (Heaps' law), so distinct-prefix-shingles ≥ docs holds with huge
+#: margin on open-vocab text (sf0.1: 20.4k distinct prefixes / 5k docs
+#: = 4.1). When the ratio drops below 1 the shingle space is exhausted
+#: (closed/templated vocabulary — the 10× tier measures 22.6k / 50k
+#: = 0.45) and prefix-bucket pairs grow quadratically (measured 118×
+#: pairs at 10× docs, SCALING.md r7).
+PPJOIN_SATURATION_RATIO = 1.0
+
+
+def ppjoin_prefix_stats(docs: DataFrame) -> tuple[int, int]:
+    """(n_docs, distinct_prefix_shingles) — the ONE cheap aggregate the
+    saturation guard needs: one pass over the prefix index, no pair
+    expansion. At 100 TB this is a map-side partial-aggregated distinct
+    over ≤~30 short strings per doc."""
+    row = (
+        _ppjoin_prefix(_ppjoin_ordered(docs))
+        .agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.countDistinct("s").alias("d"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), int(row.d)
+
+
+def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment entry point for θ-Jaccard near-dup pairs (VERDICT r7
+    ask #6): probe prefix saturation first, then route.
+
+    - UNSATURATED (distinct prefix shingles ≥ docs): the exact PPJoin —
+      complete by the prefix-filtering theorem, linear on open-vocab
+      corpora.
+    - SATURATED (closed/templated vocabulary): prefix buckets are
+      non-discriminative and the exact generator goes quadratic
+      (measured 118× pair growth at 10× docs, SCALING.md r7), so the
+      candidate generator switches to MinHash-LSH banding — whose
+      bucket cap keeps it linear regardless of vocabulary — with the
+      SAME PPJoin verification kernel (exact intersection + integer
+      θ-guard) on the candidates. The trade is explicit: completeness
+      becomes the LSH recall curve instead of exact, which is the
+      documented 100 TB posture for such corpora.
+
+    The registry's `ppjoin_jaccard_pairs` stays the always-exact form so
+    the brute-force oracle proves candidate completeness every round;
+    this router is the shape the curation pipeline calls."""
+    import logging
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs, d_prefix = ppjoin_prefix_stats(docs)
+    if d_prefix >= PPJOIN_SATURATION_RATIO * n_docs:
+        return ppjoin_jaccard_pairs(spark, sf_dir)
+    logging.getLogger(__name__).warning(
+        "ppjoin prefix index saturated (%d distinct prefix shingles for "
+        "%d docs): routing to MinHash-LSH candidates with the PPJoin "
+        "verify kernel; pair completeness is now the LSH recall curve",
+        d_prefix,
+        n_docs,
+    )
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    return _ppjoin_verify(cand, _ppjoin_ordered(docs))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
