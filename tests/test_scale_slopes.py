@@ -1,0 +1,62 @@
+"""Decade-tier slope regression gate (VERDICT r7 ask #8): the 10x-tier
+sweep of the ten heaviest pipelines caught a real quadratic in r7
+(semdedup's fixed-K quantizer); committing its output as SCALE_r{N}.json
+every round turns that one-off catch into a standing alarm. This test
+diffs the newest two committed artifacts and fails on:
+
+- a slope that grew >1.75x round over round (tier noise on an idle host
+  is well under that; a jump this size is a plan-shape regression), or
+- any slope >12 (beyond ppjoin's measured closed-vocab worst case of
+  8.8x — a brand-new quadratic stage).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GROWTH_LIMIT = 1.75
+ABSOLUTE_LIMIT = 12.0
+
+
+def _artifacts() -> dict[int, dict]:
+    out = {}
+    for path in glob.glob(os.path.join(REPO, "SCALE_r*.json")):
+        m = re.search(r"SCALE_r(\d+)\.json$", path)
+        with open(path) as fh:
+            out[int(m.group(1))] = json.load(fh)
+    return out
+
+
+def test_scale_artifact_exists_and_is_sane():
+    arts = _artifacts()
+    assert arts, "no SCALE_r*.json committed — run tools/scale_tier.py --out"
+    newest = arts[max(arts)]
+    assert len(newest) >= 5
+    flagged = [
+        f"{q}: slope {row['slope']}x exceeds the {ABSOLUTE_LIMIT}x absolute bound"
+        for q, row in newest.items()
+        if row["slope"] > ABSOLUTE_LIMIT
+    ]
+    assert not flagged, "\n".join(flagged)
+
+
+def test_slopes_do_not_regress_round_over_round():
+    arts = _artifacts()
+    if len(arts) < 2:
+        return  # first artifact round: nothing to diff yet
+    rounds = sorted(arts)
+    prev, cur = arts[rounds[-2]], arts[rounds[-1]]
+    flagged = []
+    for q in prev.keys() & cur.keys():
+        before, after = prev[q]["slope"], cur[q]["slope"]
+        if before > 0 and after / before > GROWTH_LIMIT:
+            flagged.append(
+                f"{q}: decade slope grew {before}x -> {after}x "
+                f"(>{GROWTH_LIMIT}x) — plan-shape regression"
+            )
+    assert not flagged, "\n".join(flagged)

@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""One-decade strong-scaling probe for the five heaviest registry
-queries (VERDICT r6 ask #5): semdedup_pairs, kcore_products,
-kmeans_embeddings, ppjoin_jaccard_pairs, leakage_safe_split.
+"""One-decade strong-scaling probe for the TEN heaviest registry
+queries (VERDICT r6 ask #5, widened per r7 ask #8): the five heaviest
+pipelines plus the five capped candidate-generation pipelines from the
+r7 second sweep. With --out the results land in SCALE_r{N}.json so
+tests/test_scale_slopes.py can diff slopes round-over-round — a
+one-off prose table rots; a committed artifact regresses loudly.
 
 The committed sf0.001→0.1 table (SCALING.md) never stresses these —
 they run at fixed doc/embedding counts or at the sibling sf0.01 — so
@@ -44,6 +47,11 @@ QUERIES = (
     "kmeans_embeddings",
     "ppjoin_jaccard_pairs",
     "leakage_safe_split",
+    "shingle_containment_pairs",
+    "item_similarity_topk",
+    "basket_lift",
+    "minhash_lsh_candidates",
+    "edit_distance_pairs",
 )
 
 
@@ -191,6 +199,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier-dir", default="/tmp/tp3_scale_sf1")
     ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="also write the results as a JSON artifact (e.g. SCALE_r08.json)",
+    )
     args = ap.parse_args()
     ensure_tier(args.tier_dir)
 
@@ -213,20 +226,20 @@ def main() -> int:
                 times.append(dt)
         return min(times)
 
+    results = {}
     for name in args.queries.split(","):
         base = measure(name, SF01)
         big = measure(name, args.tier_dir)
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "sf0.1_sec": round(base, 3),
-                    "tier10x_sec": round(big, 3),
-                    "slope": round(big / base, 2),
-                }
-            ),
-            flush=True,
-        )
+        results[name] = {
+            "sf0.1_sec": round(base, 3),
+            "tier10x_sec": round(big, 3),
+            "slope": round(big / base, 2),
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     return 0
 
 
