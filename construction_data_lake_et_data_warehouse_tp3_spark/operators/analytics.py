@@ -82,6 +82,10 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 2× before one partial-aggregated shuffle). The oracle derives the
     same two hop starts arithmetically per event."""
     events = load_table(spark, sf_dir, "events")
+    # a NULL-timestamp event lands in no window: DuckDB's arithmetic hop
+    # derivation emits a NULL-window group where Spark's window() drops
+    # the row (dirty-input parity sweep) - excluded on BOTH engines
+    events = events.where(F.col("ts").isNotNull())
     w = F.window("ts", "1 hour", "30 minutes")
     return (
         events.groupBy(w.alias("w"))
@@ -638,6 +642,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) tie-break keeps duplicate-timestamp transitions
     deterministic (same discipline as session_window_stats)."""
     events = load_table(spark, sf_dir, "events")
+    # an event with a NULL user or timestamp cannot be sessionized /
+    # sequenced: Spark orders NULL keys FIRST and DuckDB LAST, so such
+    # rows silently produce different sessions per engine (dirty-input
+    # parity sweep) - excluded identically on BOTH engines
+    events = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = F.expr(
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     )
@@ -948,6 +959,7 @@ ORACLE = {
                    lag(event_type) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id) AS from_state
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ),
         counts AS (
             SELECT from_state, to_state, count(*) AS n_transitions
@@ -1197,6 +1209,7 @@ ORACLE = {
                    ]) AS window_start,
                    value
             FROM events
+            WHERE ts IS NOT NULL
         )
         SELECT window_start,
                window_start + INTERVAL 1 HOUR AS window_end,

@@ -50,8 +50,15 @@ def prep_vectors(df: DataFrame) -> DataFrame:
     """(vec_id, embedding) → vec_id + int64 micro-unit components + the
     derived working doubles — the ONE quantization used by batch k-means,
     the streaming index, and the persisted index, so their assignments
-    can never disagree."""
-    return df.select(
+    can never disagree.
+
+    Malformed vectors (NULL or not exactly DIM components) are excluded
+    here, at the shared entrance: a 63-component vector has no defined
+    distance to a 64-dim centroid (Spark zip_with NULL-pads where DuckDB
+    raises), so admitting one crashes or silently diverges the engines —
+    the dirty-input parity sweep locks this. size(NULL) is NULL, so NULL
+    embeddings fall out of the same predicate."""
+    return df.where(F.expr(f"size(embedding) = {DIM}")).select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
@@ -490,6 +497,7 @@ _V_DUCK = f"""
                    x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)
                         / CAST({SCALE} AS DOUBLE)) AS vd
         FROM embeddings
+        WHERE len(embedding) = {DIM}
 """
 
 _DIST2_DUCK = (

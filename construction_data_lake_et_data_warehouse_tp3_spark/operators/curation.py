@@ -399,9 +399,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: try_cast: a source whose name does not follow the srcN convention
 #: yields NULL (NULL % 2 = 0 is NULL -> ELSE arm) instead of an ANSI
 #: CAST_INVALID_INPUT crash — identical TRY_CAST semantics on DuckDB.
+#: INTEGER weights (3 / 1), not 3.0/1.0: Spark parses an x.y literal as
+#: DECIMAL where DuckDB goes DOUBLE, and the two division chains floor
+#: differently at exact basis-point boundaries (found by the dirty-input
+#: parity sweep as a ±1 rate_bp flip) — with integer weights the whole
+#: rate computation below stays exact BIGINT arithmetic.
 _MIX_WEIGHT = (
     "CASE WHEN try_cast(substr(source, 4, 10) AS INT) % 2 = 0"
-    " THEN 3.0 ELSE 1.0 END"
+    " THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
 )
 
 
@@ -423,18 +428,16 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = weighted.agg(
         F.sum("orig_count").alias("total"), F.sum("weight").alias("total_weight")
     )
+    # rate_bp = floor(weight/total_weight · total/orig_count · 10000) as
+    # ONE integer division — (w·total·10000) DIV (tw·oc) is the exact
+    # rational floor, so no engine's float/decimal rounding can flip a
+    # boundary (numerator bounded by 3 · corpus · 10⁴, far inside int64)
     rates = weighted.crossJoin(F.broadcast(tot)).select(
         "source",
         "orig_count",
         F.least(
             F.lit(10000).cast("bigint"),
-            F.floor(
-                F.col("weight")
-                / F.col("total_weight")
-                * F.col("total")
-                / F.col("orig_count")
-                * 10000
-            ).cast("bigint"),
+            F.expr("(weight * total * 10000) DIV (total_weight * orig_count)"),
         ).alias("rate_bp"),
     )
     coin = F.expr(
@@ -787,15 +790,15 @@ ORACLE = {
         ),
         tot AS (
             SELECT CAST(sum(orig_count) AS BIGINT) AS total,
-                   sum(weight) AS total_weight
+                   CAST(sum(weight) AS BIGINT) AS total_weight
             FROM counts
         ),
         rates AS (
             SELECT source, orig_count,
                    least(CAST(10000 AS BIGINT),
-                         CAST(floor(weight / total_weight * total
-                                    / orig_count * 10000)
-                              AS BIGINT)) AS rate_bp
+                         CAST((weight * total * 10000)
+                              // (total_weight * orig_count) AS BIGINT))
+                       AS rate_bp
             FROM counts, tot
         ),
         kept AS (

@@ -189,7 +189,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per (doc, token, bit) through a shuffle — a 32× row
     amplification; VERDICT r1 §What's wrong #3.)"""
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
+    # NULL-text documents are malformed input and are EXCLUDED (the
+    # media-kernel quarantine rule): Spark folds the NULL token chain to
+    # an all-'0' signature row where DuckDB's unnest emits no row at all
+    # - the dirty-input parity sweep locks the exclusion.
+    hashed = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(trim(text), '\\\\s+')), t -> md5(t))"
@@ -743,7 +747,7 @@ ORACLE = {
         WITH tok AS (
             SELECT doc_id,
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         bits AS (
             SELECT doc_id, b,

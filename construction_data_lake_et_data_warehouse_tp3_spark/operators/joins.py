@@ -24,9 +24,14 @@ def payment_method_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense ids (ROW_NUMBER over name order) — the engine-side equivalent of
     the reference's auto-increment dim (sync_to_mysql.py:146-152)."""
     events = load_table(spark, sf_dir, "events")
+    # a NULL event_type is not a payment method: distinct() keeps the
+    # NULL on both engines, but Spark's name sort puts it FIRST (id 1,
+    # shifting every real id) while DuckDB sorts it LAST - the
+    # dirty-input parity sweep caught the id skew; excluded on BOTH
     w = Window.orderBy("payment_method_name")
     return (
-        events.select(F.col("event_type").alias("payment_method_name"))
+        events.where(F.col("event_type").isNotNull())
+        .select(F.col("event_type").alias("payment_method_name"))
         .distinct()
         .withColumn("payment_method_id", F.row_number().over(w))
     )
@@ -91,7 +96,8 @@ ORACLE = {
         WITH dim AS (
             SELECT payment_method_name,
                    ROW_NUMBER() OVER (ORDER BY payment_method_name) AS payment_method_id
-            FROM (SELECT DISTINCT event_type AS payment_method_name FROM events)
+            FROM (SELECT DISTINCT event_type AS payment_method_name FROM events
+                  WHERE event_type IS NOT NULL)
         )
         SELECT payment_method_id, payment_method_name,
                {money_sum_sql('value')} AS total_amount,

@@ -108,8 +108,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only its own cell, exact cosine re-ranks inside. Recall trades against
     the brute-force cosine_topk baseline (compare the two queries)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = emb.select("vec_id", F.expr(_TO_DOUBLE).alias("v")).withColumn(
-        "norm", F.expr(_NORM.format(a="v"))
+    # malformed vectors (NULL / wrong dimensionality) excluded — the
+    # similarity._vectors rule; same len() predicate in the oracle's e CTE
+    vec = (
+        emb.where(F.expr("size(embedding) = 64"))
+        .select("vec_id", F.expr(_TO_DOUBLE).alias("v"))
+        .withColumn("norm", F.expr(_NORM.format(a="v")))
     )
     bits = []
     for j in range(1, 5):  # 4 planes → 16 cells: coarse, like IVF nlist
@@ -296,7 +300,8 @@ ORACLE = {
         WHERE {_HAMMING_DUCK} <= {HAMMING_MAX}
     """,
     "ann_ivf_topk": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE len(embedding) = 64),
         cells AS (
             SELECT vec_id, v, concat({_duck_ivf_bits()}) AS cell,
                    sqrt(list_dot_product(v, v)) AS norm

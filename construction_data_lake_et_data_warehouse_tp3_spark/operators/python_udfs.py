@@ -42,7 +42,14 @@ def pandas_udaf_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(T.LongType())
     def total_cents(values: pd.Series) -> int:
-        return int((values * 100).round().astype("int64").sum())
+        # SQL sum() semantics (the applyInPandas kernel's rule): NULLs
+        # are ignored, an all-NULL group sums to NULL — a NaN reaching
+        # astype(int64) would raise IntCastingNaNError and fail the job
+        # on one dirty row (dirty-input parity sweep)
+        vals = values.dropna()
+        if not len(vals):
+            return None
+        return int((vals * 100).round().astype("int64").sum())
 
     @pandas_udf(T.LongType())
     def n_rows(values: pd.Series) -> int:

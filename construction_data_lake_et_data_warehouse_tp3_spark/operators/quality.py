@@ -153,6 +153,15 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. The oracle uses that naive shape — same answer, which is the
     point of the cross-check."""
     docs = load_table(spark, sf_dir, "documents")
+    # NULL and whitespace-only documents are EXCLUDED (the media-kernel
+    # quarantine rule): a doc with no words has no repetition statistics,
+    # and the two engines disagree about the degenerate empty token
+    # (Spark's sorted-run fold vs DuckDB's explode) - the dirty-input
+    # parity sweep locks the exclusion. rlike '\\S' (any non-whitespace
+    # char), NOT trim() <> '': trim strips only 0x20 spaces, so a
+    # tab/newline-only doc slips through it on both engines; the regex
+    # is NULL for NULL text, covering both classes in one predicate.
+    docs = docs.where(F.expr("text rlike '\\\\S'"))
     word_fold = _RUN_FOLD.format(xs="ws")
     bg_fold = _RUN_FOLD.format(xs=_BIGRAMS.format(ws="ws"))
     t = docs.select(
@@ -664,6 +673,7 @@ ORACLE = {
     "repetition_stats": f"""
         WITH base AS (
             SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+            WHERE regexp_matches(text, '\\S')
         ),
         w AS (SELECT doc_id, unnest(ws) AS w FROM base),
         wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),

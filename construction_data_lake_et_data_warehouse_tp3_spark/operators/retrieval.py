@@ -562,7 +562,8 @@ def _rrf_oracle() -> str:
                        AS lex_rank
             FROM lexpool
         ),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE len(embedding) = 64),
         q AS (SELECT v FROM e WHERE vec_id = {RRF_QUERY_VEC}),
         scored AS (
             SELECT c.vec_id,

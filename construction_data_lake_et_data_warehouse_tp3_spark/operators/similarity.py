@@ -35,6 +35,7 @@ _TO_DOUBLE = "transform(embedding, x -> cast(x as double))"
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 5
 N_PLANES = 8
+DIM = 64  # corpus dimensionality; vectors of any other length are malformed
 
 #: near-dup cosine threshold shared by the brute-force and bucketed
 #: variants (so the bucketed result is provably ⊆ the brute-force one).
@@ -58,7 +59,16 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripled the fold work and the generated code size)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("vec_id", "label", F.expr(_TO_DOUBLE).alias("v"))
+        emb
+        # malformed vectors (NULL or wrong dimensionality) are excluded
+        # from the similarity universe — a 63-component vector has no
+        # defined dot product against the 64-dim corpus (Spark zip_with
+        # NULL-pads the tail where DuckDB raises, so admitting one also
+        # silently diverges the engines; the dirty-input parity sweep is
+        # the regression lock). size(NULL) is NULL, so NULL embeddings
+        # fall out of the same predicate on both engines.
+        .where(F.expr(f"size(embedding) = {DIM}"))
+        .select("vec_id", "label", F.expr(_TO_DOUBLE).alias("v"))
         .withColumn("norm", F.expr(_NORM.format(a="v")))
         # zero-norm vectors cannot participate in cosine similarity
         # (undefined; would DIVIDE_BY_ZERO under ANSI) — excluded from
@@ -253,7 +263,8 @@ def _duck_band_union() -> str:
 ORACLE = {
     "cosine_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+                     AND len(embedding) = 64),
         p AS (
             SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                    round(list_dot_product(q.v, c.v)
@@ -267,7 +278,8 @@ ORACLE = {
     """,
     "embedding_dup_pairs": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0)
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+                     AND len(embedding) = 64)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
@@ -277,7 +289,8 @@ ORACLE = {
     """,
     "embedding_dup_pairs_bucketed": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+                     AND len(embedding) = 64),
         sigs AS (SELECT vec_id, v, {_duck_band_sigs()} FROM e),
         bands AS ({_duck_band_union()})
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -290,7 +303,8 @@ ORACLE = {
     """,
     "lsh_buckets": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+                   WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+                     AND len(embedding) = 64),
         sigs AS (SELECT vec_id, concat({_DUCK_BITS}) AS bucket FROM e)
         SELECT bucket, count(*) AS n_vectors FROM sigs GROUP BY 1
     """,

@@ -94,6 +94,15 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     you drop that column and the query never shuffles user ids at all.
     """
     events = load_table(spark, sf_dir, "events")
+    # malformed rows are excluded on BOTH engines: a NULL event_type is
+    # not a group, and a NULL user_id is not a distinct user. Without
+    # this, a group holding only NULL users has every minimum NULL, the
+    # greatest() guard turns Σm into 1, est blows up to K·M ≈ 2^57 and
+    # the err_bp multiply overflows int64 under ANSI (found by the
+    # dirty-input parity sweep).
+    events = events.where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     mins = [
         F.min(F.expr(_h(j, "spark"))).alias(f"m{j}") for j in range(KMV_K)
     ]
@@ -344,7 +353,11 @@ def quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
+    # a NULL order total is not a measurement: Spark ranks NULL cents
+    # FIRST and DuckDB LAST, so an unfiltered NULL shifts every in-sample
+    # and exact percentile pick on one engine only (dirty-input parity
+    # sweep) - excluded identically on BOTH engines
+    base = orders.where(F.col("o_totalprice").isNotNull()).select(
         F.col(QSK_GROUP).alias("grp"),
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         F.expr("md5('qsk:' || CAST(o_orderkey AS STRING))").alias("h"),
@@ -424,6 +437,7 @@ def _distinct_oracle() -> str:
                    count(DISTINCT user_id) AS n_exact,
                    {mins}
             FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type
         ),
         e AS (
@@ -552,7 +566,7 @@ def _qsk_oracle() -> str:
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                    md5('qsk:' || CAST(o_orderkey AS VARCHAR)) AS h,
                    o_orderkey
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         ),
         sample AS (
             SELECT * FROM (

@@ -58,6 +58,11 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # a NULL order total is not a measurement: Spark ranks NULL keys
+    # FIRST and DuckDB LAST, so an unfiltered NULL cents group shifts
+    # every prefix rank on one engine only (the kmv NULL-key class,
+    # found by the dirty-input parity sweep) - excluded on BOTH engines
+    orders = orders.where(F.col("o_totalprice").isNotNull())
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     wcd = Window.partitionBy("o_orderpriority").orderBy("cents")
     wall = Window.partitionBy("o_orderpriority")
@@ -159,6 +164,13 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange.  Tie-break on event_id makes duplicate-timestamp order
     deterministic (same discipline as session_window_stats)."""
     events = load_table(spark, sf_dir, "events")
+    # an event with a NULL user or timestamp cannot join a per-user
+    # ordered history: Spark orders NULL keys FIRST and DuckDB LAST, so
+    # such rows produce different change rows per engine (dirty-input
+    # parity sweep) - excluded identically on BOTH engines
+    events = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         events.select("user_id", "ts", "event_id", F.col("event_type").alias("state"))
@@ -676,6 +688,11 @@ def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final row. Headroom: ra2 ≤ 2n² — promote to DECIMAL(38,0) past
     n ≈ 2·10⁹ rows."""
     orders = load_table(spark, sf_dir, "orders")
+    # a NULL order total is not a measurement: Spark ranks NULL keys
+    # FIRST and DuckDB LAST, so an unfiltered NULL cents group shifts
+    # every prefix rank on one engine only (the kmv NULL-key class,
+    # found by the dirty-input parity sweep) - excluded on BOTH engines
+    orders = orders.where(F.col("o_totalprice").isNotNull())
     vals = orders.select(
         F.expr(
             "pmod(CAST(conv(substr(md5('mw:' || CAST(o_custkey AS STRING)), 1, 6),"
@@ -754,6 +771,11 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (cents, priority) aggregation, the prefix window on the
     distinct-cents frame (value-domain-bounded), one final row."""
     orders = load_table(spark, sf_dir, "orders")
+    # a NULL order total is not a measurement: Spark ranks NULL keys
+    # FIRST and DuckDB LAST, so an unfiltered NULL cents group shifts
+    # every prefix rank on one engine only (the kmv NULL-key class,
+    # found by the dirty-input parity sweep) - excluded on BOTH engines
+    orders = orders.where(F.col("o_totalprice").isNotNull())
     vals = orders.select(
         F.col("o_orderpriority").alias("grp"),
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
@@ -1246,7 +1268,7 @@ ORACLE = {
         WITH c AS (
             SELECT o_orderpriority,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         ),
         cd AS (
             SELECT o_orderpriority, cents,
@@ -1313,6 +1335,7 @@ ORACLE = {
             SELECT user_id, ts, event_id, event_type AS state,
                    lag(event_type) OVER w AS prev_state
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         changes AS (
@@ -1483,7 +1506,7 @@ ORACLE = {
         WITH vals AS (
             SELECT o_orderpriority AS grp,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         ),
         by_vg AS (
             SELECT cents, grp, count(*) AS tg FROM vals GROUP BY 1, 2
@@ -1528,7 +1551,7 @@ ORACLE = {
             SELECT ('0x' || substr(md5('mw:' || CAST(o_custkey AS VARCHAR)),
                         1, 6))::BIGINT % 2 AS arm,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         ),
         by_val AS (
             SELECT cents, count(*) AS t,

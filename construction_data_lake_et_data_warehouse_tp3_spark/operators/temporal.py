@@ -87,6 +87,13 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session (lag + cumulative
     sum of session-start flags), then per-user session stats."""
     events = load_table(spark, sf_dir, "events")
+    # an event with a NULL user or timestamp cannot be sessionized /
+    # sequenced: Spark orders NULL keys FIRST and DuckDB LAST, so such
+    # rows silently produce different sessions per engine (dirty-input
+    # parity sweep) - excluded identically on BOTH engines
+    events = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.withColumn(
         "new_session",
@@ -128,6 +135,13 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle derives the entry independently via a row_number()=1
     pick, so the struct-min trick is cross-checked each round."""
     events = load_table(spark, sf_dir, "events")
+    # an event with a NULL user or timestamp cannot be sessionized /
+    # sequenced: Spark orders NULL keys FIRST and DuckDB LAST, so such
+    # rows silently produce different sessions per engine (dirty-input
+    # parity sweep) - excluded identically on BOTH engines
+    events = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.withColumn(
         "new_session",
@@ -173,6 +187,13 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_end = last event + gap by definition of the built-in. One
     shuffle on user_id."""
     events = load_table(spark, sf_dir, "events")
+    # an event with a NULL user or timestamp cannot be sessionized /
+    # sequenced: Spark orders NULL keys FIRST and DuckDB LAST, so such
+    # rows silently produce different sessions per engine (dirty-input
+    # parity sweep) - excluded identically on BOTH engines
+    events = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = F.session_window(F.col("ts").cast("timestamp"), f"{SESSION_GAP_MINUTES} minutes")
     return (
         events.groupBy("user_id", w.alias("w"))
@@ -530,6 +551,7 @@ ORACLE = {
                              > {SESSION_GAP_MINUTES * 60} THEN 1
                         ELSE 0 END AS new_session
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -598,6 +620,7 @@ ORACLE = {
                              > {SESSION_GAP_MINUTES * 60} THEN 1
                         ELSE 0 END AS new_session
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -753,6 +776,7 @@ ORACLE = {
                         WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60} THEN 1
                         ELSE 0 END AS new_session
             FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (

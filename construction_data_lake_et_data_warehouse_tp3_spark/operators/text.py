@@ -128,7 +128,11 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny-result shuffles); application is embarrassingly parallel
     map-side work."""
     docs = load_table(spark, sf_dir, "documents")
-    pieces = docs.select(
+    # NULL-text documents are malformed input and are EXCLUDED (the
+    # media-kernel quarantine rule): emitting a row for them is
+    # engine-dependent (Spark folds NULL chains to '' where DuckDB
+    # yields NULL) - the dirty-input parity sweep locks the exclusion.
+    pieces = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.expr(f"regexp_extract_all(text, '{_BPE_PIECES}', 0)").alias("pieces")
     )
     seg_pc = _BPE_SEG.format(ms="ms", p="pc")
@@ -232,7 +236,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import CHAR_SHINGLES
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # NULL-text documents are malformed input and are EXCLUDED (the
+    # media-kernel quarantine rule): emitting a row for them is
+    # engine-dependent (Spark folds NULL chains to '' where DuckDB
+    # yields NULL) - the dirty-input parity sweep locks the exclusion.
+    return docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
             f"array_join(slice(array_sort(transform({CHAR_SHINGLES}, s -> md5(s))), 1, 4), '|')"
@@ -423,6 +431,11 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     HASH_BINS passes over the token array; for very long docs flip to
     explode + groupBy(doc, bin) and pay the shuffle instead."""
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-text documents are malformed input and are EXCLUDED (the
+    # media-kernel quarantine rule): emitting a row for them is
+    # engine-dependent (Spark folds NULL chains to '' where DuckDB
+    # yields NULL) - the dirty-input parity sweep locks the exclusion.
+    docs = docs.where(F.col("text").isNotNull())
     bin_of = _BIN_SPARK.format(t="x")
     # feat_csv, not a raw ARRAY column: the driver canonicalizer cannot
     # sort array cells (see inverted_index) — the vector rides as its
@@ -527,6 +540,7 @@ ORACLE = {
     "feature_hashing": f"""
         WITH base AS (
             SELECT doc_id, {TOKENS_DUCK} AS ws FROM documents
+            WHERE text IS NOT NULL
         ),
         f AS (
             SELECT doc_id,
@@ -579,7 +593,7 @@ ORACLE = {
         WITH p AS (
             SELECT doc_id,
                    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pieces
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         w AS (SELECT unnest(pieces) AS word FROM p WHERE len(pieces) > 0),
         pairs1 AS (
@@ -680,7 +694,7 @@ ORACLE = {
         SELECT doc_id,
                array_to_string(
                    list_sort([md5(s) for s in {_CHAR_SHINGLES_DUCK}])[1:4], '|') AS fingerprint
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     "lm_surprisal": f"""
         WITH tokens AS (

@@ -131,8 +131,14 @@ def ranking_windows_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # coalesce(lag(x), 0), NOT lag(x, 1, 0.0): the 3-arg default fires
+        # only when the offset ROW is missing, so an existing-but-NULL
+        # predecessor price yields NULL here while the oracle's coalesce
+        # yields 0 — the dirty-input parity sweep caught the divergence
         F.round(
-            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0)),
+            2,
         ).alias("spend_delta"),
     )
 
