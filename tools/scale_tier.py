@@ -181,10 +181,27 @@ def _gen_lineitem(rng: np.random.Generator, out: str, n_orders: int, n_parts: in
     pq.write_table(tbl, os.path.join(out, "lineitem.parquet"))
 
 
+#: bump when any _gen_* changes shape: the /tmp cache otherwise outlives
+#: the generator and silently measures a DIFFERENT corpus (an r8 sweep
+#: reused a pre-dup-planting tier — leakage_safe_split read 0.63x, the
+#: r7 "no planted dup structure" draft value, instead of ~1.3x).
+TIER_VERSION = "2-planted-dups"
+
+
 def ensure_tier(tier_dir: str) -> None:
+    import shutil
+
     marker = os.path.join(tier_dir, "_complete")
     if os.path.exists(marker):
-        return
+        with open(marker) as fh:
+            if fh.read().strip() == TIER_VERSION:
+                return
+        print(
+            f"stale tier cache (generator {TIER_VERSION} vs cached) — "
+            "regenerating",
+            file=sys.stderr,
+        )
+        shutil.rmtree(tier_dir, ignore_errors=True)
     os.makedirs(tier_dir, exist_ok=True)
     rng = np.random.default_rng(42)
     print(f"generating 10x tier under {tier_dir} ...", file=sys.stderr)
@@ -192,7 +209,7 @@ def ensure_tier(tier_dir: str) -> None:
     _gen_embeddings(rng, tier_dir, 20_000)
     _gen_lineitem(rng, tier_dir, 1_500_000, 200_000)
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(TIER_VERSION)
 
 
 def main() -> int:
