@@ -48,16 +48,29 @@ def profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
+    # floating columns render through DECIMAL(38,6): a raw double→string
+    # cast goes scientific above 1e7 on the JVM ('5.0E7') while DuckDB
+    # prints positionally ('50000000.0') — the profile's one-schema
+    # string contract would silently diverge on any big-money column
+    # (dirty-input parity sweep, extreme-magnitude class)
+    floating = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
+    }
     aggs = [F.count("*").alias("n_rows")]
     for i, c in enumerate(cols):
         q = "`" + c.replace("`", "``") + "`"
+        render = (
+            (lambda e: f"CAST(CAST({e} AS DECIMAL(38,6)) AS STRING)")
+            if c in floating
+            else (lambda e: f"CAST({e} AS STRING)")
+        )
         aggs += [
             F.expr(
                 f"CAST(sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
             ).alias(f"c{i}__nulls"),
             F.countDistinct(c).alias(f"c{i}__distinct"),
-            F.expr(f"CAST(min({q}) AS STRING)").alias(f"c{i}__min"),
-            F.expr(f"CAST(max({q}) AS STRING)").alias(f"c{i}__max"),
+            F.expr(render(f"min({q})")).alias(f"c{i}__min"),
+            F.expr(render(f"max({q})")).alias(f"c{i}__max"),
         ]
     one = df.agg(*aggs)
     structs = ", ".join(
@@ -77,17 +90,28 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_df(load_table(spark, sf_dir, PROFILE_TABLE), PROFILE_COLS)
 
 
+#: the profiled table's floating columns (the oracle mirrors profile_df's
+#: DECIMAL(38,6) rendering for them).
+_FLOATING_COLS = {"o_totalprice"}
+
+
 def _profile_oracle() -> str:
     parts = []
     for c in PROFILE_COLS:
+        if c in _FLOATING_COLS:
+            rmin = f"CAST(CAST(min({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+            rmax = f"CAST(CAST(max({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+        else:
+            rmin = f"CAST(min({c}) AS VARCHAR)"
+            rmax = f"CAST(max({c}) AS VARCHAR)"
         parts.append(
             f"""SELECT '{c}' AS col_name,
                    count(*) AS n_rows,
                    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_nulls,
                    count(DISTINCT {c}) AS n_distinct,
-                   CAST(min({c}) AS VARCHAR) AS min_value,
-                   CAST(max({c}) AS VARCHAR) AS max_value
+                   {rmin} AS min_value,
+                   {rmax} AS max_value
             FROM {PROFILE_TABLE}"""
         )
     return "\n        UNION ALL\n        ".join(parts)

@@ -27,7 +27,17 @@ def pandas_scalar_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(T.StringType())
     def normalize(texts: pd.Series) -> pd.Series:
-        return texts.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+        # mirror the SQL twin EXACTLY, including its ASCII semantics:
+        # Python's \s and str.strip() match unicode whitespace (NBSP,
+        # em-space, ...) while SQL regexp '\s' is ASCII-only and trim()
+        # strips 0x20 spaces — on unicode-space text the kernel silently
+        # diverged from the oracle (dirty-input parity sweep). Same op
+        # order as the SQL: collapse -> trim -> lower.
+        return (
+            texts.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip(" ")
+            .str.lower()
+        )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()  # null text: nothing to normalize (oracle matches)

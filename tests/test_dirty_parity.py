@@ -13,6 +13,16 @@ dirty fixture found 32 more in four classes, now fixed and locked here:
   LAST -> every prefix rank shifts on one engine) -> excluded,
 - NULL user/timestamp in sessionization and sequence windows -> excluded.
 
+A second r8 wave extended the corpus with unicode text (emoji/CJK,
+unicode SPACES — Python \\s matches NBSP/em-space where SQL \\s is
+ASCII-only — combining marks, zero-width chars, a 5000-char doc) and
+extreme-but-in-domain magnitudes ($50M, sub-cent, negative values),
+catching two more: the profiler's raw double->string cast goes
+scientific above 1e7 on the JVM only (now rendered through
+DECIMAL(38,6) on both engines), and the pandas normalize kernel's
+unicode-aware \\s/strip diverged from its ASCII SQL twin (now mirrors
+the SQL ops exactly).
+
 Every exclusion is applied identically to the Spark query AND its DuckDB
 oracle, so the clean-corpus hashes are unchanged (the driver corpus has
 none of these rows) while dirty corpora now produce the SAME answer on
@@ -91,12 +101,20 @@ def dirty_dir(spark, tmp_path_factory):
             s, f"{dst}/{t}.parquet"
         )
     docs = spark.read.parquet(f"{src}/documents.parquet")
+    # 90005-90008 (r8): unicode classes — accents/CJK/emoji, unicode
+    # SPACES (NBSP, em/thin space, line separator: Python \s matches
+    # them, SQL \s does not — the pandas kernel divergence class),
+    # a 5000-char doc, combining marks + zero-width chars
     extra = spark.createDataFrame(
         [
             (90001, "", "en", "srcX", 0),
             (90002, "   ", "en", "srcX", 3),
             (90003, "\t\n ", "fr", "srcY", 3),
             (90004, None, "en", "src0", 0),
+            (90005, "caf\u00e9 na\u00efve r\u00e9sum\u00e9 \u4e2d\u6587\u6587\u672c \U0001f600\U0001f680 stra\u00dfe", "fr", "src1", 40),
+            (90006, "word\u00a0joined\u2003by\u2009unicode\u2028spaces", "en", "src2", 35),
+            (90007, "a" * 5000 + " the quick brown fox", "en", "src3", 5020),
+            (90008, "\u0301\u0301 combining \u200b zero\u200bwidth", "es", "src4", 30),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -105,20 +123,30 @@ def dirty_dir(spark, tmp_path_factory):
     ).coalesce(1).write.parquet(f"{dst}/documents.parquet")
     orders = spark.read.parquet(f"{src}/orders.parquet")
     first = orders.limit(1).collect()[0]
+    # 900003-900005 (r8): extreme magnitudes INSIDE the documented money
+    # domain (functions/scalar.py: Σ|x| < 4.5e11) — $50M renders
+    # scientific via a raw JVM double→string cast (the profiler class),
+    # 0.004 rounds to 0 cents, 0.01 is the 1-cent floor
     dirty = spark.createDataFrame(
         [
             (900001, first.o_custkey, "F", -125.5, first.o_orderdate, "3-MEDIUM"),
             (900002, first.o_custkey, "F", None, first.o_orderdate, "3-MEDIUM"),
+            (900003, first.o_custkey, "F", 50000000.0, first.o_orderdate, "1-URGENT"),
+            (900004, first.o_custkey, "F", 0.004, first.o_orderdate, "5-LOW"),
+            (900005, first.o_custkey, "F", 0.01, first.o_orderdate, "2-HIGH"),
         ],
         orders.schema,
     )
     orders.unionByName(dirty).coalesce(1).write.parquet(f"{dst}/orders.parquet")
     ev = spark.read.parquet(f"{src}/events.parquet")
     first_ev = ev.limit(1).collect()[0]
+    # 990003-990004 (r8): negative and large (in-domain) event values
     dirty_ev = spark.createDataFrame(
         [
             (990001, None, None, None, None, None),
             (990002, first_ev.ts, None, "view", 1.0, "{}"),
+            (990003, first_ev.ts, first_ev.user_id, "view", -50.25, "{}"),
+            (990004, first_ev.ts, first_ev.user_id, "purchase", 250000.0, "{}"),
         ],
         ev.schema,
     )
