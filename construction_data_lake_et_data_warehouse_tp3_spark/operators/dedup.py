@@ -119,6 +119,13 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
     explode(j) + groupBy(doc,j) shuffles docs×shingles×k rows — 37 s;
     k array_min columns re-inlining the array k times under
     CollapseProject — 60 s; k per-shingle md5-string min-aggs — 4 s.)"""
+    # a CONTENTLESS doc (NULL/empty/whitespace text) can never be a
+    # near-duplicate of anything: its shingle set degenerates to {''}
+    # (or NULL), so every such doc shares one signature and the
+    # generator would fabricate 'duplicate' pairs among unrelated
+    # corrupt rows (caught by the streaming dirty-batch lock and the
+    # dirty-input parity sweep) - excluded identically on BOTH engines
+    docs = docs.where(F.expr("text rlike '\\\\S'"))
     pair = (
         "CAST(conv(substr(hh, 1, 12), 16, 10) AS BIGINT)"
         " + j * CAST(conv(substr(hh, 13, 12), 16, 10) AS BIGINT)"
@@ -189,11 +196,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per (doc, token, bit) through a shuffle — a 32× row
     amplification; VERDICT r1 §What's wrong #3.)"""
     docs = load_table(spark, sf_dir, "documents")
-    # NULL-text documents are malformed input and are EXCLUDED (the
-    # media-kernel quarantine rule): Spark folds the NULL token chain to
-    # an all-'0' signature row where DuckDB's unnest emits no row at all
-    # - the dirty-input parity sweep locks the exclusion.
-    hashed = docs.where(F.col("text").isNotNull()).select(
+    # CONTENTLESS documents (NULL/empty/whitespace) are EXCLUDED: the
+    # NULL token chain folds to an all-'0' signature on Spark where
+    # DuckDB's unnest emits no row, and every whitespace-only doc shares
+    # one degenerate signature that the hamming-pair query downstream
+    # would pair up as fabricated 'duplicates' - the dirty-input parity
+    # sweep and the streaming dirty-batch lock pin the exclusion.
+    hashed = docs.where(F.expr("text rlike '\\\\S'")).select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(trim(text), '\\\\s+')), t -> md5(t))"
@@ -281,6 +290,13 @@ def _ppjoin_ordered(docs: DataFrame) -> DataFrame:
     a full materialization without saving any distinct exchange. If a
     future Spark stops reusing these exchanges, checkpointing here is
     the PPJoin-literature "build the prefix index" fallback."""
+    # a CONTENTLESS doc (NULL/empty/whitespace text) can never be a
+    # near-duplicate of anything: its shingle set degenerates to {''}
+    # (or NULL), so every such doc shares one signature and the
+    # generator would fabricate 'duplicate' pairs among unrelated
+    # corrupt rows (caught by the streaming dirty-batch lock and the
+    # dirty-input parity sweep) - excluded identically on BOTH engines
+    docs = docs.where(F.expr("text rlike '\\\\S'"))
     ex = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
     cnt = ex.groupBy("s").agg(F.count("*").alias("cnt"))
     return ex.join(cnt, "s").groupBy("doc_id").agg(
@@ -407,6 +423,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     J ≥ 0.2. At 100 TB this runs on LSH candidates only; standalone here so
     the oracle can verify the exact math."""
     docs = load_table(spark, sf_dir, "documents")
+    # a CONTENTLESS doc (NULL/empty/whitespace text) can never be a
+    # near-duplicate of anything: its shingle set degenerates to {''}
+    # (or NULL), so every such doc shares one signature and the
+    # generator would fabricate 'duplicate' pairs among unrelated
+    # corrupt rows (caught by the streaming dirty-batch lock and the
+    # dirty-input parity sweep) - excluded identically on BOTH engines
+    docs = docs.where(F.expr("text rlike '\\\\S'"))
     sh = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -671,7 +694,8 @@ def duck_lsh_candidates_cte() -> str:
         f"SELECT doc_id, {b} AS band, s{b} AS sig FROM msigs" for b in range(n_bands)
     )
     return f"""
-        msh AS (SELECT doc_id, unnest({CHAR_SHINGLES_DUCK}) AS s FROM documents),
+        msh AS (SELECT doc_id, unnest({CHAR_SHINGLES_DUCK}) AS s FROM documents
+                WHERE regexp_matches(text, '\\S')),
         mhashed AS (
             SELECT doc_id,
                    ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
@@ -747,7 +771,7 @@ ORACLE = {
         WITH tok AS (
             SELECT doc_id,
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-            FROM documents WHERE text IS NOT NULL
+            FROM documents WHERE regexp_matches(text, '\\S')
         ),
         bits AS (
             SELECT doc_id, b,
@@ -765,7 +789,8 @@ ORACLE = {
             SELECT doc_id, unnest(shingles) AS s
             FROM (
                 SELECT doc_id, {WORD_SHINGLES_DUCK} AS shingles
-                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents WHERE regexp_matches(text, '\\S'))
             )
         ),
         sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
@@ -787,7 +812,7 @@ ORACLE = {
         WITH t AS (
             SELECT doc_id, {WORD_SHINGLES_DUCK} AS ts
             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-                  FROM documents)
+                  FROM documents WHERE regexp_matches(text, '\\S'))
         ),
         p AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -279,7 +279,7 @@ ORACLE = {
         WITH tok AS (
             SELECT doc_id,
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-            FROM documents
+            FROM documents WHERE regexp_matches(text, '\\S')
         ),
         bits AS (
             SELECT doc_id, b,

@@ -65,3 +65,21 @@ class TestStreamingCuration:
             assert {r.doc_id for r in cur.kept_docs().collect()} == {1, 4}
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+    def test_dirty_batch_is_quarantined(self, spark, store):
+        """r8 dirty-input extension: NULL/empty/whitespace documents in a
+        micro-batch must fail the quality gate (NULL ratios -> NULL keep,
+        the batch corpus_curation semantics the maintainer imports), not
+        crash the fold or occupy a content-hash slot that would shadow a
+        later real document."""
+        cur = StreamingCurator(spark, store)
+        kept = cur.process_batch(
+            _batch(spark, [(1, GOOD_A), (2, None), (3, ""), (4, "   ")])
+        )
+        assert kept == 1
+        assert {r.doc_id for r in cur.kept_docs().collect()} == {1}
+        # the dirty rows must not own content hashes: a later real doc
+        # whose md5 collides with '' semantics must still be judged on
+        # its own merits
+        assert cur.process_batch(_batch(spark, [(5, GOOD_B)])) == 1
+        assert {r.doc_id for r in cur.kept_docs().collect()} == {1, 5}

@@ -70,3 +70,19 @@ class TestStreamingDedup:
         query.awaitTermination(120)
         pairs = [(r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()]
         assert pairs == [(1, 3)]
+
+    def test_dirty_batch_rows_do_not_poison_the_store(self, spark, tmp_path):
+        """r8 dirty-input extension of the batch↔stream contract: NULL
+        and whitespace-only texts flowing through a micro-batch must
+        neither crash the fold nor fabricate candidate pairs — they hash
+        to NULL signatures that can never equal a real document's — and
+        a true twin arriving in the same dirty batch is still caught."""
+        dd = StreamingDeduper(spark, str(tmp_path / "store"))
+        dd.process_batch(_batch(spark, [(1, TEXT_A), (2, None), (3, "")]), 0)
+        dd.process_batch(_batch(spark, [(4, TEXT_A), (5, "   "), (6, None)]), 1)
+        pairs = [(r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs().collect()]
+        # exactly the true twin — before the contentless-doc exclusion,
+        # every NULL/empty doc shared the md5('') band signature and the
+        # store fabricated pairs like (2, 6) between unrelated corrupt rows
+        assert pairs == [(1, 4)]
+        assert not {2, 3, 5, 6} & {r.doc_id for r in dd.signatures().collect()}
