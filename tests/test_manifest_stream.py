@@ -147,3 +147,37 @@ class TestStreamingManifest:
         q = m.attach(stream, str(tmp_path / "ckpt"))
         q.awaitTermination(120)
         assert _canon(m.manifest()) == _canon(training_manifest(spark, SF_DIR))
+
+
+class TestDirtyBatches:
+    def test_dirty_batches_equal_batch_capstone(self, spark, tmp_path):
+        """r8 dirty-input extension: NULL/empty/whitespace documents and
+        a NULL source flowing through micro-batches must leave
+        stream == batch bit-for-bit — the quarantine decisions (the
+        quality gate fails undefined ratios; contentless docs own no
+        content-hash slot) are made by the IMPORTED batch kernels, so
+        the differential is the lock that the streaming fold inherits
+        them instead of crashing or diverging."""
+        text = (
+            "the quick brown fox jumps over the lazy dog and runs far away home"
+        )
+        other = (
+            "a market of traders and the sellers of goods in a town square meet"
+        )
+        schema = "doc_id long, text string, source string"
+        b0 = spark.createDataFrame(
+            [(1, text, "web"), (2, None, "web"), (3, "", "srcX")], schema
+        )
+        b1 = spark.createDataFrame(
+            [(4, other, "web"), (5, "   ", None), (6, text, "web")], schema
+        )
+        m = StreamingManifest(spark, str(tmp_path / "s"), eval_shingles=[])
+        m.process_batch(b0, 0)
+        m.process_batch(b1, 1)
+        got = _canon(m.manifest())
+        want = _canon(
+            _manifest_over(spark, b0.unionByName(b1), tmp_path, "dirty_union")
+        )
+        assert got == want
+        kept = {r.doc_id for r in m.manifest().collect()}
+        assert kept == {1, 4}  # dirty rows gated out; 6 is a dup of 1

@@ -151,3 +151,28 @@ class TestStreamingQuantiles:
         p50 = ordered[(n + 1) // 2 - 1][0]
         p90 = ordered[(9 * n + 9) // 10 - 1][0]
         assert (got.n_sample, got.p50_est, got.p90_est) == (n, p50, p90)
+
+
+class TestDirtyBatches:
+    def test_null_keys_keep_stream_equal_to_batch(self, spark, tmp_path):
+        """r8 dirty-input extension: rows with a NULL group key or a NULL
+        doc_id must fold through the maintained bottom-k store exactly
+        as the batch window treats them (both sides are Spark, so NULL
+        grouping/ordering is consistent by construction — the lock is
+        that the MERGE path doesn't drop, duplicate, or crash on them)."""
+        s = StreamingFixedKSampler(spark, str(tmp_path / "s"), k=3)
+        b0 = _batch(spark, [(1, "en"), (2, None), (None, "en"), (4, "fr")])
+        b1 = _batch(spark, [(5, "en"), (None, None), (6, None)])
+        s.process_batch(b0, 0)
+        s.process_batch(b1, 1)
+        union = b0.unionByName(b1)
+
+        def canon_nullsafe(df):  # plain tuple sort TypeErrors on None keys
+            return sorted(
+                ((r.doc_id, r.lang, r.sample_rank) for r in df.collect()),
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            )
+
+        assert canon_nullsafe(s.sample()) == canon_nullsafe(
+            _batch_sample(union, 3)
+        )
