@@ -49,8 +49,26 @@ def money(col: Column | str, scale: int = 2) -> Column:
 _IN_SCALE = {2: 10_000, 4: 1_000_000}
 
 
+# NaN inputs are quarantined to NULL BEFORE the fixed-point cast: under
+# ANSI, CAST(round(NaN * 100) AS BIGINT) aborts the whole job (and
+# DuckDB's cast raises the same way), so one NaN measurement in a 100 TB
+# corpus would fail every money aggregate that touches its partition.
+# NaN -> NULL makes it an ignorable non-measurement on BOTH engines,
+# the same contract as a NULL value. (Infinities are representable
+# doubles and still abort the cast; they have never been observed in a
+# money column and are left to the ingest-side DQ gate.)
+
+
+def _nan_safe(c: Column) -> Column:
+    return F.nanvl(c, F.lit(None).cast("double"))
+
+
+def nan_safe_sql(expr: str) -> str:
+    return f"(CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END)"
+
+
 def money_sum(col: Column | str, scale: int = 2) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
+    c = _nan_safe(F.col(col) if isinstance(col, str) else col)
     mult = _IN_SCALE[scale if scale in _IN_SCALE else 2]
     outm = 10**scale
     dpu = mult // outm
@@ -66,7 +84,7 @@ def money_sum_sql(expr: str, scale: int = 2) -> str:
     mult = _IN_SCALE[scale if scale in _IN_SCALE else 2]
     outm = 10**scale
     dpu = mult // outm
-    s = f"sum(CAST(round(({expr}) * {mult}) AS BIGINT))"
+    s = f"sum(CAST(round({nan_safe_sql(expr)} * {mult}) AS BIGINT))"
     return (
         f"CAST(CAST(CASE WHEN {s} < 0 THEN -1 ELSE 1 END AS BIGINT)"
         f" * ((2 * abs({s}) + {dpu}) // (2 * {dpu})) AS DOUBLE) / {outm}"
@@ -74,7 +92,7 @@ def money_sum_sql(expr: str, scale: int = 2) -> str:
 
 
 def money_avg(col: Column | str, scale: int = 2) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
+    c = _nan_safe(F.col(col) if isinstance(col, str) else col)
     mult = _IN_SCALE[scale if scale in _IN_SCALE else 2]
     outm = 10**scale
     dpu = mult // outm
@@ -91,7 +109,7 @@ def money_avg_sql(expr: str, scale: int = 2) -> str:
     mult = _IN_SCALE[scale if scale in _IN_SCALE else 2]
     outm = 10**scale
     dpu = mult // outm
-    s = f"sum(CAST(round(({expr}) * {mult}) AS BIGINT))"
+    s = f"sum(CAST(round({nan_safe_sql(expr)} * {mult}) AS BIGINT))"
     return (
         f"CAST(CAST(CASE WHEN {s} < 0 THEN -1 ELSE 1 END AS BIGINT)"
         f" * ((2 * abs({s}) + count(*) * {dpu}) // (2 * count(*) * {dpu}))"
@@ -111,14 +129,14 @@ def ratio_avg_sql(expr: str, scale: int = 4) -> str:
 def money_round(col: Column | str, scale: int = 2) -> Column:
     """Portable double→2dp rounding (for MIN/MAX passthrough values):
     integer fixed point, same double on both engines."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _nan_safe(F.col(col) if isinstance(col, str) else col)
     m = 10**scale
     return F.round(c * m).cast("bigint").cast("double") / m
 
 
 def money_round_sql(expr: str, scale: int = 2) -> str:
     m = 10**scale
-    return f"CAST(CAST(round(({expr}) * {m}) AS BIGINT) AS DOUBLE) / {m}"
+    return f"CAST(CAST(round({nan_safe_sql(expr)} * {m}) AS BIGINT) AS DOUBLE) / {m}"
 
 
 def anonymize_user(user_id: Column | str) -> Column:

@@ -352,7 +352,7 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_event"),
         F.lit(None).cast("bigint").alias("o_orderkey"),
         F.lit(None).cast("string").alias("o_orderpriority"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+        F.expr("CAST(round(nanvl(value, CAST(NULL AS DOUBLE)) * 100) AS BIGINT)").alias("value_cents"),  # NaN -> NULL: non-measurement
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
@@ -937,7 +937,7 @@ ORACLE = {
     "last_touch_attribution": """
         WITH attributed AS (
             SELECT e.event_id,
-                   CAST(round(e.value * 100) AS BIGINT) AS value_cents,
+                   CAST(round(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END * 100) AS BIGINT) AS value_cents,
                    coalesce(
                        (SELECT o.o_orderpriority FROM orders o
                         WHERE o.o_custkey = e.user_id

@@ -342,7 +342,7 @@ ORACLE = {
     """,
     "pandas_udaf_value_stats": """
         SELECT event_type AS payment_method,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(sum(CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                count(*) AS n_events
         FROM events
         GROUP BY 1
@@ -350,9 +350,9 @@ ORACLE = {
     "apply_in_pandas_group_stats": """
         SELECT event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-               min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
-               max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+               CAST(sum(CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               min(CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT)) AS max_cents
         FROM events
         GROUP BY 1
     """,

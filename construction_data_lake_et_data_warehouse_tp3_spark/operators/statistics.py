@@ -945,7 +945,9 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy("event_type")
     cents = events.select(
         "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(round(nanvl(value, CAST(NULL AS DOUBLE)) * 100) AS BIGINT)").alias("cents"),  # NaN -> NULL: non-measurement
+    ).where(  # NULL cents must not enter the rank window (NULL-order split)
+        F.col("cents").isNotNull()
     ).withColumn("cd", F.cume_dist().over(w_cd))
     picked = (
         cents.withColumn(
@@ -1068,7 +1070,9 @@ def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         F.expr("CAST(ts AS DATE)").alias("day"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(round(nanvl(value, CAST(NULL AS DOUBLE)) * 100) AS BIGINT)").alias("cents"),  # NaN -> NULL: non-measurement
+    ).where(  # NULL cents must not enter the rank window (NULL-order split)
+        F.col("cents").isNotNull()
     )
     w_cd = Window.partitionBy("day").orderBy("cents")
     w_all = Window.partitionBy("day")
@@ -1637,8 +1641,9 @@ ORACLE = {
     "value_percentiles_by_type": """
         WITH c AS (
             SELECT event_type,
-                   CAST(round(value * 100) AS BIGINT) AS cents
+                   CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT) AS cents
             FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         cd AS (
             SELECT event_type, cents,
@@ -1716,8 +1721,9 @@ ORACLE = {
     "daily_value_percentiles": """
         WITH base AS (
             SELECT CAST(ts AS DATE) AS day,
-                   CAST(round(value * 100) AS BIGINT) AS cents
+                   CAST(round(CASE WHEN isnan(value) THEN NULL ELSE value END * 100) AS BIGINT) AS cents
             FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         cd AS (
             SELECT day, cents,

@@ -140,13 +140,22 @@ def dirty_dir(spark, tmp_path_factory):
     orders.unionByName(dirty).coalesce(1).write.parquet(f"{dst}/orders.parquet")
     ev = spark.read.parquet(f"{src}/events.parquet")
     first_ev = ev.limit(1).collect()[0]
-    # 990003-990004 (r8): negative and large (in-domain) event values
+    # 990003-990004 (r8): negative and large (in-domain) event values;
+    # 990005 (r8 wave 4): a NaN value — before the money helpers mapped
+    # NaN to NULL, CAST(round(NaN*100) AS BIGINT) ABORTED 16 queries'
+    # jobs under ANSI (and DuckDB's cast raised the same way);
+    # 990006-990007: epoch-adjacent and far-future timestamps
+    import datetime as _dt
+
     dirty_ev = spark.createDataFrame(
         [
             (990001, None, None, None, None, None),
             (990002, first_ev.ts, None, "view", 1.0, "{}"),
             (990003, first_ev.ts, first_ev.user_id, "view", -50.25, "{}"),
             (990004, first_ev.ts, first_ev.user_id, "purchase", 250000.0, "{}"),
+            (990005, first_ev.ts, first_ev.user_id, "view", float("nan"), "{}"),
+            (990006, _dt.datetime(1970, 1, 1, 0, 0, 1), first_ev.user_id, "view", 2.0, "{}"),
+            (990007, _dt.datetime(2200, 12, 31, 23, 59, 59), first_ev.user_id, "purchase", 3.0, "{}"),
         ],
         ev.schema,
     )
