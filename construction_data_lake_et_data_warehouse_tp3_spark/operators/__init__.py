@@ -47,12 +47,17 @@ _MODULES = (
 # row in any prior round enumerate first so every query accumulates at least
 # one CORRECTNESS_r{N} row across rounds; long-green queries rotate to the
 # back.
-# r8 rotation (VERDICT r7 ask #1): STRICT staleness order — each query
-# sorted by the round of its latest green driver row (r3 block of 8
-# first, then the r4 / r5 / r6 / r7 blocks, alphabetical within a
-# block). The driver checks ~50/round, so this ordering refreshes the
-# oldest fifth of the registry every round and no row ever ages past
-# 4 rounds. GOVERNANCE (VERDICT r7 ask #5): the registry is CAPPED at
+# r9 rotation (VERDICT r8 ask #2): STRICT staleness order — each query
+# sorted by the round of its latest green driver row (the age-4 trio
+# training_manifest / triangle_participation / unpivot_status_revenue
+# first, then the age-3 / age-2 / age-1 / age-0 blocks, alphabetical
+# within a block). GENERATED, not hand-maintained: run
+# `python tools/rotate_priority.py` at round start; its --check mode
+# and tests/test_freshness.py both fail the suite if the committed
+# tuple stops being stalest-first. The driver checks ~50/round, so
+# this ordering refreshes the oldest fifth of the registry every round
+# and no row ever ages past 4 rounds.
+# GOVERNANCE (VERDICT r7 ask #5): the registry is CAPPED at
 # 200 = 4 rounds x 50 driver checks; a new query must replace a
 # retired one. tools/freshness.py (run by tests/test_freshness.py)
 # enforces both invariants: it fails the suite if any query's latest
@@ -60,56 +65,6 @@ _MODULES = (
 # file, if a registry query has no committed row and no head-of-line
 # priority slot, or if the registry outgrows rotation capacity.
 _DRIVER_PRIORITY = (
-    "time_bucket_rollup",
-    "token_count",
-    "top_event_per_user",
-    "top_orders_limit",
-    "union_transactions",
-    "user_transaction_summary",
-    "user_transaction_summary_eur",
-    "word_freq_topk",
-    "asof_latest_order",
-    "daily_event_stats",
-    "decontaminate",
-    "dedup_exact",
-    "domain_mix",
-    "dq_audit_orders",
-    "edit_distance_pairs",
-    "event_sessions",
-    "hopping_window_events",
-    "ivf_kmeans_topk",
-    "kmeans_embeddings",
-    "lm_surprisal",
-    "minhash_lsh_candidates",
-    "mixture_resample",
-    "pack_sequences",
-    "pagerank_products",
-    "pii_scrub",
-    "quality_filters",
-    "ranking_windows_showcase",
-    "repetition_stats",
-    "resample_daily_revenue",
-    "scalar_datetime_ops",
-    "session_window_stats",
-    "substring_dup_pairs",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
     "training_manifest",
     "triangle_participation",
     "unpivot_status_revenue",
@@ -260,6 +215,56 @@ _DRIVER_PRIORITY = (
     "string_functions_showcase",
     "text_quality",
     "tfidf_top_terms",
+    "asof_latest_order",
+    "daily_event_stats",
+    "decontaminate",
+    "dedup_exact",
+    "domain_mix",
+    "dq_audit_orders",
+    "edit_distance_pairs",
+    "event_sessions",
+    "hopping_window_events",
+    "ivf_kmeans_topk",
+    "kmeans_embeddings",
+    "lm_surprisal",
+    "minhash_lsh_candidates",
+    "mixture_resample",
+    "pack_sequences",
+    "pagerank_products",
+    "pii_scrub",
+    "quality_filters",
+    "ranking_windows_showcase",
+    "repetition_stats",
+    "resample_daily_revenue",
+    "scalar_datetime_ops",
+    "session_window_stats",
+    "substring_dup_pairs",
+    "time_bucket_rollup",
+    "token_count",
+    "top_event_per_user",
+    "top_orders_limit",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "union_transactions",
+    "user_transaction_summary",
+    "user_transaction_summary_eur",
+    "word_freq_topk",
 )
 
 
