@@ -54,6 +54,25 @@ from .catalog import FeedCatalog, FeedConfig, FeedType, PartitioningType, Storag
 from .writer import DataLakeWriter
 
 
+def _fp_mismatch_hint(a: str, b: str) -> str:
+    """Extra diagnosis when two quantizer fingerprints differ: if their
+    ALGORITHM VERSION prefixes differ (ADVICE r8 — v1 stamps were
+    unprefixed grid-rounded hashes, v2+ are 'vN:'-prefixed exact-bits
+    hashes), the mismatch is the fingerprint algorithm changing, not the
+    quantizers — the fix is a one-time store rebuild, not chasing a
+    phantom corpus divergence."""
+    va = a.split(":", 1)[0] if ":" in a else "v1"
+    vb = b.split(":", 1)[0] if ":" in b else "v1"
+    if va != vb:
+        return (
+            f" NOTE: the two stamps use different fingerprint ALGORITHM "
+            f"versions ({va} vs {vb}) — the store predates the current "
+            "algorithm; rebuild it once (ann build / republish) rather "
+            "than diagnosing a quantizer divergence."
+        )
+    return ""
+
+
 def _sole_fingerprint(df: DataFrame, what: str) -> str | None:
     """The single quantizer fingerprint a frame is stamped with, or None
     when the frame predates stamping (no qfp column / no rows). A frame
@@ -95,6 +114,12 @@ class AnnIndex:
         self.name = name
         self.catalog = FeedCatalog(lake_root)
         self.writer = DataLakeWriter(spark, self.catalog)
+        #: (centroid_version, posting_version) pairs whose fingerprint
+        #: equality has already been verified by this instance (ADVICE
+        #: r8): committed version dirs are immutable (overwrite-publish
+        #: allocates a NEW version), so a validated pair stays valid and
+        #: repeated probes of a pinned version skip the qfp column scan.
+        self._verified_pairs: set[tuple[int, int]] = set()
 
     # ---- feed plumbing ---------------------------------------------------
 
@@ -206,6 +231,7 @@ class AnnIndex:
                     f"{self.name!r}'s committed centroids are "
                     f"{own_fp[:12]}… — rebuild the stream store against "
                     "the current centroids or re-run ann build"
+                    + _fp_mismatch_hint(store_fp, own_fp)
                 )
         meta_p = self.writer.export_table(
             # cast the stamp: F.lit(None) alone is void-typed, which the
@@ -239,6 +265,14 @@ class AnnIndex:
         """ANN top-k for (query_id, embedding) rows against the stored
         index — identical kernel (ivf_probe_topk) to the fresh-fit and
         streaming paths, reading centroids + postings from the lake."""
+        # resolve the CONCRETE version pair first (metadata-only; no data
+        # scan) so the pairing guard below can be memoized per pair
+        c_ver = version if version is not None else max(
+            self.writer.committed_versions(self._cfg("centroids")) or {-1}
+        )
+        p_ver = version if version is not None else max(
+            self.writer.committed_versions(self._cfg("postings")) or {-1}
+        )
         cents = self.centroids(version)
         posts = self.postings(version)
         # pairing guard: the probed postings must have been assigned by
@@ -248,8 +282,15 @@ class AnnIndex:
         # limit(1): a postings version mixing rows stamped under two
         # quantizers must fail every probe, not only the probes whose
         # arbitrary sampled row happened to mismatch. The distinct is a
-        # column-pruned scan of one dictionary-encoded string column.
-        if "qfp" in cents.columns and "qfp" in posts.columns:
+        # column-pruned scan of one dictionary-encoded string column —
+        # and it runs ONCE per (centroid, posting) version pair per
+        # instance (ADVICE r8): committed version dirs are immutable, so
+        # repeated probes of a validated pair skip the rescan.
+        if (
+            (c_ver, p_ver) not in self._verified_pairs
+            and "qfp" in cents.columns
+            and "qfp" in posts.columns
+        ):
             c_fp = _sole_fingerprint(cents, f"index {self.name!r} centroids")
             p_fp = _sole_fingerprint(posts, f"index {self.name!r} postings")
             if c_fp is not None and p_fp is not None and c_fp != p_fp:
@@ -257,7 +298,9 @@ class AnnIndex:
                     f"quantizer mismatch in index {self.name!r}: centroids "
                     f"{c_fp[:12]}… vs postings {p_fp[:12]}… — "
                     "pin matching versions or republish"
+                    + _fp_mismatch_hint(c_fp, p_fp)
                 )
+            self._verified_pairs.add((c_ver, p_ver))
         q = prep_vectors(
             queries.select(F.col("query_id").alias("vec_id"), "embedding")
         ).select(

@@ -132,14 +132,22 @@ def quantizer_fingerprint(centroids: DataFrame) -> str:
     rounded grid: trained centroids are means s/(n·SCALE) that land
     between micro-unit grid points, so grid-rounding would fingerprint
     two quantizers differing by <0.5/SCALE as equal and silently bypass
-    the mismatch guard."""
+    the mismatch guard.
+
+    The value carries an ALGORITHM VERSION prefix (``v2:``; ADVICE r8):
+    v1 was the grid-rounded form, so a store stamped under v1 fails the
+    mismatch guard against a v2 fingerprint even for a genuinely
+    identical quantizer. The prefix makes that failure say "fingerprint
+    algorithm changed — rebuild the store" instead of reading as a
+    phantom corpus mismatch; any pre-v2 (unprefixed) store must be
+    rebuilt once."""
     import hashlib
 
     rows = sorted(
         (int(r.cid), tuple(float(x).hex() for x in r.cd))
         for r in centroids.select("cid", "cd").collect()
     )
-    return hashlib.md5(repr(rows).encode()).hexdigest()
+    return "v2:" + hashlib.md5(repr(rows).encode()).hexdigest()
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +263,26 @@ def ivf_probe_topk(
     )
 
 
+def _sweep_dead_scratch(tmp_root: str, prefix: str) -> None:
+    """Remove pid-suffixed scratch dirs whose owning process is gone.
+    Only dirs matching ``{prefix}*_{pid}`` with a dead pid are touched —
+    a live concurrent shard's root (its pid answers kill -0) survives."""
+    import glob
+    import os
+    import shutil
+
+    for path in glob.glob(os.path.join(tmp_root, prefix + "*")):
+        pid_part = path.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except PermissionError:
+            pass  # alive, other user
+
+
 def ann_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the PERSISTED IVF index (lake/ann.py) into a scratch lake
     root, reopen it from disk, probe the demo queries against the stored
@@ -282,6 +310,15 @@ def ann_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"tp3_ann_check_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)
+    # the returned DataFrame reads the index lazily from `root`, so it
+    # can't be removed here — register end-of-process cleanup instead
+    # (ADVICE r8: pid-keyed roots otherwise accumulate forever), plus a
+    # same-prefix sweep of roots whose owning pid is gone (a kill -9'd
+    # run never reaches its atexit hooks).
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _sweep_dead_scratch(tempfile.gettempdir(), "tp3_ann_check_")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if emb.isEmpty():
         # nothing to index: export_table deliberately skips empty

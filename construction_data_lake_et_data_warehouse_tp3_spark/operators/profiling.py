@@ -52,7 +52,12 @@ def profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     # cast goes scientific above 1e7 on the JVM ('5.0E7') while DuckDB
     # prints positionally ('50000000.0') — the profile's one-schema
     # string contract would silently diverge on any big-money column
-    # (dirty-input parity sweep, extreme-magnitude class)
+    # (dirty-input parity sweep, extreme-magnitude class). The decimal
+    # hop is nanvl+TRY_CAST-guarded (ADVICE r8): under ANSI mode a plain
+    # CAST raises on NaN/Infinity or |x| ≥ 1e32, aborting the WHOLE
+    # profile for one dirty value — such values quarantine to NULL
+    # instead, matching the money helpers' NaN posture (the oracle
+    # applies the identical guard).
     floating = {
         f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
     }
@@ -60,7 +65,10 @@ def profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     for i, c in enumerate(cols):
         q = "`" + c.replace("`", "``") + "`"
         render = (
-            (lambda e: f"CAST(CAST({e} AS DECIMAL(38,6)) AS STRING)")
+            (
+                lambda e: "CAST(TRY_CAST(nanvl("
+                f"{e}, CAST(NULL AS DOUBLE)) AS DECIMAL(38,6)) AS STRING)"
+            )
             if c in floating
             else (lambda e: f"CAST({e} AS STRING)")
         )
@@ -99,8 +107,16 @@ def _profile_oracle() -> str:
     parts = []
     for c in PROFILE_COLS:
         if c in _FLOATING_COLS:
-            rmin = f"CAST(CAST(min({c}) AS DECIMAL(38,6)) AS VARCHAR)"
-            rmax = f"CAST(CAST(max({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+            # same NaN/overflow quarantine as profile_df: NaN → NULL
+            # before the decimal hop, TRY_CAST NULLs what won't fit
+            rmin = (
+                f"CAST(TRY_CAST(CASE WHEN isnan(min({c})) THEN NULL "
+                f"ELSE min({c}) END AS DECIMAL(38,6)) AS VARCHAR)"
+            )
+            rmax = (
+                f"CAST(TRY_CAST(CASE WHEN isnan(max({c})) THEN NULL "
+                f"ELSE max({c}) END AS DECIMAL(38,6)) AS VARCHAR)"
+            )
         else:
             rmin = f"CAST(min({c}) AS VARCHAR)"
             rmax = f"CAST(max({c}) AS VARCHAR)"

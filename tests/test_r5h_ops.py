@@ -63,6 +63,38 @@ class TestProfileDf:
         with pytest.raises(ValueError, match="not in DataFrame"):
             profile_df(df, ("order key, 1); drop",))
 
+    def test_nan_inf_and_overflow_floats_quarantine_not_abort(self, spark):
+        """ADVICE r8: under ANSI mode a float column holding NaN/Infinity
+        (or |x| >= 1e32, past DECIMAL(38,6)'s integral range) made the
+        decimal render CAST raise and abort the WHOLE profile. Such
+        values must quarantine to NULL (the money helpers' posture)
+        while every other stat on the column still computes."""
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.profiling import (
+            profile_df,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, float("nan")),
+                (2, float("inf")),
+                (3, 1e40),
+                (4, 2.5),
+                (5, None),
+            ],
+            "k long, v double",
+        )
+        got = {r.col_name: r for r in profile_df(df, ("k", "v")).collect()}
+        v = got["v"]
+        assert v.n_rows == 5 and v.n_nulls == 1 and v.n_distinct == 4
+        # min(v)=2.5 renders; max(v)=NaN (Spark orders NaN greatest) is
+        # quarantined to NULL rather than aborting the job
+        assert v.min_value == "2.500000"
+        assert v.max_value is None
+        # an all-finite-but-huge column: TRY_CAST NULLs it, no abort
+        huge = spark.createDataFrame([(1, 1e40)], "k long, v double")
+        row = {r.col_name: r for r in profile_df(huge, ("v",)).collect()}["v"]
+        assert row.min_value is None and row.max_value is None
+
 
 class TestCumulativeUniqueUsers:
     def test_each_user_counts_once_on_first_day(self, spark, tmp_path):

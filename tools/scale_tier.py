@@ -54,6 +54,19 @@ QUERIES = (
     "edit_distance_pairs",
 )
 
+#: VERDICT r8 ask #1 — the three heaviest pipelines also get a SECOND
+#: measured decade (100x-sf0.1: 500k docs / 200k embeddings / ~60M
+#: lineitem rows). `jaccard_dup_pairs` is the deployment router (not a
+#: registry query — the registry keeps the always-exact form for oracle
+#: completeness), so the two-decade sweep measures the router: on this
+#: closed-vocab tier it routes to LSH candidates + exact verify, which
+#: is the documented 100 TB posture.
+TIER100_QUERIES = (
+    "semdedup_pairs",
+    "jaccard_dup_pairs",
+    "kcore_products",
+)
+
 
 def _gen_documents(rng: np.random.Generator, out: str, n: int) -> None:
     import duckdb
@@ -188,54 +201,153 @@ def _gen_lineitem(rng: np.random.Generator, out: str, n_orders: int, n_parts: in
 TIER_VERSION = "2-planted-dups"
 
 
-def ensure_tier(tier_dir: str) -> None:
+def _tier_cached(tier_dir: str, version: str) -> bool:
     import shutil
 
     marker = os.path.join(tier_dir, "_complete")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == TIER_VERSION:
-                return
+            if fh.read().strip() == version:
+                return True
         print(
-            f"stale tier cache (generator {TIER_VERSION} vs cached) — "
-            "regenerating",
+            f"stale tier cache (generator {version} vs cached) — regenerating",
             file=sys.stderr,
         )
         shutil.rmtree(tier_dir, ignore_errors=True)
+    return False
+
+
+def ensure_tier(tier_dir: str) -> None:
+    if _tier_cached(tier_dir, TIER_VERSION):
+        return
     os.makedirs(tier_dir, exist_ok=True)
     rng = np.random.default_rng(42)
     print(f"generating 10x tier under {tier_dir} ...", file=sys.stderr)
     _gen_documents(rng, tier_dir, 50_000)
     _gen_embeddings(rng, tier_dir, 20_000)
     _gen_lineitem(rng, tier_dir, 1_500_000, 200_000)
-    with open(marker, "w") as fh:
+    with open(os.path.join(tier_dir, "_complete"), "w") as fh:
         fh.write(TIER_VERSION)
+
+
+#: second-decade generator version (independent of TIER_VERSION so the
+#: 10x cache — whose rng call sequence the vectorized path does not
+#: reproduce — stays byte-identical to the r8 artifact's corpus).
+TIER100_VERSION = "1-planted-dups-vectorized"
+
+
+def _gen_documents_vectorized(rng: np.random.Generator, out: str, n: int) -> None:
+    """Same generative shape as ``_gen_documents`` (iid uniform vocab
+    words, uniform 10-100-word docs, 5% planted ~2-edit near-dups,
+    empirical language mix, 20 sources) but one flattened word draw
+    instead of one ``rng.choice`` per doc — at 500k docs the per-doc
+    path spends minutes in Python dispatch for an identical iid
+    distribution."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    vocab = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT unnest(string_split(text,' ')) w FROM "
+                f"read_parquet('{SF01}/documents.parquet') ORDER BY 1"
+            ).fetchall()
+        ]
+    )
+    langs, lang_n = zip(
+        *con.execute(
+            f"SELECT lang, count(*) FROM read_parquet('{SF01}/documents.parquet')"
+            " GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    )
+    p_lang = np.array(lang_n, dtype=float)
+    p_lang /= p_lang.sum()
+    lengths = rng.integers(10, 101, size=n)
+    flat = vocab[rng.integers(0, len(vocab), size=int(lengths.sum()))]
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    texts = [" ".join(flat[bounds[i] : bounds[i + 1]]) for i in range(n)]
+    n_dups = n // 20
+    for j in range(n_dups):
+        i = n - n_dups + j
+        src = int(rng.integers(0, n - n_dups))
+        words = texts[src].split(" ")
+        for _ in range(min(2, len(words))):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+        texts[i] = " ".join(words)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": texts,
+            "lang": rng.choice(langs, size=n, p=p_lang),
+            "source": [f"src{i % 20}" for i in range(n)],
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+
+
+def ensure_tier100(tier_dir: str) -> None:
+    if _tier_cached(tier_dir, TIER100_VERSION):
+        return
+    os.makedirs(tier_dir, exist_ok=True)
+    rng = np.random.default_rng(4242)
+    print(f"generating 100x tier under {tier_dir} ...", file=sys.stderr)
+    _gen_documents_vectorized(rng, tier_dir, 500_000)
+    _gen_embeddings(rng, tier_dir, 200_000)
+    _gen_lineitem(rng, tier_dir, 15_000_000, 2_000_000)
+    with open(os.path.join(tier_dir, "_complete"), "w") as fh:
+        fh.write(TIER100_VERSION)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier-dir", default="/tmp/tp3_scale_sf1")
+    ap.add_argument("--tier100-dir", default="/tmp/tp3_scale_sf10")
     ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument(
+        "--tier100-queries",
+        default=",".join(TIER100_QUERIES),
+        help="subset also measured at the 100x tier (second decade); "
+        "empty string skips the 100x sweep entirely",
+    )
     ap.add_argument(
         "--out",
         default=None,
-        help="also write the results as a JSON artifact (e.g. SCALE_r08.json)",
+        help="also write the results as a JSON artifact (e.g. SCALE_r09.json)",
+    )
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=3,
+        help="measured passes after the warmup (min is reported)",
     )
     args = ap.parse_args()
+    tier100_names = [q for q in args.tier100_queries.split(",") if q]
     ensure_tier(args.tier_dir)
+    if tier100_names:
+        ensure_tier100(args.tier100_dir)
 
     from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
         all_queries,
+    )
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
+        jaccard_dup_pairs,
     )
     from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
 
     spark = get_spark("scale-tier")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    queries = dict(all_queries())
+    # deployment router: same (spark, sf_dir) shape, lives outside the
+    # capped registry (the exact form keeps the oracle slot)
+    queries.setdefault("jaccard_dup_pairs", jaccard_dup_pairs)
 
     def measure(name: str, sf_dir: str) -> float:
         times = []
-        for i in range(4):  # 1 warmup + 3 measured
+        for i in range(args.passes + 1):  # 1 warmup + N measured
             t0 = time.monotonic()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
@@ -244,7 +356,7 @@ def main() -> int:
         return min(times)
 
     results = {}
-    for name in args.queries.split(","):
+    for name in [q for q in args.queries.split(",") if q]:
         base = measure(name, SF01)
         big = measure(name, args.tier_dir)
         results[name] = {
@@ -252,6 +364,22 @@ def main() -> int:
             "tier10x_sec": round(big, 3),
             "slope": round(big / base, 2),
         }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+    for name in tier100_names:
+        if name not in results:
+            base = measure(name, SF01)
+            big = measure(name, args.tier_dir)
+            results[name] = {
+                "sf0.1_sec": round(base, 3),
+                "tier10x_sec": round(big, 3),
+                "slope": round(big / base, 2),
+            }
+        huge = measure(name, args.tier100_dir)
+        results[name]["tier100x_sec"] = round(huge, 3)
+        # second-decade slope: 10x tier -> 100x tier. Flattening
+        # (slope2 <= slope) is the linearity evidence one decade can't
+        # give — a hidden quadratic COMPOUNDS decade over decade.
+        results[name]["slope2"] = round(huge / results[name]["tier10x_sec"], 2)
         print(json.dumps({"query": name, **results[name]}), flush=True)
     if args.out:
         with open(args.out, "w") as fh:
