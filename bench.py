@@ -304,15 +304,17 @@ def main() -> None:
     # the SparkContext and measure on a fresh one.
     if only:
         streaming_rate = None  # targeted query runs skip the ingest pass
+        streaming_first = None
     else:
         spark.stop()
         spark = get_spark("tp3-bench-ingest")
         spark.sparkContext.setLogLevel("ERROR")
         try:
-            streaming_rate = _streaming_ingest_rate(spark)
+            streaming_rate, streaming_first = _streaming_ingest_rate(spark)
         except Exception as exc:  # noqa: BLE001 - partial numbers beat none
             errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
             streaming_rate = None
+            streaming_first = None
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -343,6 +345,7 @@ def main() -> None:
         "common22_min_sec": common22_min,
         "common22_first_sec": common22_first,
         "streaming_ingest_rows_per_sec": streaming_rate,
+        "streaming_ingest_first_pass_rows_per_sec": streaming_first,
         "errors": errors,
     }
     print(f"# full: {json.dumps(full, separators=(',', ':'))}", file=sys.stderr)
@@ -365,6 +368,7 @@ def main() -> None:
         "common22_min_sec": common22_min,
         "common22_first_sec": common22_first,
         "streaming_ingest_rows_per_sec": streaming_rate,
+        "streaming_ingest_first_pass_rows_per_sec": streaming_first,
         "n_queries": len(timings),
         "errors_count": len(errors),
         "full_map": "bench_full.json",
@@ -450,9 +454,19 @@ def _commit_artifact() -> None:
         print(f"# bench artifact commit skipped: {exc}", file=sys.stderr)
 
 
-def _streaming_ingest_rate(spark, n_rows: int = 100_000) -> float:
+def _streaming_ingest_rate(
+    spark, n_rows: int = 100_000, passes: int = 3
+) -> tuple[float, float]:
     """Sustained-ingest proxy (BASELINE.md: ≥2,000 msg/s): JSON micro-batches
-    → checkpointed date-partitioned parquet sink, end to end."""
+    → checkpointed date-partitioned parquet sink, end to end.
+
+    Warmup + best-of-N (VERDICT r8 ask #4): the single-pass number
+    wobbled ±6% round over round with no code change, so — mirroring the
+    query bench's min-of-pass discipline — one unmeasured warmup pass
+    absorbs stream-plan/codegen/sink setup, then each of N measured
+    passes ingests into a FRESH lake+checkpoint and the BEST rate is
+    reported beside the first measured pass. Returns
+    (best_rows_per_sec, first_pass_rows_per_sec)."""
     import shutil
     import tempfile
 
@@ -473,14 +487,25 @@ def _streaming_ingest_rate(spark, n_rows: int = 100_000) -> float:
             .option("maxFilesPerTrigger", 2)
             .json(topic)
         )
-        start = time.monotonic()
-        query = ingest_stream_to_lake(stream, f"{root}/lake", f"{root}/ckpt")
-        query.awaitTermination(300)
-        elapsed = time.monotonic() - start
-        ingested = spark.read.parquet(f"{root}/lake").count()
-        rate = round(ingested / elapsed, 1)
-        print(f"# streaming ingest: {ingested} rows in {elapsed:.2f}s = {rate} rows/s", file=sys.stderr)
-        return rate
+        rates = []
+        for i in range(passes + 1):  # pass 0 is the unmeasured warmup
+            lake, ckpt = f"{root}/lake{i}", f"{root}/ckpt{i}"
+            start = time.monotonic()
+            query = ingest_stream_to_lake(stream, lake, ckpt)
+            query.awaitTermination(300)
+            elapsed = time.monotonic() - start
+            ingested = spark.read.parquet(lake).count()
+            rate = round(ingested / elapsed, 1)
+            print(
+                f"# streaming ingest pass {i}{' (warmup)' if i == 0 else ''}: "
+                f"{ingested} rows in {elapsed:.2f}s = {rate} rows/s",
+                file=sys.stderr,
+            )
+            if i:
+                rates.append(rate)
+            shutil.rmtree(lake, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return max(rates), rates[0]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
