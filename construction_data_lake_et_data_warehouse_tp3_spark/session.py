@@ -19,7 +19,10 @@ from pyspark.sql import SparkSession
 
 #: Confs that must be set before the JVM starts (builder-time only).
 BUILDER_CONF = {
-    "spark.driver.memory": "16g",
+    # overridable for scale-tier sweeps: the 100x tier (61M-row edge
+    # sets in one JVM) needs more than the 16g default the driver-scale
+    # runs are sized for; a real cluster spreads this across executors
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/tp3_spark_warehouse"
     ),

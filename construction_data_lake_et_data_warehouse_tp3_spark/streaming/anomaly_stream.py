@@ -83,8 +83,14 @@ class StreamingAnomalyMonitor:
         self.threshold = threshold_sigmas
 
     def score(self, batch: DataFrame) -> DataFrame:
-        """Map-only scoring: cents, z-score, is_anomaly flag."""
-        cents = F.expr(f"CAST(round({self.value_col} * 100) AS BIGINT)")
+        """Map-only scoring: cents, z-score, is_anomaly flag. A NaN/NULL
+        value scores NULL z (never alerts) instead of the pre-guard ANSI
+        CAST abort that killed the whole micro-batch — one corrupt record
+        must not suppress the batch's real alerts."""
+        cents = F.expr(
+            f"CAST(round(nanvl({self.value_col}, CAST(NULL AS DOUBLE)) * 100)"
+            " AS BIGINT)"
+        )
         z = (cents - F.lit(self.mu)) / F.lit(self.sigma)
         return batch.withColumn("z_score", z).withColumn(
             "is_anomaly", F.abs(F.col("z_score")) > F.lit(self.threshold)

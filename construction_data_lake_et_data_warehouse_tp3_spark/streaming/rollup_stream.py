@@ -64,8 +64,16 @@ class StreamingRollup:
             )
             .agg(
                 F.count("*").alias("n_rows"),
+                # nanvl (ADVICE/ask r8 dirty sweep): a NaN measure made
+                # this CAST raise under ANSI and abort the micro-batch;
+                # NaN quarantines to NULL cents (counted row, skipped
+                # sum) — the money helpers' posture
                 F.sum(
-                    F.expr(f"CAST(round({self.value} * 100) AS BIGINT)")
+                    F.expr(
+                        "CAST(round(nanvl("
+                        f"{self.value}, CAST(NULL AS DOUBLE)) * 100)"
+                        " AS BIGINT)"
+                    )
                 ).alias("total_cents"),
             )
             .withColumn("batch_id", F.lit(batch_id).cast("long"))

@@ -110,6 +110,14 @@ class StreamingScd2:
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
         """Fold one micro-batch into the history; returns MERGEd rows
         (0 on a full replay — idempotent by construction)."""
+        # a change with a NULL key or NULL timestamp cannot join a
+        # per-key ordered history — the batch operator excludes such
+        # rows (operators/statistics.py scd2_user_state_history, dirty
+        # parity sweep), and before this guard the stream fold minted
+        # NULL-keyed history rows the batch twin never produces
+        batch = batch.where(
+            F.col(self.key).isNotNull() & F.col(self.ts).isNotNull()
+        )
         changes = self._compact(batch)
         if self.table.exists():
             applied = self.table.read().select(
