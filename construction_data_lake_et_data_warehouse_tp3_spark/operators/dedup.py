@@ -354,6 +354,73 @@ def _ppjoin_verify(cand: DataFrame, ordered: DataFrame) -> DataFrame:
     )
 
 
+def saturated_route_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    thetas: tuple[tuple[int, int], ...] = ((2, 5), (1, 2), (3, 5)),
+    caps: tuple[int, ...] = (LSH_BUCKET_CAP, 2 * LSH_BUCKET_CAP),
+) -> DataFrame:
+    """Measure the saturated route's completeness TRADE as a curve, not
+    one number (VERDICT r8 ask #6): for each θ = num/den and each LSH
+    bucket cap, the recall of (LSH candidates ≤ cap → exact θ-verify)
+    against the brute-force all-pairs θ ground truth.
+
+    Intended for small closed-vocab fixtures (the regime the router
+    actually routes): the ground truth is a deliberate O(n²) self-join.
+    Everything downstream of the corpus is md5-deterministic, so on a
+    seed-pinned fixture each (θ, cap) recall is an EXACT number the
+    suite can pin — a silent candidate-generation regression moves it.
+
+    Returns (theta_num, theta_den, bucket_cap, true_pairs, routed_pairs,
+    recall_bp) with recall in basis points (integer, engine-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ordered = _ppjoin_ordered(docs)
+    ta = ordered.select(F.col("doc_id").alias("doc_a"), F.col("os").alias("ts_a"))
+    tb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("os").alias("ts_b"))
+    brute = (
+        ta.join(tb, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(ts_a, ts_b))").alias("i"),
+            F.expr("size(ts_a)").alias("ma"),
+            F.expr("size(ts_b)").alias("mb"),
+        )
+        .persist()
+    )
+    bands = _band_signatures(docs)
+    sized = bands.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ds) - 1), "
+        "i -> transform(slice(ds, i + 1, size(ds) - i), "
+        "b -> struct(element_at(ds, i) AS doc_a, b AS doc_b))))"
+    )
+    rows = []
+    for cap in caps:
+        cand = (
+            sized.where((F.size("ds") > 1) & (F.size("ds") <= cap))
+            .select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        routed_i = cand.join(brute, ["doc_a", "doc_b"])  # carries i/ma/mb
+        for num, den in thetas:
+            guard = F.expr(f"{den + num} * i >= {num} * (ma + mb)")
+            t = brute.where(guard).count()
+            r = routed_i.where(guard).count()
+            rows.append(
+                (num, den, cap, t, r, int(round(10_000 * r / t)) if t else None)
+            )
+    brute.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "theta_num int, theta_den int, bucket_cap int,"
+        " true_pairs bigint, routed_pairs bigint, recall_bp int",
+    )
+
+
 #: saturation cutoff for the routed entry point: an UNSATURATED corpus
 #: grows its prefix-shingle vocabulary at least linearly with docs
 #: (Heaps' law), so distinct-prefix-shingles ≥ docs holds with huge

@@ -123,24 +123,51 @@ def pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the co-purchase graph, top-TOP_K most
     clustered products — the local-clustering primitive beside PageRank's
-    centrality. Edges are canonically oriented (src < dst), so each
-    triangle a<b<c is enumerated exactly once as the wedge a→b→c closed
-    by a→c; every node in it scores 1.
+    centrality.
 
-    Scale shape: two joins — the wedge join shuffled on the shared node,
-    the closure join on the (src, dst) pair. Wedge volume is Σ deg²; at
-    10^9 edges the standard refinement is degree-ordered orientation
-    (point edges low→high degree), which bounds wedges by arboricity —
-    the src<dst orientation here is the id-ordered special case of that
-    same trick."""
+    DEGREE-ORDERED orientation (VERDICT r8 ask #7, the 10⁹-edge
+    refinement COVERAGE.md carried as prose): every undirected edge is
+    pointed from its lower-(degree, id) endpoint to the higher, and each
+    triangle is enumerated exactly once as a wedge (u→v, u→w) with
+    (deg_v, v) ≺ (deg_w, w), closed by the oriented edge v→w. Because
+    the wedge join fans out on OUT-degree and no node's out-degree
+    exceeds O(√m) under this orientation (the arboricity bound of the
+    compact-forward algorithm, Latapy 2008), hub fan-out is bounded:
+    the id-ordered special case this replaces let a high-degree hub
+    with a small id own Σdeg² wedges. Counts are orientation-invariant,
+    so the result (and its oracle hash) is unchanged.
+
+    Scale shape: one degree aggregation + two joins — the wedge join
+    shuffled on the shared lower endpoint, the closure join on the
+    (v, w) pair. The closing-edge orientation is decided by the SAME
+    (degree, id) struct comparison, so no second degree lookup."""
     canon = _canonical_edges(spark, sf_dir)
-    e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
-    e3 = canon.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    deg = (
+        canon.select(F.col("src").alias("node"))
+        .union(canon.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = (
+        canon.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "sdeg")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("deg", "ddeg")
+    )
+    fwd = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
+    oriented = keyed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("b"), F.col("vdeg").alias("bdeg"))
+    w2 = oriented.select("u", F.col("v").alias("c"), F.col("vdeg").alias("cdeg"))
+    close = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tri = (
-        e1.join(e2, e1.b == e2.b2)
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
+        w1.join(w2, "u")
+        .where(F.struct("bdeg", "b") < F.struct("cdeg", "c"))
+        .join(close, ["b", "c"])
+        .select(F.col("u").alias("a"), "b", "c")
     )
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))

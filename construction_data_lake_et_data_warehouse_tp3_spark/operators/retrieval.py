@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from .clustering import SCALE, _assign, _train, _vectors
+from .clustering import SCALE, _assign, _train, _vectors, assign_adaptive
 from .clustering import _V_DUCK, _TRAIN_DUCK
 from .dedup import TOKENS, TOKENS_DUCK
 
@@ -313,8 +313,14 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because it is the same fold over the same doubles, so the oracle,
     # which still writes the norms inline, hashes identically).
     # Measured at sf0.1: 4.9 s → ~2 s for the bench line.
+    # assign_adaptive (r9): flat Lloyd assignment is N·K work, which is
+    # N² when k ∝ N — the r9 two-decade sweep measured 499 s at the
+    # 100x tier (vs ~58 s decade-linear). Above its cutoff the adaptive
+    # path trains a two-level quantizer (N·√K assignment); every
+    # oracle-checked SF yields k = 8 ≤ cutoff and runs the EXACT
+    # single-level chain the DuckDB oracle unrolls.
     assigned = (
-        _assign(vecs, _train(vecs, k=k))
+        assign_adaptive(vecs, k)
         .withColumn(
             "vd", F.expr(f"transform(vint, i -> i / CAST({SCALE} AS DOUBLE))")
         )
