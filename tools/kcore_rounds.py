@@ -32,13 +32,29 @@ def breakdown(spark, sf_dir: str, k: int, rounds: int) -> list[dict]:
     from pyspark.sql import functions as F
 
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.graph import (
-        _edges,
+        _canonical_edges,
     )
+
+    # mirrors the r9 CANONICAL peel in operators/graph.py kcore_products:
+    # the checkpoint holds the src<dst half, induced degree aggregates
+    # both endpoint columns
+    def induced_degree(e):
+        return (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+
+    def prune(e, alive_nodes):
+        return e.join(
+            alive_nodes.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(alive_nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
 
     out = []
     t0 = time.monotonic()
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    n_edges = edges.count()
+    canon = _canonical_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_edges = canon.count()
     out.append(
         {
             "sf_dir": sf_dir,
@@ -47,16 +63,13 @@ def breakdown(spark, sf_dir: str, k: int, rounds: int) -> list[dict]:
             "edges": n_edges,
         }
     )
-    alive = edges.select(F.col("src").alias("node")).distinct()
+    alive = induced_degree(canon).select("node")
     for rnd in range(1, rounds + 1):
         t0 = time.monotonic()
-        sub = edges.join(
-            alive.select(F.col("node").alias("src")), "src", "left_semi"
-        ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
-        deg = sub.groupBy("src").agg(F.count("*").alias("degree"))
         alive = (
-            deg.where(F.col("degree") >= k)
-            .select(F.col("src").alias("node"))
+            induced_degree(prune(canon, alive))
+            .where(F.col("degree") >= k)
+            .select("node")
             .localCheckpoint(eager=True)
         )
         n_alive = alive.count()
@@ -69,10 +82,7 @@ def breakdown(spark, sf_dir: str, k: int, rounds: int) -> list[dict]:
             }
         )
     t0 = time.monotonic()
-    final = edges.join(
-        alive.select(F.col("node").alias("src")), "src", "left_semi"
-    ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
-    n_core = final.groupBy("src").agg(F.count("*").alias("d")).count()
+    n_core = induced_degree(prune(canon, alive)).count()
     out.append(
         {
             "sf_dir": sf_dir,
