@@ -54,6 +54,38 @@ def test_scale_artifact_exists_and_is_sane():
     assert not flagged, "\n".join(flagged)
 
 
+#: queries that must carry a SECOND measured decade (VERDICT r8 ask #1):
+#: the 100x tier (tier100x_sec, slope2 = tier100x/tier10x). A slope2
+#: below 10 means wall grew SLOWER than data across the second decade —
+#: per-row unit cost fell, the flattening evidence one decade can't
+#: give. (Raw slope2 <= slope1 is the wrong gate here: decade-1 walls
+#: of 3-17 s are fixed-overhead-depressed, so decade-1 slopes read
+#: artificially low; unit cost is the honest monotone. r9 measured
+#: semdedup 1.7 -> 0.49 -> 0.20 ms/vector, kcore 3.1 -> 1.06 -> 0.91
+#: us/edge, jaccard-router 0.66 -> 0.33 -> 0.28 ms/doc.)
+TWO_DECADE = ("semdedup_pairs", "jaccard_dup_pairs", "kcore_products")
+SECOND_DECADE_LIMIT = 10.0
+
+
+def test_second_decade_is_subdecade_linear():
+    arts = _artifacts()
+    newest = arts[max(arts)]
+    missing = [q for q in TWO_DECADE if "slope2" not in newest.get(q, {})]
+    if max(arts) < 9:
+        return  # two-decade sweeps start at r9
+    assert not missing, (
+        f"{missing} lack a second measured decade — run tools/scale_tier.py "
+        "with its default --tier100-queries"
+    )
+    flagged = [
+        f"{q}: slope2 {newest[q]['slope2']}x — wall grew FASTER than data "
+        "across the second decade (unit cost rose; compounding quadratic)"
+        for q in TWO_DECADE
+        if newest[q]["slope2"] > SECOND_DECADE_LIMIT
+    ]
+    assert not flagged, "\n".join(flagged)
+
+
 def test_slopes_do_not_regress_round_over_round():
     arts = _artifacts()
     if len(arts) < 2:
