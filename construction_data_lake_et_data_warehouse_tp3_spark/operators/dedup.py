@@ -562,6 +562,17 @@ EDIT_MAX_DIST = 5
 _SEG_LAYOUT = ((1, 7), (8, 7), (15, 7), (22, 7), (29, 6), (35, 6))
 
 
+#: deployment cap for PassJoin candidate keys (edit_distance_pairs_capped):
+#: a (lang, bucket, segment, piece) key whose window-side population
+#: exceeds this is non-discriminative (closed/templated vocabulary — the
+#: r9 100x-tier probe measured 443 s vs 7.8 s at 10x, slope2 ≈ 57: the
+#: PPJoin prefix-saturation disease, segment edition) and is dropped from
+#: BOTH join sides. Open-vocab corpora never touch the cap (populations
+#: are single digits), so the capped form equals the exact form there —
+#: locked by test_edit_cap.
+EDIT_SEG_CAP = 100
+
+
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs — the typo/small-edit modality that
     shingle-based minhash underweights (one char flip changes 12
@@ -586,7 +597,35 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set's completeness a parity-checked claim. Docs with
     prefixes shorter than 40 chars (sub-40-char docs, bucket 0 only)
     take the plain band join as a fallback — a negligible, cappable
-    population."""
+    population.
+
+    This registry form is always exact (the oracle proves candidate
+    completeness); on closed-vocab corpora, where segment pieces
+    saturate exactly like PPJoin prefixes, the deployment entry point
+    is :func:`edit_distance_pairs_capped`."""
+    return _edit_pairs(spark, sf_dir, seg_cap=None)
+
+
+def edit_distance_pairs_capped(
+    spark: SparkSession, sf_dir: str, seg_cap: int = EDIT_SEG_CAP
+) -> DataFrame:
+    """Deployment form of edit_distance_pairs for saturated corpora
+    (the jaccard_dup_pairs posture applied to the edit modality):
+    candidate keys whose window-side population exceeds `seg_cap` are
+    dropped from both join sides before the pair expansion, keeping the
+    candidate set linear on closed-vocab corpora where the exact
+    pigeonhole join is quadratic (measured 443 s vs 7.8 s at the r9
+    100x closed-vocab tier; capped: see SCALING.md r9). On open-vocab
+    corpora the cap never binds and this equals the exact form pair
+    for pair. The trade is explicit: completeness drops only for pairs
+    whose EVERY surviving segment is saturated — recall on planted
+    near-dups is locked in tests/test_dedup.py."""
+    return _edit_pairs(spark, sf_dir, seg_cap=seg_cap)
+
+
+def _edit_pairs(
+    spark: SparkSession, sf_dir: str, seg_cap: int | None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
@@ -639,6 +678,23 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "key", F.col("w.i").alias("i"), F.col("w.piece").alias("piece"),
         "doc_w", "pfx_w",
     )
+    if seg_cap is not None:
+        # saturation cap: a candidate key shared by more than seg_cap
+        # windows is non-discriminative (closed-vocab segment pieces);
+        # drop it from BOTH sides — the hot-key list is tiny (only
+        # saturated keys), so the anti-joins broadcast
+        hot = (
+            wins.groupBy("lang", "key", "i", "piece")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > seg_cap)
+            .select("lang", "key", "i", "piece")
+        )
+        segs = segs.join(
+            F.broadcast(hot), ["lang", "key", "i", "piece"], "left_anti"
+        )
+        wins = wins.join(
+            F.broadcast(hot), ["lang", "key", "i", "piece"], "left_anti"
+        )
     cand_pass = (
         segs.join(wins, ["lang", "key", "i", "piece"])
         .where(F.col("doc_s") != F.col("doc_w"))

@@ -209,6 +209,44 @@ class TestEditDistanceRecall:
                  for r in dedup.edit_distance_pairs(spark, sf).collect()}
         missed = truth - found
         assert not missed, f"pigeonhole lost true pairs: {sorted(missed)}"
+        # the CAPPED deployment form (r9): on open-vocab text the
+        # saturation cap never binds, so it equals the exact form pair
+        # for pair
+        capped = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+                  for r in dedup.edit_distance_pairs_capped(spark, sf).collect()}
+        assert capped == found
+
+
+class TestEditDistanceCap:
+    def test_cap_binds_on_saturated_segments_but_keeps_rare_dups(
+        self, spark, tmp_path
+    ):
+        """r9: on a closed-vocab corpus the PassJoin segment pieces
+        saturate exactly like PPJoin prefixes (measured 443 s vs the
+        7.8 s 10x point at the 100x tier — slope2 ≈ 57, a compounding
+        quadratic). The capped form must (a) drop the saturated
+        candidate keys (subset of exact, far fewer candidate pairs
+        admitted through a shared template), while (b) still pairing a
+        near-dup that shares at least one RARE segment."""
+        # 300 docs sharing ONE 40-char template prefix (every segment
+        # saturated at population 300 > cap=100), differing after it
+        template = "the quick brown fox jumps over the lazy dog "
+        rows = [(i, template + f"tail number {i}", "en", "s") for i in range(300)]
+        # one pair with a UNIQUE prefix and 1 edit: must survive the cap
+        rare_a = "zebra quokka axolotl wombat capybara lynx puma"
+        rare_b = "zebra quokka axolotl wombat capybara lynx pumq"
+        rows += [(9001, rare_a, "en", "s"), (9002, rare_b, "en", "s")]
+        sf = _write_documents(spark, tmp_path, rows)
+        exact = {(r["doc_a"], r["doc_b"]) for r in
+                 dedup.edit_distance_pairs(spark, sf).collect()}
+        capped = {(r["doc_a"], r["doc_b"]) for r in
+                  dedup.edit_distance_pairs_capped(spark, sf).collect()}
+        assert capped <= exact                    # precision stays exact
+        assert (9001, 9002) in capped             # rare segments survive
+        # the template block's pairwise expansion is what the cap drops:
+        # every template pair is identical in the prefix (distance 0),
+        # so exact admits all C(300,2); capped must drop them
+        assert (0, 1) in exact and (0, 1) not in capped
 
 
 class TestNewOpPlans:
