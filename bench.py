@@ -204,6 +204,23 @@ GRAPH_QUERIES = (
 #: equally visible one SF down.
 WEDGE_QUERIES = ("link_prediction_jaccard",)
 
+#: deployment-form entry points that live OUTSIDE the capped 200-query
+#: registry (their exact twins hold the oracle slots): the θ-Jaccard
+#: saturation router and the capped PassJoin. Benched per round so the
+#: routing/capping overhead at sf0.1 (where neither trade binds) stays
+#: a tracked number, not a guess — their at-scale story is the
+#: two-decade artifact (SCALE_r09.json / SCALING.md).
+def _deployment_forms():
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
+        edit_distance_pairs_capped,
+        jaccard_dup_pairs,
+    )
+
+    return {
+        "jaccard_dup_pairs_router": jaccard_dup_pairs,
+        "edit_distance_pairs_capped": edit_distance_pairs_capped,
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,10 +242,13 @@ def main() -> None:
     if not os.path.isdir(wedge_sf_dir):
         wedge_sf_dir = sf_dir
     wedge_tag = wedge_sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    deployment = _deployment_forms()
+    registry = {**registry, **deployment}
     workload = (
         [(name, name, sf_dir) for name in HEADLINE]
         + [(f"{name}@{graph_tag}", name, graph_sf_dir) for name in GRAPH_QUERIES]
         + [(f"{name}@{wedge_tag}", name, wedge_sf_dir) for name in WEDGE_QUERIES]
+        + [(name, name, sf_dir) for name in deployment]
     )
     # targeted re-measurement (e.g. the judge's watch-query check):
     # SPARK_GRAFT_BENCH_ONLY=tpch_q1,lm_surprisal restricts the workload.
