@@ -120,6 +120,14 @@ def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> Dat
                 f"cluster_edges did not converge in {max_iters} rounds; "
                 "rerun with max_iters=None or a higher cap"
             )
+    # the converged labels are localCheckpointed (lineage cut), so the
+    # persisted pair cache is no longer reachable from the returned
+    # plan — release it (r9): an un-released persist lives for the whole
+    # session, and Spark's CacheManager serves it to ANY later query
+    # whose plan matches, which both accumulates memory across a long
+    # session and would serve stale pairs if the underlying lake files
+    # changed under a matching plan.
+    pairs.unpersist()
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),
