@@ -47,11 +47,11 @@ _MODULES = (
 # row in any prior round enumerate first so every query accumulates at least
 # one CORRECTNESS_r{N} row across rounds; long-green queries rotate to the
 # back.
-# r9 rotation (VERDICT r8 ask #2): STRICT staleness order — each query
-# sorted by the round of its latest green driver row (the age-4 trio
-# training_manifest / triangle_participation / unpivot_status_revenue
-# first, then the age-3 / age-2 / age-1 / age-0 blocks, alphabetical
-# within a block). GENERATED, not hand-maintained: run
+# STRICT staleness order (VERDICT r8 ask #2): each query sorted by the
+# round of its latest green driver row — oldest block first, then the
+# younger blocks, alphabetical within a block (the concrete block
+# membership changes every round; see the generated-on marker below,
+# never this comment). GENERATED, not hand-maintained: run
 # `python tools/rotate_priority.py` at round start; its --check mode
 # and tests/test_freshness.py both fail the suite if the committed
 # tuple stops being stalest-first. The driver checks ~50/round, so
@@ -64,57 +64,8 @@ _MODULES = (
 # green row is >4 rounds older than the newest committed CORRECTNESS
 # file, if a registry query has no committed row and no head-of-line
 # priority slot, or if the registry outgrows rotation capacity.
+# [generated] tools/rotate_priority.py from CORRECTNESS r01..r09
 _DRIVER_PRIORITY = (
-    "training_manifest",
-    "triangle_participation",
-    "unpivot_status_revenue",
-    "ab_test_zscore",
-    "arrow_doc_stats",
-    "benford_first_digit",
-    "bm25_search",
-    "bootstrap_revenue_ci",
-    "cohort_ltv",
-    "cumulative_unique_users",
-    "cusum_changepoint",
-    "daily_value_percentiles",
-    "degree_assortativity",
-    "embedding_drift",
-    "event_path_trigrams",
-    "ewma_daily_revenue",
-    "item_similarity_topk",
-    "k_anonymity_audit",
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "last_touch_attribution",
-    "length_histogram",
-    "link_prediction_jaccard",
-    "mom_revenue_growth",
-    "ngram_novelty",
-    "pareto_front_customers",
-    "ppm_resize_blocks",
-    "profile_table",
-    "purchase_streaks",
-    "quantity_discount_corr",
-    "revenue_gini",
-    "revenue_trend_slope",
-    "rrf_hybrid_search",
-    "seasonal_decomposition",
-    "seasonal_naive_backtest",
-    "semdedup_pairs",
-    "session_bounce_rate",
-    "shingle_containment_pairs",
-    "source_lang_entropy",
-    "status_priority_mi",
-    "suspect_duplicate_orders",
-    "target_encoding_loo",
-    "term_pmi_pairs",
-    "time_to_conversion",
-    "token_lorenz_by_source",
-    "value_percentiles_by_type",
-    "weekday_hour_heatmap",
-    "weighted_sample_topk",
-    "winsorized_order_stats",
-    "y4m_keyframe_sample",
     "ab_test_mannwhitney",
     "array_functions_showcase",
     "basket_lift",
@@ -265,6 +216,56 @@ _DRIVER_PRIORITY = (
     "user_transaction_summary",
     "user_transaction_summary_eur",
     "word_freq_topk",
+    "ab_test_zscore",
+    "arrow_doc_stats",
+    "benford_first_digit",
+    "bm25_search",
+    "bootstrap_revenue_ci",
+    "cohort_ltv",
+    "cumulative_unique_users",
+    "cusum_changepoint",
+    "daily_value_percentiles",
+    "degree_assortativity",
+    "embedding_drift",
+    "event_path_trigrams",
+    "ewma_daily_revenue",
+    "item_similarity_topk",
+    "k_anonymity_audit",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "last_touch_attribution",
+    "length_histogram",
+    "link_prediction_jaccard",
+    "mom_revenue_growth",
+    "ngram_novelty",
+    "pareto_front_customers",
+    "ppm_resize_blocks",
+    "profile_table",
+    "purchase_streaks",
+    "quantity_discount_corr",
+    "revenue_gini",
+    "revenue_trend_slope",
+    "rrf_hybrid_search",
+    "seasonal_decomposition",
+    "seasonal_naive_backtest",
+    "semdedup_pairs",
+    "session_bounce_rate",
+    "shingle_containment_pairs",
+    "source_lang_entropy",
+    "status_priority_mi",
+    "suspect_duplicate_orders",
+    "target_encoding_loo",
+    "term_pmi_pairs",
+    "time_to_conversion",
+    "token_lorenz_by_source",
+    "training_manifest",
+    "triangle_participation",
+    "unpivot_status_revenue",
+    "value_percentiles_by_type",
+    "weekday_hour_heatmap",
+    "weighted_sample_topk",
+    "winsorized_order_stats",
+    "y4m_keyframe_sample",
 )
 
 

@@ -47,16 +47,28 @@ def stalest_first() -> list[str]:
     return sorted(registry, key=lambda q: (latest.get(q, 0), q))
 
 
+def _marker() -> str:
+    """One-line generated-on marker (ADVICE r9): derived from the committed
+    CORRECTNESS files, not wall-clock, so regeneration is reproducible."""
+    from tools.freshness import load_rounds
+
+    rounds = sorted(load_rounds(REPO))
+    span = f"r{rounds[0]:02d}..r{rounds[-1]:02d}" if rounds else "none"
+    return f"# [generated] tools/rotate_priority.py from CORRECTNESS {span}"
+
+
 def render(order: list[str]) -> str:
     body = "\n".join(f'    "{name}",' for name in order)
-    return f"_DRIVER_PRIORITY = (\n{body}\n)"
+    return f"{_marker()}\n_DRIVER_PRIORITY = (\n{body}\n)"
 
 
 def main() -> int:
     order = stalest_first()
     with open(INIT_PATH) as fh:
         src = fh.read()
-    pattern = re.compile(r"_DRIVER_PRIORITY = \(\n(?:    \"[^\"]+\",\n)+\)")
+    pattern = re.compile(
+        r"(?:# \[generated\][^\n]*\n)?_DRIVER_PRIORITY = \(\n(?:    \"[^\"]+\",\n)+\)"
+    )
     m = pattern.search(src)
     if not m:
         print("could not locate _DRIVER_PRIORITY tuple", file=sys.stderr)
