@@ -266,15 +266,21 @@ class AnnIndex:
         index — identical kernel (ivf_probe_topk) to the fresh-fit and
         streaming paths, reading centroids + postings from the lake."""
         # resolve the CONCRETE version pair first (metadata-only; no data
-        # scan) so the pairing guard below can be memoized per pair
+        # scan) and read THOSE versions explicitly (ADVICE r9): resolving
+        # the memo key and then re-reading "latest" separately would let a
+        # publish landing in between verify one version pair but memoize
+        # another — permanently skipping the pairing guard for a pair this
+        # instance never actually checked.
         c_ver = version if version is not None else max(
             self.writer.committed_versions(self._cfg("centroids")) or {-1}
         )
         p_ver = version if version is not None else max(
             self.writer.committed_versions(self._cfg("postings")) or {-1}
         )
-        cents = self.centroids(version)
-        posts = self.postings(version)
+        # -1 = no committed version; pass None through so read_table_feed
+        # raises its canonical LookupError
+        cents = self.centroids(c_ver if c_ver >= 0 else None)
+        posts = self.postings(p_ver if p_ver >= 0 else None)
         # pairing guard: the probed postings must have been assigned by
         # the probed centroids (publish can advance the two feeds at
         # different rates; a mismatched pair returns silently wrong
@@ -317,4 +323,4 @@ class AnnIndex:
             )
             .withColumn("cn", F.expr(_NORM.format(a="cv")))
         )
-        return ivf_probe_topk(self.centroids(version), stored, q, k=k, nprobe=nprobe)
+        return ivf_probe_topk(cents, stored, q, k=k, nprobe=nprobe)

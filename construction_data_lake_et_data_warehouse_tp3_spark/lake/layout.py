@@ -124,7 +124,16 @@ def pruning_stats(path: str, ranges: dict[str, tuple[float, float]]) -> dict:
         "rows_total": 0,
         "rows_skippable": 0,
     }
-    for fp in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    # recursive: a partitioned layout (the lake writer's own date/version
+    # partitioning) nests its parquet files under key=value dirs — a
+    # flat glob would silently return files_total=0 there (ADVICE r9)
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if not files:
+        raise FileNotFoundError(
+            f"pruning_stats: no parquet files under {path!r} — an empty "
+            "walk would be indistinguishable from a measured 0% skip"
+        )
+    for fp in files:
         md = pq.ParquetFile(fp).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         file_all_skipped = md.num_row_groups > 0

@@ -280,6 +280,22 @@ def _prioritize(merged):
     return ordered
 
 
+#: rows-only BY DESIGN (VERDICT r9 ask #7): these registry queries have
+#: no ORACLE entry on purpose — their values are approximate sketches
+#: (HLL / approx-percentile) that no engine-portable SQL reproduces, so
+#: the driver records err="no_oracle" for them. That row is the EXPECTED
+#: outcome, not a failure: each query maps here to the exact `_check`
+#: twin that hash-locks the same pipeline against DuckDB. A scripted
+#: consumer of CORRECTNESS files should treat a no_oracle row for a key
+#: in this dict as by-design. tools/freshness.py fails the suite if this
+#: marker set drifts from the actual (queries − oracle) set or a twin
+#: loses its oracle slot.
+BY_DESIGN_ROWS_ONLY = {
+    "product_purchase_counts_approx": "product_purchase_counts_approx_check",
+    "median_order_value_approx": "median_order_value_approx_check",
+}
+
+
 def all_queries():
     out = {}
     for mod_name in _MODULES:

@@ -60,7 +60,10 @@ def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> Dat
     label and its neighbours' labels; converged when no label moves. The
     edge list is materialized ONCE (localCheckpoint — the upstream
     lineage must not replay per round, and the iterated plan must not
-    grow), so each round is one join + one aggregation over edges. On a
+    grow), so each round is one join + one aggregation over edges. The
+    input frame is persisted for the duration of the call and released
+    on return UNLESS the caller persisted it first, in which case the
+    caller's cache is left untouched. On a
     cluster deployment the same loop runs with
     `spark.sparkContext.setCheckpointDir` + `df.checkpoint()` for
     fault-tolerant lineage cuts; localCheckpoint is the single-node form.
@@ -69,8 +72,14 @@ def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> Dat
     # a localCheckpoint here would evaluate it through the RDD path, which
     # loses AQE's broadcast/coalesce decisions (measured 15 s vs 2 s at
     # sf0.1 for the LSH+verify lineage), and the symmetric union below
-    # would evaluate it twice.
-    pairs = pairs.persist()
+    # would evaluate it twice. A frame the CALLER already persisted is
+    # left alone — persist() returns self and caching is plan-level, so
+    # unpersisting it on return (below) would silently evict the caller's
+    # own cache (ADVICE r9); ownership of the cache stays with whoever
+    # created it.
+    caller_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    if not caller_cached:
+        pairs = pairs.persist()
     pairs.count()
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -122,12 +131,14 @@ def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> Dat
             )
     # the converged labels are localCheckpointed (lineage cut), so the
     # persisted pair cache is no longer reachable from the returned
-    # plan — release it (r9): an un-released persist lives for the whole
-    # session, and Spark's CacheManager serves it to ANY later query
-    # whose plan matches, which both accumulates memory across a long
-    # session and would serve stale pairs if the underlying lake files
-    # changed under a matching plan.
-    pairs.unpersist()
+    # plan — release it (r9) IF this function created it: an un-released
+    # persist lives for the whole session, and Spark's CacheManager
+    # serves it to ANY later query whose plan matches, which both
+    # accumulates memory across a long session and would serve stale
+    # pairs if the underlying lake files changed under a matching plan.
+    # A caller-persisted frame stays cached — their cache, their release.
+    if not caller_cached:
+        pairs.unpersist()
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

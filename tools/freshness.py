@@ -61,13 +61,35 @@ def load_rounds(repo: str = REPO) -> dict[int, dict]:
 
 def audit(repo: str = REPO) -> dict:
     from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
+        BY_DESIGN_ROWS_ONLY,
+        all_oracle,
         all_queries,
     )
 
     registry = list(all_queries())
+    failures: list[str] = []
+    # by-design marker audit (VERDICT r9 ask #7): the marker set must be
+    # EXACTLY the queries lacking an oracle (a marker on an oracled query
+    # hides a regression; an unmarked no-oracle query reads as an error
+    # to scripted CORRECTNESS consumers), and each exact twin must hold
+    # an oracle slot so the hash lock it promises actually exists.
+    oracled = set(all_oracle())
+    rows_only = {q for q in registry if q not in oracled}
+    if rows_only != set(BY_DESIGN_ROWS_ONLY):
+        failures.append(
+            "BY_DESIGN drift: marker set "
+            f"{sorted(BY_DESIGN_ROWS_ONLY)} != actual no-oracle set "
+            f"{sorted(rows_only)}"
+        )
+    for q, twin in sorted(BY_DESIGN_ROWS_ONLY.items()):
+        if twin not in oracled:
+            failures.append(
+                f"BY_DESIGN twin missing: {q}'s exact twin {twin} has no "
+                "oracle slot — the hash lock it points at does not exist"
+            )
     rounds = load_rounds(repo)
     if not rounds:
-        return {"ok": True, "note": "no CORRECTNESS files yet", "failures": []}
+        return {"ok": not failures, "note": "no CORRECTNESS files yet", "failures": failures}
     max_round = max(rounds)
     # observed per-round check budget: the driver has recorded a stable
     # row count per round; take the min of the last 3 files so one
@@ -82,7 +104,6 @@ def audit(repo: str = REPO) -> dict:
             if _green(row):
                 latest[q] = n
 
-    failures: list[str] = []
     stale = {
         q: latest[q]
         for q in registry
