@@ -28,10 +28,12 @@ query-against-fresh-fit EXACTLY (tests/test_ann_index.py locks this).
 
 Scale shape: build = one training run (per iteration: broadcast
 crossJoin against K rows + a K×DIM-group shuffle) plus one map-side
-assignment pass; the postings write is partitioned by nothing here but
-at 10^9 vectors you'd `partitionBy("cid")` so a probe prunes to
-nprobe/K of the files. Queries broadcast K centroid rows and join on
-cid — inverted-list locality, never a corpus scan.
+assignment pass; the postings version is laid out `partitionBy("cid")`
+(VERDICT r9 ask #4) and the probe pushes a static `cid IN (probed)`
+predicate, so a probe OPENS only nprobe/K of the posting files —
+partition pruning measured in tests/test_ann_index.py and SCALING.md.
+Queries broadcast K centroid rows and join on cid — inverted-list
+locality, never a corpus scan.
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ from ..operators.clustering import (
     _train,
     ivf_probe_topk,
     prep_vectors,
+    probe_cells,
     quantizer_fingerprint,
 )
 from .catalog import FeedCatalog, FeedConfig, FeedType, PartitioningType, StorageMode
@@ -130,6 +133,21 @@ class AnnIndex:
         except KeyError:
             return self.catalog.add(_table_cfg(feed))
 
+    def _export_postings(self, postings: DataFrame) -> dict:
+        """Publish a postings frame laid out for probe-time pruning
+        (VERDICT r9 ask #4): `partitionBy("cid")` makes each inverted
+        list its own directory so a probe's static `cid IN (...)` filter
+        prunes whole files at planning time, and the hash repartition on
+        cid co-locates each cell into one task's output instead of
+        tasks×cells small files (at 10⁹ vectors: ~cells/shuffle-partition
+        cells per file, still cleanly prunable; without it every write
+        task emits a sliver per cell it happens to hold)."""
+        return self.writer.export_table(
+            postings.repartition("cid"),
+            self._cfg("postings"),
+            partition_cols=("cid",),
+        )
+
     # ---- build side ------------------------------------------------------
 
     @classmethod
@@ -151,9 +169,7 @@ class AnnIndex:
             cents.select("cid", "cd").withColumn("qfp", F.lit(fp)),
             idx._cfg("centroids"),
         )
-        meta_p = idx.writer.export_table(
-            postings.withColumn("qfp", F.lit(fp)), idx._cfg("postings")
-        )
+        meta_p = idx._export_postings(postings.withColumn("qfp", F.lit(fp)))
         return {
             "name": name,
             "centroid_version": meta_c.get("version"),
@@ -185,11 +201,10 @@ class AnnIndex:
             stream_index.centroids.select("cid", "cd").withColumn("qfp", F.lit(fp)),
             idx._cfg("centroids"),
         )
-        meta_p = idx.writer.export_table(
+        meta_p = idx._export_postings(
             stream_index.table.read()
             .select("vec_id", "cid", "vint")
-            .withColumn("qfp", F.lit(fp)),
-            idx._cfg("postings"),
+            .withColumn("qfp", F.lit(fp))
         )
         return {
             "name": name,
@@ -233,13 +248,12 @@ class AnnIndex:
                     "the current centroids or re-run ann build"
                     + _fp_mismatch_hint(store_fp, own_fp)
                 )
-        meta_p = self.writer.export_table(
+        meta_p = self._export_postings(
             # cast the stamp: F.lit(None) alone is void-typed, which the
             # parquet writer rejects when own_fp is the legacy fallback
             postings.select("vec_id", "cid", "vint").withColumn(
                 "qfp", F.lit(own_fp).cast("string")
-            ),
-            self._cfg("postings"),
+            )
         )
         return {
             "name": self.name,
@@ -314,8 +328,26 @@ class AnnIndex:
             F.col("vd").alias("qv"),
             F.expr(_NORM.format(a="vd")).alias("qn"),
         )
+        # probed-cell pushdown: the postings version is laid out
+        # partitionBy("cid") (build/publish), so a STATIC `cid IN (...)`
+        # predicate prunes whole posting files at planning time —
+        # nprobe/K of the inverted lists are ever opened, the IVF promise
+        # made physical. The probed-cid set is collected driver-side but
+        # bounded by K (the quantizer size, ≤ a few hundred centroids),
+        # NEVER by the corpus or the query count; the extra job is one
+        # broadcast crossJoin of the queries against K rows. Queries with
+        # zero norm are excluded exactly as the probe kernel excludes
+        # them, so the pruned scan covers every cell the kernel will ask
+        # for.
+        cells = [
+            r.cid
+            for r in probe_cells(cents, q.where(F.col("qn") > 0), nprobe)
+            .select("cid")
+            .distinct()
+            .collect()
+        ]
         stored = (
-            posts
+            posts.where(F.col("cid").isin(cells))
             .select(
                 F.col("vec_id").alias("cand_id"),
                 "cid",

@@ -171,18 +171,32 @@ class DataLakeWriter:
         os.rename(tmp, os.path.join(log_dir, f"v{n}.commit"))  # atomic publish
 
     def export_table(
-        self, df: DataFrame, config: FeedConfig, version: int | None = None
+        self,
+        df: DataFrame,
+        config: FeedConfig,
+        version: int | None = None,
+        partition_cols: tuple[str, ...] | None = None,
     ) -> dict:
         """Write a full snapshot under version=v<N> (claimed through the
         commit log), then purge versions beyond keep_versions (export
-        post-export cleanup, export_to_data_lake.py:204-206)."""
+        post-export cleanup, export_to_data_lake.py:204-206).
+
+        ``partition_cols`` lays the snapshot out as key=value directories
+        INSIDE the version dir (e.g. the ANN postings partitionBy("cid"))
+        so readers filtering on those columns prune whole files at
+        planning time; versioning, commit-log atomicity, and retention
+        are unchanged — the partitioning is a layout detail of one
+        committed version."""
         if not config.enabled:
             return {"skipped": "disabled"}
         if df.isEmpty():
             return {"skipped": "empty"}
         n = version if version is not None else self.claim_version(config)
         path = os.path.join(self.catalog.feed_data_path(config), f"version=v{n}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
         meta = self._update_metadata(config, f"version=v{n}", df)
         self._commit_version(config, n, meta["records"])
         if config.keep_versions:

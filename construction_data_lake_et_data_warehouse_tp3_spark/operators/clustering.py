@@ -324,6 +324,27 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_topk(cents, stored, q)
 
 
+def probe_cells(
+    centroids: DataFrame, queries: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
+    """The probe set: each (query_id, qv, qn) row with the cid of each of
+    its nprobe nearest centroid cells — the query-side half of the IVF
+    probe, factored out of ivf_probe_topk so a partitioned posting store
+    (lake/ann.py) can collect the DISTINCT probed cids (bounded by K, the
+    quantizer size — never the corpus or the query count) and prune its
+    file scan to those cells before the join."""
+    from pyspark.sql import Window
+
+    cell_w = Window.partitionBy("query_id").orderBy("dist2", "cid")
+    return (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("dist2", F.expr(_DIST2.format(a="qv", b="cd")))
+        .withColumn("cell_rank", F.row_number().over(cell_w))
+        .where(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "qn", "cid")
+    )
+
+
 def ivf_probe_topk(
     centroids: DataFrame,
     stored: DataFrame,
@@ -344,21 +365,12 @@ def ivf_probe_topk(
     against K rows; the candidate join shuffles on cid (inverted-list
     locality) touching only the probed nprobe/K fraction of the corpus;
     the rerank is a per-query top-k window."""
-    from pyspark.sql import Window
-
-    cell_w = Window.partitionBy("query_id").orderBy("dist2", "cid")
     # zero-norm vectors cannot participate in the cosine rerank
     # (undefined; ANSI DIVIDE_BY_ZERO) — excluded on both sides; the
     # exact-SQL oracles carry the same nrm > 0 predicate
     queries = queries.where(F.col("qn") > 0)
     stored = stored.where(F.col("cn") > 0)
-    qcells = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("dist2", F.expr(_DIST2.format(a="qv", b="cd")))
-        .withColumn("cell_rank", F.row_number().over(cell_w))
-        .where(F.col("cell_rank") <= nprobe)
-        .select("query_id", "qv", "qn", "cid")
-    )
+    qcells = probe_cells(centroids, queries, nprobe)
     cosine = F.round(
         F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
     )

@@ -180,3 +180,87 @@ class TestAnnIndex:
         cfg = idx.catalog.get("vecidx_postings")
         assert cfg.partition_columns() == ("version",)
         assert idx.writer.committed_versions(cfg) == {1}
+
+    def test_partitioned_postings_prune_probe_scan(self, spark, built_index):
+        """VERDICT r9 ask #4: the postings version is laid out
+        partitionBy("cid") and the probe pushes a static `cid IN
+        (probed)` predicate, so (a) results are IDENTICAL to a legacy
+        unpartitioned layout of the same rows, and (b) the probe's
+        posting scan carries a cid partition filter and is entitled to
+        open only the probed cells' files (measured here as the
+        directory-level file ratio — the physical form of nprobe/K)."""
+        import glob
+        import os
+
+        root, emb, _ = built_index
+        idx = AnnIndex(spark, root, name="vecidx")
+        # one query -> nprobe=2 of K cells probed; more queries would
+        # legitimately touch more cells and mask the pruning signal
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        probed = idx.topk(q)
+        part_result = _canon(probed)
+        assert part_result  # non-degenerate
+
+        # (a) legacy twin: SAME postings rows exported unpartitioned
+        legacy = AnnIndex(spark, root, name="legacy")
+        legacy.writer.export_table(
+            idx.centroids().select("cid", "cd", "qfp"), legacy._cfg("centroids")
+        )
+        legacy.writer.export_table(
+            idx.postings().select("vec_id", "cid", "vint", "qfp"),
+            legacy._cfg("postings"),
+        )
+        assert _canon(legacy.topk(q)) == part_result
+
+        # (b) the executed plan prunes the posting scan on cid
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cid" in plan
+
+        # directory-level pruning ratio: files the static IN-filter
+        # entitles the scan to open vs all posting files of the version
+        pdir = os.path.join(
+            idx.catalog.feed_data_path(idx._cfg("postings")), "version=v1"
+        )
+        all_files = glob.glob(
+            os.path.join(pdir, "**", "*.parquet"), recursive=True
+        )
+        cells = {
+            os.path.relpath(f, pdir).split(os.sep)[0] for f in all_files
+        }
+        from construction_data_lake_et_data_warehouse_tp3_spark.operators.clustering import (
+            _NORM,
+            NPROBE,
+            prep_vectors,
+            probe_cells,
+        )
+
+        # the PROBED cells (what the scan's IN-filter admits), not the
+        # result cells — a query's winners may concentrate in one cell
+        # while the scan still opens every probed cell
+        qp = prep_vectors(
+            q.select(F.col("query_id").alias("vec_id"), "embedding")
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vd").alias("qv"),
+            F.expr(_NORM.format(a="vd")).alias("qn"),
+        )
+        probed_cells = {
+            f"cid={r.cid}"
+            for r in probe_cells(idx.centroids(), qp.where(F.col("qn") > 0))
+            .select("cid")
+            .distinct()
+            .collect()
+        }
+        assert len(probed_cells) <= NPROBE
+        probed_files = [
+            f
+            for f in all_files
+            if os.path.relpath(f, pdir).split(os.sep)[0] in probed_cells
+        ]
+        ratio = len(probed_files) / len(all_files)
+        # K=8 cells, nprobe=2 -> at most 2/8 of the cell dirs; allow
+        # file-count skew headroom but require real pruning
+        assert len(cells) > NPROBE
+        assert ratio < 0.5, f"no pruning: {len(probed_files)}/{len(all_files)}"
