@@ -205,20 +205,22 @@ GRAPH_QUERIES = (
 WEDGE_QUERIES = ("link_prediction_jaccard",)
 
 #: deployment-form entry points that live OUTSIDE the capped 200-query
-#: registry (their exact twins hold the oracle slots): the θ-Jaccard
-#: saturation router and the capped PassJoin. Benched per round so the
-#: routing/capping overhead at sf0.1 (where neither trade binds) stays
-#: a tracked number, not a guess — their at-scale story is the
-#: two-decade artifact (SCALE_r09.json / SCALING.md).
+#: registry (their exact/md5 twins hold the oracle slots): the θ-Jaccard
+#: saturation router, the capped PassJoin, and the xxhash64 minhash.
+#: Benched per round so the routing/capping/hash-swap overhead at sf0.1
+#: stays a tracked number, not a guess — their at-scale story is the
+#: decade-tier artifact (SCALE_r{N}.json / SCALING.md).
 def _deployment_forms():
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
         edit_distance_pairs_capped,
         jaccard_dup_pairs,
+        minhash_lsh_candidates_fast,
     )
 
     return {
         "jaccard_dup_pairs_router": jaccard_dup_pairs,
         "edit_distance_pairs_capped": edit_distance_pairs_capped,
+        "minhash_lsh_candidates_fast": minhash_lsh_candidates_fast,
     }
 
 

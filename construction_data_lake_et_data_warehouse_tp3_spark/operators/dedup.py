@@ -137,6 +137,13 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
         f" (a, j) -> least(a, {pair})))"
     )
     sigs = docs.select("doc_id", F.expr(mh_fold).alias("mh"))
+    return _band_explode(sigs, banded_hash=F.md5)
+
+
+def _band_explode(sigs: DataFrame, banded_hash) -> DataFrame:
+    """(doc_id, mh array<bigint>) → one (doc_id, band, sig) row per band,
+    sig = banded_hash over the band's minima — shared by the md5 registry
+    form and the xxhash64 deployment twin (banding is hash-agnostic)."""
     n_bands = MINHASH_K // MINHASH_ROWS_PER_BAND
     band_structs = []
     for band in range(n_bands):
@@ -147,12 +154,40 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
         band_structs.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("|", *members)).alias("sig"),
+                banded_hash(F.concat_ws("|", *members)).cast("string").alias("sig"),
             )
         )
     return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+#: low 48 bits kept from each xxhash64 draw so h1 + K·h2 stays exact
+#: BIGINT (13·2^48 ≪ 2^63), mirroring the md5-half family's bound.
+_MASK48 = (1 << 48) - 1
+
+
+def _band_signatures_fast(docs: DataFrame) -> DataFrame:
+    """xxhash64 twin of :func:`_band_signatures` (VERDICT r9 ask #5):
+    identical Carter-Wegman construction — the j-th hash is h1 + j·h2
+    over two independent 48-bit draws per shingle — but the draws come
+    from the JVM-intrinsic xxhash64 (one call per (shingle, seed), no
+    hex-string materialization or conv() parsing) instead of md5, which
+    dominated the 100×-tier wall (slope2 9.9 was hash-bound, not
+    plan-bound). Recall is hash-agnostic (any pairwise-independent
+    family gives the same collision probability), locked equal on the
+    planted-dup corpus in tests/test_dedup_recall.py; the md5 form keeps
+    the registry slot because DuckDB has no xxhash64 to oracle against."""
+    docs = docs.where(F.expr("text rlike '\\\\S'"))
+    mh_fold = (
+        f"aggregate(transform({CHAR_SHINGLES}, s -> named_struct("
+        f"'h1', xxhash64(s) & {_MASK48}, 'h2', xxhash64(s, 1) & {_MASK48})),"
+        f" array_repeat(cast(9223372036854775807 as bigint), {MINHASH_K}),"
+        f" (acc, hh) -> zip_with(acc, sequence(1, {MINHASH_K}),"
+        f" (a, j) -> least(a, hh.h1 + j * hh.h2)))"
+    )
+    sigs = docs.select("doc_id", F.expr(mh_fold).alias("mh"))
+    return _band_explode(sigs, banded_hash=F.xxhash64)
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +202,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     an oversized bucket means a non-discriminative signature, and at
     100 TB dropping it is the difference between linear and quadratic."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = _band_signatures(docs)
+    return _bucket_pairs(_band_signatures(docs))
+
+
+def _bucket_pairs(bands: DataFrame) -> DataFrame:
+    """band signatures → capped-bucket pair expansion → distinct pairs
+    (shared by the md5 registry form and the xxhash64 deployment twin)."""
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
@@ -183,6 +223,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def minhash_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment form of :func:`minhash_lsh_candidates` on the xxhash64
+    Carter-Wegman family (see :func:`_band_signatures_fast`) — identical
+    banding, bucketing, cap, and pair expansion; only the per-shingle
+    hash family differs. Candidate sets differ pair-for-pair (different
+    random family ⇒ different band collisions) but recall against the
+    exact high-Jaccard ground truth is locked equal in
+    tests/test_dedup_recall.py. Lives outside the capped registry: the
+    md5 form keeps the oracle slot (DuckDB reproduces md5, not
+    xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bucket_pairs(_band_signatures_fast(docs))
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

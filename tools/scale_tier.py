@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""One-decade strong-scaling probe for the TEN heaviest registry
-queries (VERDICT r6 ask #5, widened per r7 ask #8): the five heaviest
-pipelines plus the five capped candidate-generation pipelines from the
-r7 second sweep. With --out the results land in SCALE_r{N}.json so
-tests/test_scale_slopes.py can diff slopes round-over-round — a
-one-off prose table rots; a committed artifact regresses loudly.
+"""Decade-tier strong-scaling sweep for the heaviest pipelines
+(VERDICT r6 ask #5, widened r7 ask #8, second decade r8 ask #1,
+min-of-3 100x probes + connected components + xxhash twin r9 asks
+#2/#5/#6, opt-in third decade r9 ask #3). With --out the results land
+in SCALE_r{N}.json so tests/test_scale_slopes.py can diff slopes
+round-over-round — a one-off prose table rots; a committed artifact
+regresses loudly.
 
 The committed sf0.001→0.1 table (SCALING.md) never stresses these —
 they run at fixed doc/embedding counts or at the sibling sf0.01 — so
@@ -52,20 +53,45 @@ QUERIES = (
     "basket_lift",
     "minhash_lsh_candidates",
     "edit_distance_pairs",
+    # r10: the connected-components pipeline (the one heavy pipeline
+    # without a tier row until now, VERDICT r9 ask #2) and the xxhash64
+    # minhash deployment twin (ask #5)
+    "dup_clusters",
+    "minhash_lsh_candidates_fast",
 )
 
-#: VERDICT r8 ask #1 — the three heaviest pipelines also get a SECOND
-#: measured decade (100x-sf0.1: 500k docs / 200k embeddings / ~60M
-#: lineitem rows). `jaccard_dup_pairs` is the deployment router (not a
-#: registry query — the registry keeps the always-exact form for oracle
-#: completeness), so the two-decade sweep measures the router: on this
-#: closed-vocab tier it routes to LSH candidates + exact verify, which
-#: is the documented 100 TB posture.
+#: VERDICT r8 ask #1 / r9 ask #6 — the SECOND measured decade
+#: (100x-sf0.1: 500k docs / 200k embeddings / ~60M lineitem rows).
+#: `jaccard_dup_pairs` is the deployment router (not a registry query —
+#: the registry keeps the always-exact form for oracle completeness), so
+#: the two-decade sweep measures the router: on this closed-vocab tier
+#: it routes to LSH candidates + exact verify, the documented 100 TB
+#: posture. Since r10 EVERY probe runs the 100x tier warm + min-of-3
+#: (the r9 probes were warm + one pass and lived only in SCALING.md
+#: prose — one noisy pass could mask a regression); the committed
+#: artifact is what test_scale_slopes.py diffs round over round.
 TIER100_QUERIES = (
     "semdedup_pairs",
     "jaccard_dup_pairs",
     "kcore_products",
+    "dup_clusters",
+    "kmeans_embeddings",
+    "basket_lift",
+    "item_similarity_topk",
+    "minhash_lsh_candidates",
+    "minhash_lsh_candidates_fast",
+    "shingle_containment_pairs",
+    "edit_distance_pairs",
+    "edit_distance_pairs_capped",
 )
+
+#: THIRD measured decade (1000x-sf0.1: 5M docs, documents-only — the
+#: r9 shingle methodology made reproducible): for operators whose cap
+#: binds LATE on closed vocab, the 100x slope2 alone cannot distinguish
+#: "transitional regime approaching the cap" from "compounding
+#:  quadratic"; the third decade does. Opt-in (hours-scale walls);
+#: only documents-reading queries are valid here.
+TIER1000_QUERIES = ("edit_distance_pairs_capped",)
 
 
 def _gen_documents(rng: np.random.Generator, out: str, n: int) -> None:
@@ -302,6 +328,24 @@ def ensure_tier100(tier_dir: str) -> None:
         fh.write(TIER100_VERSION)
 
 
+#: third-decade generator version. Documents ONLY (the r9 shingle
+#: third decade's ad-hoc corpus, made a reproducible cached tier):
+#: 5M docs is ~1.7 GB of text; embeddings/lineitem at 1000x would be
+#: pointless cost for the cap-flattening question this tier answers.
+TIER1000_VERSION = "1-docs-only-planted-dups"
+
+
+def ensure_tier1000(tier_dir: str) -> None:
+    if _tier_cached(tier_dir, TIER1000_VERSION):
+        return
+    os.makedirs(tier_dir, exist_ok=True)
+    rng = np.random.default_rng(424242)
+    print(f"generating 1000x documents-only tier under {tier_dir} ...", file=sys.stderr)
+    _gen_documents_vectorized(rng, tier_dir, 5_000_000)
+    with open(os.path.join(tier_dir, "_complete"), "w") as fh:
+        fh.write(TIER1000_VERSION)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier-dir", default="/tmp/tp3_scale_sf1")
@@ -312,6 +356,16 @@ def main() -> int:
         default=",".join(TIER100_QUERIES),
         help="subset also measured at the 100x tier (second decade); "
         "empty string skips the 100x sweep entirely",
+    )
+    ap.add_argument("--tier1000-dir", default="/tmp/tp3_scale_sf100")
+    ap.add_argument(
+        "--tier1000-queries",
+        default="",
+        help="documents-only queries also measured at the 1000x tier "
+        "(third decade, hours-scale; default OFF — pass e.g. "
+        f"{','.join(TIER1000_QUERIES)}). Measured warm + one pass "
+        "(the r9 third-decade methodology): at a >10-minute wall the "
+        "question is the DECADE slope, where run noise is second-order",
     )
     ap.add_argument(
         "--out",
@@ -326,24 +380,31 @@ def main() -> int:
     )
     args = ap.parse_args()
     tier100_names = [q for q in args.tier100_queries.split(",") if q]
+    tier1000_names = [q for q in args.tier1000_queries.split(",") if q]
     ensure_tier(args.tier_dir)
     if tier100_names:
         ensure_tier100(args.tier100_dir)
+    if tier1000_names:
+        ensure_tier1000(args.tier1000_dir)
 
     from construction_data_lake_et_data_warehouse_tp3_spark.operators import (
         all_queries,
     )
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
+        edit_distance_pairs_capped,
         jaccard_dup_pairs,
+        minhash_lsh_candidates_fast,
     )
     from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
 
     spark = get_spark("scale-tier")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
-    # deployment router: same (spark, sf_dir) shape, lives outside the
-    # capped registry (the exact form keeps the oracle slot)
+    # deployment forms: same (spark, sf_dir) shape, live outside the
+    # capped registry (their exact/md5 twins keep the oracle slots)
     queries.setdefault("jaccard_dup_pairs", jaccard_dup_pairs)
+    queries.setdefault("edit_distance_pairs_capped", edit_distance_pairs_capped)
+    queries.setdefault("minhash_lsh_candidates_fast", minhash_lsh_candidates_fast)
 
     def measure(name: str, sf_dir: str) -> float:
         times = []
@@ -380,6 +441,20 @@ def main() -> int:
         # (slope2 <= slope) is the linearity evidence one decade can't
         # give — a hidden quadratic COMPOUNDS decade over decade.
         results[name]["slope2"] = round(huge / results[name]["tier10x_sec"], 2)
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+    for name in tier1000_names:
+        if name not in results or "tier100x_sec" not in results[name]:
+            print(f"skipping 1000x for {name}: needs its 100x row first", file=sys.stderr)
+            continue
+        t0 = time.monotonic()
+        queries[name](spark, args.tier1000_dir).write.format("noop").mode("overwrite").save()
+        warm = time.monotonic() - t0
+        print(f"# 1000x warmup {name}: {warm:.1f}s", file=sys.stderr)
+        t0 = time.monotonic()
+        queries[name](spark, args.tier1000_dir).write.format("noop").mode("overwrite").save()
+        vast = time.monotonic() - t0
+        results[name]["tier1000x_sec"] = round(vast, 3)
+        results[name]["slope3"] = round(vast / results[name]["tier100x_sec"], 2)
         print(json.dumps({"query": name, **results[name]}), flush=True)
     if args.out:
         with open(args.out, "w") as fh:
