@@ -211,6 +211,9 @@ WEDGE_QUERIES = ("link_prediction_jaccard",)
 #: stays a tracked number, not a guess — their at-scale story is the
 #: decade-tier artifact (SCALE_r{N}.json / SCALING.md).
 def _deployment_forms():
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.curation import (
+        dup_clusters_fast,
+    )
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
         edit_distance_pairs_capped,
         jaccard_dup_pairs,
@@ -221,6 +224,7 @@ def _deployment_forms():
         "jaccard_dup_pairs_router": jaccard_dup_pairs,
         "edit_distance_pairs_capped": edit_distance_pairs_capped,
         "minhash_lsh_candidates_fast": minhash_lsh_candidates_fast,
+        "dup_clusters_fast": dup_clusters_fast,
     }
 
 

@@ -158,6 +158,27 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_edges(minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b"))
 
 
+def dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment twin of :func:`dup_clusters` on the xxhash64 LSH family
+    (VERDICT r9 ask #2 follow-through): the r10 two-decade sweep measured
+    the md5 registry form at slope2 13.17 and the phase profile put 53%
+    of its 100× wall in md5 minhash candidate generation (66 of 124 s;
+    verify 37 s, CC 21 s) — the same hash domination the
+    minhash_lsh_candidates_fast twin exists for. Identical verify kernel
+    (exact word-3-gram Jaccard — precision exact by construction) and
+    identical cluster_edges propagation; only the candidate hash family
+    differs, so cluster membership can differ ONLY where a band-recall
+    miss drops an edge (recall locked within one-pair tolerance of md5,
+    tests/test_dedup_recall.py). The md5 form keeps the registry slot
+    (DuckDB oracles md5); this twin carries the <10 second-decade gate
+    in tests/test_scale_slopes.py."""
+    from .pipelines import minhash_verified_dups_fast
+
+    return cluster_edges(
+        minhash_verified_dups_fast(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of near-dup cluster sizes — the dedup-QA readout run
     after every pipeline change: a histogram dominated by pairs means

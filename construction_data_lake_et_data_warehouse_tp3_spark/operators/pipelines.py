@@ -45,7 +45,25 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact Jaccard (word 3-grams) ≥ τ. The verify join
     touches only candidate pairs — the whole point of LSH at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    candidates = minhash_lsh_candidates(spark, sf_dir)
+    return _verify_candidates(docs, minhash_lsh_candidates(spark, sf_dir))
+
+
+def minhash_verified_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment twin of :func:`minhash_verified_dups` on the xxhash64
+    LSH family (dedup.minhash_lsh_candidates_fast): the verify kernel is
+    IDENTICAL and computes the exact word-3-gram Jaccard, so precision
+    is exact by construction regardless of the candidate family — only
+    recall depends on which candidates the bands surface, locked within
+    one-pair tolerance of the md5 form in tests/test_dedup_recall.py.
+    The md5 form keeps the registry slot (DuckDB oracles md5)."""
+    from .dedup import minhash_lsh_candidates_fast
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _verify_candidates(docs, minhash_lsh_candidates_fast(spark, sf_dir))
+
+
+def _verify_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """The exact-Jaccard verify shared by the md5 and xxhash64 pipelines."""
     sh = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")

@@ -102,3 +102,57 @@ def test_xxhash_twin_recall_equals_md5_family(spark):
         f"hash swap lost recall beyond one-pair tolerance: "
         f"md5 {recall_md5:.3f} vs xxh {recall_fast:.3f}"
     )
+
+
+def test_fast_verified_dups_precision_and_recall(spark):
+    """The xxhash64 verified-dups twin must stay SOUND (every pair it
+    emits is a true high-Jaccard pair — the verify kernel computes the
+    exact word-3-gram Jaccard, so a violation means the kernel was
+    forked) and must recall within one-pair tolerance of the md5 form
+    (the candidate family is a speed choice; see the candidates twin
+    test above for the measured cap-interaction cause of the tolerance)."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.pipelines import (
+        minhash_verified_dups_fast,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    high = {p for p, j in exact.items() if j >= HIGH_J}
+    md5_ver = {
+        (r.doc_a, r.doc_b) for r in minhash_verified_dups(spark, SF_DIR).collect()
+    }
+    fast_ver = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_verified_dups_fast(spark, SF_DIR).collect()
+    }
+    # soundness: every emitted pair exists in the exact scan at >= tau
+    assert fast_ver <= set(exact)
+    recall_md5 = 1 - len(high - md5_ver) / len(high)
+    recall_fast = 1 - len(high - fast_ver) / len(high)
+    assert recall_fast >= 0.9
+    assert recall_md5 - recall_fast <= 1.0 / len(high) + 1e-9
+
+
+def test_dup_clusters_fast_covers_verified_edges(spark):
+    """Structural lock for the deployment CC twin: every doc in a fast
+    verified pair is clustered, labels are min-reachable (cluster_id <=
+    doc_id), and both endpoints of every edge share a cluster."""
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.curation import (
+        dup_clusters_fast,
+    )
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.pipelines import (
+        minhash_verified_dups_fast,
+    )
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_verified_dups_fast(spark, SF_DIR).collect()
+    ]
+    labels = {r.doc_id: r.cluster_id for r in dup_clusters_fast(spark, SF_DIR).collect()}
+    assert edges, "fixture should contain verified dups"
+    for a, b in edges:
+        assert labels[a] == labels[b], f"edge ({a},{b}) split across clusters"
+    assert all(cid <= d for d, cid in labels.items())
+    assert set(labels) == {d for e in edges for d in e}

@@ -54,17 +54,63 @@ def test_scale_artifact_exists_and_is_sane():
     assert not flagged, "\n".join(flagged)
 
 
-#: queries that must carry a SECOND measured decade (VERDICT r8 ask #1):
-#: the 100x tier (tier100x_sec, slope2 = tier100x/tier10x). A slope2
-#: below 10 means wall grew SLOWER than data across the second decade —
-#: per-row unit cost fell, the flattening evidence one decade can't
-#: give. (Raw slope2 <= slope1 is the wrong gate here: decade-1 walls
-#: of 3-17 s are fixed-overhead-depressed, so decade-1 slopes read
-#: artificially low; unit cost is the honest monotone. r9 measured
-#: semdedup 1.7 -> 0.49 -> 0.20 ms/vector, kcore 3.1 -> 1.06 -> 0.91
-#: us/edge, jaccard-router 0.66 -> 0.33 -> 0.28 ms/doc.)
-TWO_DECADE = ("semdedup_pairs", "jaccard_dup_pairs", "kcore_products")
+#: queries that must carry a SECOND measured decade (VERDICT r8 ask #1;
+#: dup_clusters added r10 per r9 ask #2 — the CC pipeline feeds the most
+#: expensive headline query and was the last heavy pipeline without
+#: tier evidence): the 100x tier (tier100x_sec, slope2 =
+#: tier100x/tier10x). A slope2 below 10 means wall grew SLOWER than
+#: data across the second decade — per-row unit cost fell, the
+#: flattening evidence one decade can't give. (Raw slope2 <= slope1 is
+#: the wrong gate here: decade-1 walls of 3-17 s are
+#: fixed-overhead-depressed, so decade-1 slopes read artificially low;
+#: unit cost is the honest monotone. r9 measured semdedup 1.7 -> 0.49
+#: -> 0.20 ms/vector, kcore 3.1 -> 1.06 -> 0.91 us/edge, jaccard-router
+#: 0.66 -> 0.33 -> 0.28 ms/doc.)
+TWO_DECADE = (
+    "semdedup_pairs",
+    "jaccard_dup_pairs",
+    "kcore_products",
+    "dup_clusters_fast",
+)
 SECOND_DECADE_LIMIT = 10.0
+
+#: per-query slope2 bounds for DOCUMENTED shapes outside the strict
+#: line (same contract as ALLOWANCES above). Each deployment twin holds
+#: a strict bound; each md5/exact registry form holds an allowance whose
+#: cause is measured, with its deployment posture named:
+#: - minhash_lsh_candidates_fast: the xxhash64 twin exists BECAUSE the
+#:   md5 form is hash-dominated; the twin must hold the stricter 8.0
+#:   line (VERDICT r9 ask #5; measured 6.94 at r10).
+#: - minhash_lsh_candidates (md5): measured 9.36 min-of-3 at r10 —
+#:   md5-hash-dominated, keeps the oracle slot (DuckDB has md5, not
+#:   xxhash64); deployment posture is the fast twin.
+#: - dup_clusters (md5): measured 13.17 at r10; phase profile puts 53%
+#:   of the 100x wall in md5 candidate generation (66/124 s), verify
+#:   37 s, CC 21 s — deployment posture is dup_clusters_fast (in
+#:   TWO_DECADE at the strict <10 line; measured 6.41).
+#: - edit_distance_pairs_capped: measured slope2 10.63 min-of-3 is the
+#:   cap binding late on the closed-vocab tier (the shingle
+#:   transitional regime); the THIRD measured decade PROVES the
+#:   flattening — slope3 4.68 (65.3 s -> 305.4 s across 10x the docs,
+#:   SCALE_r10.json tier1000x) — so the second-decade bound is an
+#:   allowance, not the <10 line.
+#: - shingle_containment_pairs: same transitional shape, proven
+#:   flattened by its r9 third decade (42x -> 4.1x); 17.28 measured
+#:   min-of-3 at r10.
+#: - edit_distance_pairs (exact): documented closed-vocab quadratic
+#:   (slope2 47.9 measured min-of-3 at r10); its deployment posture IS
+#:   the capped twin, and the exact form keeps the oracle-completeness
+#:   slot. The allowance exists so the min-of-3 promotion of the probe
+#:   set keeps it MEASURED (a silent removal would hide a regression in
+#:   the form the oracle checks) without re-flagging the known shape.
+SLOPE2_ALLOWANCES = {
+    "minhash_lsh_candidates_fast": 8.0,
+    "minhash_lsh_candidates": 12.0,
+    "dup_clusters": 16.0,
+    "edit_distance_pairs_capped": 13.0,
+    "shingle_containment_pairs": 25.0,
+    "edit_distance_pairs": 70.0,
+}
 
 
 def test_second_decade_is_subdecade_linear():
@@ -73,6 +119,8 @@ def test_second_decade_is_subdecade_linear():
     missing = [q for q in TWO_DECADE if "slope2" not in newest.get(q, {})]
     if max(arts) < 9:
         return  # two-decade sweeps start at r9
+    if max(arts) < 10:
+        missing = [q for q in missing if q != "dup_clusters_fast"]  # r10 addition
     assert not missing, (
         f"{missing} lack a second measured decade — run tools/scale_tier.py "
         "with its default --tier100-queries"
@@ -81,9 +129,74 @@ def test_second_decade_is_subdecade_linear():
         f"{q}: slope2 {newest[q]['slope2']}x — wall grew FASTER than data "
         "across the second decade (unit cost rose; compounding quadratic)"
         for q in TWO_DECADE
-        if newest[q]["slope2"] > SECOND_DECADE_LIMIT
+        if "slope2" in newest.get(q, {})
+        and newest[q]["slope2"] > SECOND_DECADE_LIMIT
     ]
     assert not flagged, "\n".join(flagged)
+
+
+#: queries whose allowance rests on a THIRD measured decade: the
+#: committed artifact must carry tier1000x/slope3 and the third decade
+#: must be sub-decade-linear — if the flattening evidence ever degrades,
+#: the allowance above loses its justification and this fails first.
+THREE_DECADE = ("edit_distance_pairs_capped",)
+
+
+def test_third_decade_proves_cap_flattening():
+    arts = _artifacts()
+    if max(arts) < 10:
+        return  # third-decade artifact rows start at r10
+    newest = arts[max(arts)]
+    flagged = []
+    for q in THREE_DECADE:
+        row = newest.get(q, {})
+        if "slope3" not in row:
+            flagged.append(f"{q}: no third-decade row (tier1000x/slope3)")
+        elif row["slope3"] > SECOND_DECADE_LIMIT:
+            flagged.append(
+                f"{q}: slope3 {row['slope3']}x — the cap did NOT flatten "
+                "across the third decade; its transitional-regime "
+                "allowance is no longer justified"
+            )
+    assert not flagged, "\n".join(flagged)
+
+
+def test_probe_slope2_allowances_hold():
+    """The min-of-3 100x probe set (VERDICT r9 ask #6) is gated per
+    query: strict-line members live in TWO_DECADE; the documented
+    shapes here must stay inside their measured allowances, so a plan
+    regression in ANY probed pipeline fails the suite instead of hiding
+    in prose."""
+    arts = _artifacts()
+    if max(arts) < 10:
+        return  # promoted probe set starts at r10
+    newest = arts[max(arts)]
+    flagged = []
+    for q, limit in SLOPE2_ALLOWANCES.items():
+        row = newest.get(q, {})
+        if "slope2" not in row:
+            flagged.append(f"{q}: no 100x probe row in the newest artifact")
+        elif row["slope2"] > limit:
+            flagged.append(
+                f"{q}: slope2 {row['slope2']}x exceeds its documented "
+                f"{limit}x allowance"
+            )
+    assert not flagged, "\n".join(flagged)
+
+
+#: (query, newest-round) pairs exempt from the growth gate because the
+#: PREVIOUS round's number is known-contaminated, with the audit trail.
+#: Keyed by round so each exemption expires after one diff.
+#: - leakage_safe_split r9→r10: the r9 sweep (SCALE_r09.json committed
+#:   12:34Z) predates the cluster_edges pair-cache release (commit
+#:   7d7a928 14:06Z, "Release the connected-components pair cache") —
+#:   its min-of-3 passes after the warmup reused the still-persisted
+#:   LSH pair frame via CacheManager plan-matching and measured only
+#:   the downstream split (3.17 s at 10×, vs dup_clusters alone
+#:   honestly measuring 13.45 s there once each pass rebuilds). The
+#:   r10 slope 4.36 is the honest number, consistent with
+#:   dup_clusters' own 4.43.
+GROWTH_EXEMPT = {("leakage_safe_split", 10)}
 
 
 def test_slopes_do_not_regress_round_over_round():
@@ -94,14 +207,19 @@ def test_slopes_do_not_regress_round_over_round():
     prev, cur = arts[rounds[-2]], arts[rounds[-1]]
     flagged = []
     for q in prev.keys() & cur.keys():
-        before, after = prev[q]["slope"], cur[q]["slope"]
+        if (q, rounds[-1]) in GROWTH_EXEMPT:
+            continue
         # floor the baseline at 1.0: a sub-1 slope (tier FASTER than the
         # base scale) is physically impossible for these pipelines and
         # means the baseline capture was favorably noisy — comparing
         # against it raw would false-alarm the next honest measurement
-        if after / max(before, 1.0) > GROWTH_LIMIT:
-            flagged.append(
-                f"{q}: decade slope grew {before}x -> {after}x "
-                f"(>{GROWTH_LIMIT}x) — plan-shape regression"
-            )
+        for key in ("slope", "slope2"):
+            if key not in prev[q] or key not in cur[q]:
+                continue
+            before, after = prev[q][key], cur[q][key]
+            if after / max(before, 1.0) > GROWTH_LIMIT:
+                flagged.append(
+                    f"{q}: decade {key} grew {before}x -> {after}x "
+                    f"(>{GROWTH_LIMIT}x) — plan-shape regression"
+                )
     assert not flagged, "\n".join(flagged)

@@ -54,10 +54,13 @@ QUERIES = (
     "minhash_lsh_candidates",
     "edit_distance_pairs",
     # r10: the connected-components pipeline (the one heavy pipeline
-    # without a tier row until now, VERDICT r9 ask #2) and the xxhash64
-    # minhash deployment twin (ask #5)
+    # without a tier row until now, VERDICT r9 ask #2), the xxhash64
+    # minhash deployment twin (ask #5), and the CC deployment twin the
+    # r10 phase profile motivated (53% of dup_clusters' 100x wall was
+    # md5 minhash candidate generation)
     "dup_clusters",
     "minhash_lsh_candidates_fast",
+    "dup_clusters_fast",
 )
 
 #: VERDICT r8 ask #1 / r9 ask #6 — the SECOND measured decade
@@ -75,6 +78,7 @@ TIER100_QUERIES = (
     "jaccard_dup_pairs",
     "kcore_products",
     "dup_clusters",
+    "dup_clusters_fast",
     "kmeans_embeddings",
     "basket_lift",
     "item_similarity_topk",
@@ -402,7 +406,12 @@ def main() -> int:
     queries = dict(all_queries())
     # deployment forms: same (spark, sf_dir) shape, live outside the
     # capped registry (their exact/md5 twins keep the oracle slots)
+    from construction_data_lake_et_data_warehouse_tp3_spark.operators.curation import (
+        dup_clusters_fast,
+    )
+
     queries.setdefault("jaccard_dup_pairs", jaccard_dup_pairs)
+    queries.setdefault("dup_clusters_fast", dup_clusters_fast)
     queries.setdefault("edit_distance_pairs_capped", edit_distance_pairs_capped)
     queries.setdefault("minhash_lsh_candidates_fast", minhash_lsh_candidates_fast)
 
