@@ -205,24 +205,34 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_pairs(_band_signatures(docs))
 
 
-def _bucket_pairs(bands: DataFrame) -> DataFrame:
-    """band signatures → capped-bucket pair expansion → distinct pairs
-    (shared by the md5 registry form and the xxhash64 deployment twin)."""
-    buckets = (
+def _qualifying_buckets(bands: DataFrame) -> DataFrame:
+    """band signatures → the capped buckets (2..LSH_BUCKET_CAP members,
+    ds = sorted member ids) both the pair expansion and the member set
+    derive from — ONE groupBy, so a plan needing both reuses the
+    exchange instead of re-running the minhash fold."""
+    return (
         bands.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .where((F.size("ds") > 1) & (F.size("ds") <= LSH_BUCKET_CAP))
     )
+
+
+def _bucket_pairs(bands: DataFrame) -> DataFrame:
+    """band signatures → capped-bucket pair expansion → distinct pairs
+    (shared by the md5 registry form and the xxhash64 deployment twin)."""
     pair_expr = (
         "flatten(transform(sequence(1, size(ds) - 1), "
         "i -> transform(slice(ds, i + 1, size(ds) - i), "
         "b -> struct(element_at(ds, i) AS doc_a, b AS doc_b))))"
     )
     return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        _qualifying_buckets(bands)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
 
 
 def minhash_lsh_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,7 +63,21 @@ def minhash_verified_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verify_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
-    """The exact-Jaccard verify shared by the md5 and xxhash64 pipelines."""
+    """The exact-Jaccard verify shared by the md5 and xxhash64 pipelines.
+
+    REJECTED rewrite (r10, measured): semi-joining the shingle explode
+    to the candidate-pair docs before the intersection joins is
+    result-identical and cuts the 100× verify from 37.5 to ~22 s — but
+    the shingle frame is consumed THREE times (both intersection sides
+    + the size aggregation), so the prefilter replicates the banded-
+    minhash lineage into every consumer (5 minhash folds in the
+    executed plan, ReusedExchange: 0 — AQE's per-subtree planning plus
+    column pruning make the subtrees non-identical) and DOUBLES the
+    sf0.1/10× wall (11.6 → 21.5 s at 10×). A driver-checkpointed member
+    frame would fix the replication but moves eager work into plan
+    construction for every registry call; at the scale where the
+    prefilter pays, the right posture is the xxhash twin (dup_clusters_
+    fast, slope2 6.41) whose candidates are 4× cheaper to begin with."""
     sh = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
