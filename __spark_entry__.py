@@ -7,7 +7,10 @@
   DataFrame.
 - ``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query (omitted only
   for approximate / non-SQL-expressible operators, which the driver checks
-  rows-only).
+  rows-only; those keys are declared BY DESIGN in
+  ``operators.BY_DESIGN_ROWS_ONLY``, each mapped to the exact ``_check``
+  twin that hash-locks it — a scripted CORRECTNESS consumer should read a
+  ``no_oracle`` row for a marked key as expected, not as an error).
 
 Implementations live in construction_data_lake_et_data_warehouse_tp3_spark/
 (operators/*.py); this module is a thin registry view over them.
