@@ -64,58 +64,8 @@ _MODULES = (
 # green row is >4 rounds older than the newest committed CORRECTNESS
 # file, if a registry query has no committed row and no head-of-line
 # priority slot, or if the registry outgrows rotation capacity.
-# [generated] tools/rotate_priority.py from CORRECTNESS r01..r09
+# [generated] tools/rotate_priority.py from CORRECTNESS r01..r10
 _DRIVER_PRIORITY = (
-    "ab_test_mannwhitney",
-    "array_functions_showcase",
-    "basket_lift",
-    "bigram_surprisal",
-    "chunk_documents",
-    "cluster_representatives",
-    "cms_heavy_hitters",
-    "customer_order_counts_left",
-    "dau_wau_stickiness",
-    "degree_distribution",
-    "deterministic_sample",
-    "dup_cluster_size_histogram",
-    "dup_rate_by_source",
-    "event_funnel",
-    "event_transition_matrix",
-    "events_json_props",
-    "exists_high_qty_orders",
-    "feature_hashing",
-    "fixed_k_sample",
-    "interpolate_daily_revenue",
-    "inverted_index",
-    "jl_projection",
-    "kcore_products",
-    "kruskal_wallis_priority",
-    "label_centroids",
-    "lang_id_confusion",
-    "leakage_safe_split",
-    "median_order_value",
-    "median_order_value_approx_check",
-    "new_vs_returning_revenue",
-    "order_gap_histogram",
-    "pareto_revenue_share",
-    "ppjoin_jaccard_pairs",
-    "product_purchase_counts_approx_check",
-    "quantile_sketch_check",
-    "quantize_embeddings",
-    "retention_cohorts",
-    "revenue_acf",
-    "revenue_anomalies",
-    "rfm_segments",
-    "scd2_user_state_history",
-    "status_priority_chisq",
-    "supplier_hhi",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q2",
-    "tpch_q20",
-    "wav_audio_stats",
-    "weekday_revenue_profile",
-    "y4m_video_stats",
     "above_avg_orders",
     "amount_bucket_histogram",
     "ann_index_recall_check",
@@ -266,6 +216,56 @@ _DRIVER_PRIORITY = (
     "weighted_sample_topk",
     "winsorized_order_stats",
     "y4m_keyframe_sample",
+    "ab_test_mannwhitney",
+    "array_functions_showcase",
+    "basket_lift",
+    "bigram_surprisal",
+    "chunk_documents",
+    "cluster_representatives",
+    "cms_heavy_hitters",
+    "customer_order_counts_left",
+    "dau_wau_stickiness",
+    "degree_distribution",
+    "deterministic_sample",
+    "dup_cluster_size_histogram",
+    "dup_rate_by_source",
+    "event_funnel",
+    "event_transition_matrix",
+    "events_json_props",
+    "exists_high_qty_orders",
+    "feature_hashing",
+    "fixed_k_sample",
+    "interpolate_daily_revenue",
+    "inverted_index",
+    "jl_projection",
+    "kcore_products",
+    "kruskal_wallis_priority",
+    "label_centroids",
+    "lang_id_confusion",
+    "leakage_safe_split",
+    "median_order_value",
+    "median_order_value_approx_check",
+    "new_vs_returning_revenue",
+    "order_gap_histogram",
+    "pareto_revenue_share",
+    "ppjoin_jaccard_pairs",
+    "product_purchase_counts_approx_check",
+    "quantile_sketch_check",
+    "quantize_embeddings",
+    "retention_cohorts",
+    "revenue_acf",
+    "revenue_anomalies",
+    "rfm_segments",
+    "scd2_user_state_history",
+    "status_priority_chisq",
+    "supplier_hhi",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "wav_audio_stats",
+    "weekday_revenue_profile",
+    "y4m_video_stats",
 )
 
 
