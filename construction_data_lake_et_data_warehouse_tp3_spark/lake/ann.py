@@ -21,8 +21,8 @@ Two tables per index `<name>`:
   in exact int64 micro-units with its cell id (the inverted lists).
 
 Exactness: quantization, training, assignment, and the probe/rerank all
-reuse the clustering module's fixed-point kernels (prep_vectors, _train,
-_assign, ivf_probe_topk), and parquet round-trips both the int64 units
+reuse the clustering module's fixed-point kernels (prep_vectors,
+assign_adaptive, ivf_probe_topk), and parquet round-trips both the int64 units
 and the centroid doubles bit-for-bit — so query-after-reload equals
 query-against-fresh-fit EXACTLY (tests/test_ann_index.py locks this).
 
@@ -46,8 +46,6 @@ from ..operators.clustering import (
     SCALE,
     TOP_K,
     _NORM,
-    _assign,
-    _train,
     ivf_probe_topk,
     prep_vectors,
     probe_cells,
@@ -157,14 +155,28 @@ class AnnIndex:
         lake_root: str,
         vectors: DataFrame,
         name: str = "ann",
+        k: int | None = None,
     ) -> dict:
         """Fit the quantizer on (vec_id, embedding) rows and persist both
-        index tables as new committed versions. Returns build metadata."""
+        index tables as new committed versions. Returns build metadata.
+
+        ``k`` sizes the quantizer (default: the testdata K_CLUSTERS the
+        oracles unroll). A production build passes k ≈ √N so expected
+        cell size stays constant; above the HIER_CUTOFF the training
+        routes through the two-level assign_adaptive form (N·√K work,
+        not the N·K flat crossJoin that compounds when K ∝ N) while the
+        PERSISTED tables keep the exact flat shape — (cid, cd) leaf
+        centroids + cid-partitioned postings — so probe, pruning, and
+        fingerprint pairing are identical either way."""
+        from ..operators.clustering import K_CLUSTERS, assign_adaptive
+
         idx = cls(spark, lake_root, name)
         vecs = prep_vectors(vectors)
-        cents = _train(vecs)
+        assigned, cents = assign_adaptive(
+            vecs, K_CLUSTERS if k is None else k, return_centroids=True
+        )
         fp = quantizer_fingerprint(cents)
-        postings = _assign(vecs, cents).select("vec_id", "cid", "vint")
+        postings = assigned.select("vec_id", "cid", "vint")
         meta_c = idx.writer.export_table(
             cents.select("cid", "cd").withColumn("qfp", F.lit(fp)),
             idx._cfg("centroids"),
@@ -332,20 +344,20 @@ class AnnIndex:
         # partitionBy("cid") (build/publish), so a STATIC `cid IN (...)`
         # predicate prunes whole posting files at planning time —
         # nprobe/K of the inverted lists are ever opened, the IVF promise
-        # made physical. The probed-cid set is collected driver-side but
-        # bounded by K (the quantizer size, ≤ a few hundred centroids),
-        # NEVER by the corpus or the query count; the extra job is one
-        # broadcast crossJoin of the queries against K rows. Queries with
-        # zero norm are excluded exactly as the probe kernel excludes
-        # them, so the pruned scan covers every cell the kernel will ask
-        # for.
-        cells = [
-            r.cid
-            for r in probe_cells(cents, q.where(F.col("qn") > 0), nprobe)
-            .select("cid")
-            .distinct()
-            .collect()
-        ]
+        # made physical. The probe set is computed ONCE (ADVICE r10):
+        # localCheckpoint materializes the query×centroid scoring, the
+        # distinct probed cids collect from THOSE blocks (driver-side but
+        # bounded by K — the quantizer size — NEVER the corpus or query
+        # count), and the SAME frame feeds the probe kernel, so the
+        # pruned scan and the join read one cell set by construction
+        # instead of by coupled determinism across two jobs. Queries
+        # with zero norm are excluded exactly as the kernel excludes
+        # them; the checkpointed blocks are queries×nprobe rows and are
+        # freed with the frame.
+        qcells = probe_cells(
+            cents, q.where(F.col("qn") > 0), nprobe
+        ).localCheckpoint(eager=True)
+        cells = [r.cid for r in qcells.select("cid").distinct().collect()]
         stored = (
             posts.where(F.col("cid").isin(cells))
             .select(
@@ -355,4 +367,4 @@ class AnnIndex:
             )
             .withColumn("cn", F.expr(_NORM.format(a="cv")))
         )
-        return ivf_probe_topk(cents, stored, q, k=k, nprobe=nprobe)
+        return ivf_probe_topk(cents, stored, q, k=k, nprobe=nprobe, qcells=qcells)

@@ -130,7 +130,9 @@ def _train(vecs: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
 HIER_CUTOFF = 64
 
 
-def assign_adaptive(vecs: DataFrame, k: int) -> DataFrame:
+def assign_adaptive(
+    vecs: DataFrame, k: int, return_centroids: bool = False
+):
     """Train + assign a K-cell quantizer with cost that survives K ∝ N.
 
     Flat Lloyd assignment is an N×K broadcast crossJoin; callers that
@@ -153,11 +155,21 @@ def assign_adaptive(vecs: DataFrame, k: int) -> DataFrame:
     Returns (vec_id, cid, dist2, vint) with cid a stable composite
     (c1·K2 + c2) — disjoint leaf cells, the only property the
     within-cell pair joins rely on. Deterministic: Lloyd init by
-    vec_id order at both levels, integer micro-unit sums."""
+    vec_id order at both levels, integer micro-unit sums.
+
+    With ``return_centroids=True`` returns ``(assigned, centroids)``
+    where centroids is the (cid, cd) leaf-quantizer frame under the SAME
+    composite cid — what a persisted IVF index (lake/ann.py) stores to
+    probe the assignments later. Probing stays a broadcast against K
+    rows; only TRAINING needed the two-level N·√K form."""
     import math
 
     if k <= HIER_CUTOFF:
-        return _assign(vecs, _train(vecs, k=k))
+        flat_cents = _train(vecs, k=k)
+        assigned_flat = _assign(vecs, flat_cents)
+        if return_centroids:
+            return assigned_flat, flat_cents.select("cid", "cd")
+        return assigned_flat
     k2 = int(math.isqrt(k - 1)) + 1  # ceil(sqrt(k))
     k1 = (k + k2 - 1) // k2
     coarse = _assign(vecs, _train(vecs, k=k1)).select(
@@ -213,7 +225,7 @@ def assign_adaptive(vecs: DataFrame, k: int) -> DataFrame:
     final = v1.join(cents, "c1").withColumn(
         "dist2", F.expr(_DIST2.format(a="vd", b="cd"))
     )
-    return (
+    assigned = (
         final.groupBy("vec_id")
         .agg(
             F.min(F.struct("dist2", "c1", "c2")).alias("m"),
@@ -226,6 +238,11 @@ def assign_adaptive(vecs: DataFrame, k: int) -> DataFrame:
             "vint",
         )
     )
+    if return_centroids:
+        return assigned, cents.select(
+            (F.col("c1") * k2 + F.col("c2")).alias("cid"), "cd"
+        )
+    return assigned
 
 
 def quantizer_fingerprint(centroids: DataFrame) -> str:
@@ -351,6 +368,7 @@ def ivf_probe_topk(
     queries: DataFrame,
     k: int = TOP_K,
     nprobe: int = NPROBE,
+    qcells: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF probe+rerank kernel shared by ivf_kmeans_topk, the
     streaming index (streaming/ann_stream.py), and the persisted index
@@ -370,7 +388,15 @@ def ivf_probe_topk(
     # exact-SQL oracles carry the same nrm > 0 predicate
     queries = queries.where(F.col("qn") > 0)
     stored = stored.where(F.col("cn") > 0)
-    qcells = probe_cells(centroids, queries, nprobe)
+    # `qcells` lets a caller that ALREADY computed the probe set (the
+    # persisted index, which collects the probed cids for its partition
+    # pushdown) pass the SAME materialized frame instead of this kernel
+    # recomputing it — one probe job, and the pruned scan and the join
+    # read one cell set by construction (ADVICE r10). The caller must
+    # have applied the same qn > 0 exclusion (probe_cells input here is
+    # post-filter).
+    if qcells is None:
+        qcells = probe_cells(centroids, queries, nprobe)
     cosine = F.round(
         F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
     )

@@ -294,7 +294,9 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, labels: DataFrame | None = None
+) -> DataFrame:
     """Near-dup-aware train/eval split: every member of a dup cluster
     lands on the SAME side (the split coin is thrown on the cluster id,
     not the doc id), so a near-duplicate of a training document can never
@@ -305,9 +307,16 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one LEFT join of the corpus onto the (small) dup-label set,
     then map-side hashing — the label side is broadcastable whenever the
-    dup fraction is small, and the fallback is a doc_id equi-join."""
+    dup fraction is small, and the fallback is a doc_id equi-join. The
+    split itself is label-source-agnostic: `labels` swaps in any
+    (doc_id, cluster_id) frame (VERDICT r10 ask #2 — the 100 TB wall is
+    the upstream clustering, not the coin, so the deployment twin feeds
+    the xxhash64 CC labels through the identical split)."""
     docs = load_table(spark, sf_dir, "documents")
-    labels = dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    if labels is None:
+        labels = dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    else:
+        labels = labels.select("doc_id", "cluster_id")
     coin = F.expr(
         "pmod(CAST(conv(substr(md5(CAST(split_key AS STRING)), 1, 6), 16, 10)"
         " AS BIGINT), 10000)"
@@ -325,6 +334,25 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("eval"))
             .alias("split"),
         )
+    )
+
+
+def leakage_safe_split_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment twin of :func:`leakage_safe_split` on the xxhash64 CC
+    labels (VERDICT r10 ask #2): the split's cost IS the upstream
+    dup_clusters run — the coin/join layer is one broadcastable left
+    join — and the md5 form's 100× wall is hash-dominated exactly like
+    dup_clusters' (53% md5 candidate generation, r10 phase profile).
+    Identical split semantics and coin; only the LABEL SOURCE differs
+    (dup_clusters_fast), so side assignment can differ ONLY for the docs
+    whose cluster membership a band-recall miss changes — recall locked
+    within one-pair tolerance (tests/test_dedup_recall.py). The md5 form
+    keeps the registry slot (DuckDB oracles md5); this twin carries the
+    strict second-decade gate in tests/test_scale_slopes.py."""
+    return leakage_safe_split(
+        spark,
+        sf_dir,
+        labels=dup_clusters_fast(spark, sf_dir).select("doc_id", "cluster_id"),
     )
 
 

@@ -61,6 +61,11 @@ QUERIES = (
     "dup_clusters",
     "minhash_lsh_candidates_fast",
     "dup_clusters_fast",
+    # r11: the split twin on the xxhash64 CC labels (VERDICT r10 ask #2
+    # — leakage_safe_split was the last heavy pipeline without a second
+    # decade after its r9 retraction; the md5 form measures in
+    # TIER100_QUERIES, this twin carries the strict gate)
+    "leakage_safe_split_fast",
 )
 
 #: VERDICT r8 ask #1 / r9 ask #6 — the SECOND measured decade
@@ -87,6 +92,11 @@ TIER100_QUERIES = (
     "shingle_containment_pairs",
     "edit_distance_pairs",
     "edit_distance_pairs_capped",
+    # r11 (VERDICT r10 ask #2): the most expensive bench query gets its
+    # missing second decade — md5 form under a documented allowance,
+    # fast-label twin on the strict gate
+    "leakage_safe_split",
+    "leakage_safe_split_fast",
 )
 
 #: THIRD measured decade (1000x-sf0.1: 5M docs, documents-only — the
@@ -94,8 +104,15 @@ TIER100_QUERIES = (
 #: binds LATE on closed vocab, the 100x slope2 alone cannot distinguish
 #: "transitional regime approaching the cap" from "compounding
 #:  quadratic"; the third decade does. Opt-in (hours-scale walls);
-#: only documents-reading queries are valid here.
-TIER1000_QUERIES = ("edit_distance_pairs_capped",)
+#: only documents-reading queries are valid here. r11 adds the two
+#: xxhash64 deployment defaults (VERDICT r10 ask #6): their strict <10
+#: slope2 deserves the same closed-vocab flattening proof edit-capped
+#: got before a 5M-doc corpus surprises them.
+TIER1000_QUERIES = (
+    "edit_distance_pairs_capped",
+    "dup_clusters_fast",
+    "minhash_lsh_candidates_fast",
+)
 
 
 def _gen_documents(rng: np.random.Generator, out: str, n: int) -> None:
@@ -408,10 +425,12 @@ def main() -> int:
     # capped registry (their exact/md5 twins keep the oracle slots)
     from construction_data_lake_et_data_warehouse_tp3_spark.operators.curation import (
         dup_clusters_fast,
+        leakage_safe_split_fast,
     )
 
     queries.setdefault("jaccard_dup_pairs", jaccard_dup_pairs)
     queries.setdefault("dup_clusters_fast", dup_clusters_fast)
+    queries.setdefault("leakage_safe_split_fast", leakage_safe_split_fast)
     queries.setdefault("edit_distance_pairs_capped", edit_distance_pairs_capped)
     queries.setdefault("minhash_lsh_candidates_fast", minhash_lsh_candidates_fast)
 
