@@ -418,6 +418,12 @@ def main() -> int:
     )
     from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
 
+    # the committed sweep methodology is a 64 GiB driver heap (SCALING.md
+    # r10; the session default of 16g OOMs kcore's localCheckpoint at the
+    # 100x tier) — encode it HERE so a bare invocation measures the same
+    # thing the artifact gates were calibrated on, not a smaller heap's
+    # GC behavior. An explicit env var still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = get_spark("scale-tier")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
