@@ -440,7 +440,30 @@ def main() -> int:
     queries.setdefault("edit_distance_pairs_capped", edit_distance_pairs_capped)
     queries.setdefault("minhash_lsh_candidates_fast", minhash_lsh_candidates_fast)
 
+    def reset_session_state() -> None:
+        """Query isolation (r11): drop every persisted block before a
+        measurement. The heavy pipelines free their localCheckpoint /
+        persist blocks through Python GC + Spark's ASYNC ContextCleaner,
+        which is correct for a long-lived engine session but races a
+        back-to-back sweep: across 17 queries the pinned blocks
+        accumulated faster than the cleaner dropped them and kcore's
+        100x edge checkpoint died with UNABLE_TO_ACQUIRE_MEMORY (got 0)
+        in the first r11 sweep — r10's shorter sweep merely squeaked by,
+        which also means its later queries were measured under earlier
+        queries' resident blocks. Explicitly sweeping persisted state
+        between (query, tier) measurements makes each min-of-3 an
+        isolated steady-state number; within-query passes still share
+        warm state by design."""
+        import gc
+
+        gc.collect()  # drop py4j refs so the JVM side is collectable
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
+        spark.sparkContext._jvm.System.gc()
+
     def measure(name: str, sf_dir: str) -> float:
+        reset_session_state()
         times = []
         for i in range(args.passes + 1):  # 1 warmup + N measured
             t0 = time.monotonic()
@@ -480,6 +503,7 @@ def main() -> int:
         if name not in results or "tier100x_sec" not in results[name]:
             print(f"skipping 1000x for {name}: needs its 100x row first", file=sys.stderr)
             continue
+        reset_session_state()
         t0 = time.monotonic()
         queries[name](spark, args.tier1000_dir).write.format("noop").mode("overwrite").save()
         warm = time.monotonic() - t0
