@@ -17,18 +17,26 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Confs that must be set before the JVM starts (builder-time only).
-BUILDER_CONF = {
-    # overridable for scale-tier sweeps: the 100x tier (61M-row edge
-    # sets in one JVM) needs more than the 16g default the driver-scale
-    # runs are sized for; a real cluster spreads this across executors
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-    "spark.sql.warehouse.dir": os.environ.get(
-        "SPARK_GRAFT_WAREHOUSE", "/tmp/tp3_spark_warehouse"
-    ),
-    # local[32] is one JVM: cap result sizes sanely.
-    "spark.driver.maxResultSize": "4g",
-}
+def _builder_conf() -> dict[str, str]:
+    """Confs that must be set before the JVM starts (builder-time only).
+
+    Read at CALL time, not import time: a tool that sets
+    ``SPARK_GRAFT_DRIVER_MEM`` after importing the package — e.g.
+    tools/scale_tier.py defaulting its sweep to the documented 64g heap
+    — must still win. A module-level dict froze whatever the env held at
+    first import (16g), and the 100x kcore sweep OOMed under a heap the
+    caller believed it had raised."""
+    return {
+        # overridable for scale-tier sweeps: the 100x tier (61M-row edge
+        # sets in one JVM) needs more than the 16g default the driver-scale
+        # runs are sized for; a real cluster spreads this across executors
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/tp3_spark_warehouse"
+        ),
+        # local[32] is one JVM: cap result sizes sanely.
+        "spark.driver.maxResultSize": "4g",
+    }
 
 #: Runtime-settable confs — safe to apply to an externally provided session
 #: (the correctness driver constructs its own SparkSession).
@@ -71,7 +79,7 @@ def get_spark(app_name: str = "tp3-spark-engine") -> SparkSession:
     """Create (or reuse) the engine session on local[$SPARK_GRAFT_CPUS]."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for key, value in BUILDER_CONF.items():
+    for key, value in _builder_conf().items():
         builder = builder.config(key, value)
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)

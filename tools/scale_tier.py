@@ -37,6 +37,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The committed sweep methodology is a 64 GiB driver heap (SCALING.md
+# r10; the session default of 16g OOMs kcore's localCheckpoint at the
+# 100x tier). Set BEFORE any repo import: session.py now reads the env
+# at get_spark() time, but pinning it here keeps the sweep honest even
+# against an import-time reader. An explicit env var still wins.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
 SF01 = "/root/testdata/sf0.1"
 
 #: the sf0.1 document vocabulary (measured: 31 distinct words).
@@ -418,12 +425,6 @@ def main() -> int:
     )
     from construction_data_lake_et_data_warehouse_tp3_spark.session import get_spark
 
-    # the committed sweep methodology is a 64 GiB driver heap (SCALING.md
-    # r10; the session default of 16g OOMs kcore's localCheckpoint at the
-    # 100x tier) — encode it HERE so a bare invocation measures the same
-    # thing the artifact gates were calibrated on, not a smaller heap's
-    # GC behavior. An explicit env var still wins.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = get_spark("scale-tier")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(all_queries())
