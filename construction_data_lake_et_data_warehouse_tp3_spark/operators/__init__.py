@@ -64,58 +64,8 @@ _MODULES = (
 # green row is >4 rounds older than the newest committed CORRECTNESS
 # file, if a registry query has no committed row and no head-of-line
 # priority slot, or if the registry outgrows rotation capacity.
-# [generated] tools/rotate_priority.py from CORRECTNESS r01..r10
+# [generated] tools/rotate_priority.py from CORRECTNESS r01..r11
 _DRIVER_PRIORITY = (
-    "above_avg_orders",
-    "amount_bucket_histogram",
-    "ann_index_recall_check",
-    "ann_ivf_topk",
-    "anonymize_stream",
-    "apply_in_pandas_group_stats",
-    "blacklist_filter",
-    "bpe_token_count",
-    "corpus_curation",
-    "cosine_topk",
-    "cube_revenue",
-    "doc_fingerprint",
-    "dup_clusters",
-    "embedding_dup_pairs",
-    "embedding_dup_pairs_bucketed",
-    "fk_miss_detection",
-    "grouping_sets_revenue",
-    "kmv_distinct_check",
-    "lang_id",
-    "latest_version_per_feed",
-    "lsh_buckets",
-    "median_order_value_approx",
-    "minhash_verified_dups",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "open_only_buyers_except",
-    "order_event_days_full",
-    "order_status_matrix",
-    "pandas_scalar_norm",
-    "pandas_udaf_value_stats",
-    "payment_method_lookup",
-    "payment_method_totals",
-    "pivot_status_revenue",
-    "ppm_pixel_stats",
-    "price_band_range_join",
-    "product_purchase_counts",
-    "product_purchase_counts_approx",
-    "projection_pushdown",
-    "regexp_extract_ids",
-    "repeat_buyers_intersect",
-    "retention_candidates",
-    "rolling_7d_revenue",
-    "rollup_revenue",
-    "simhash_hamming_pairs",
-    "simhash_signatures",
-    "star_schema_revenue",
-    "stratified_sample",
-    "string_functions_showcase",
-    "text_quality",
-    "tfidf_top_terms",
     "asof_latest_order",
     "daily_event_stats",
     "decontaminate",
@@ -266,6 +216,56 @@ _DRIVER_PRIORITY = (
     "wav_audio_stats",
     "weekday_revenue_profile",
     "y4m_video_stats",
+    "above_avg_orders",
+    "amount_bucket_histogram",
+    "ann_index_recall_check",
+    "ann_ivf_topk",
+    "anonymize_stream",
+    "apply_in_pandas_group_stats",
+    "blacklist_filter",
+    "bpe_token_count",
+    "corpus_curation",
+    "cosine_topk",
+    "cube_revenue",
+    "doc_fingerprint",
+    "dup_clusters",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_bucketed",
+    "fk_miss_detection",
+    "grouping_sets_revenue",
+    "kmv_distinct_check",
+    "lang_id",
+    "latest_version_per_feed",
+    "lsh_buckets",
+    "median_order_value_approx",
+    "minhash_verified_dups",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "open_only_buyers_except",
+    "order_event_days_full",
+    "order_status_matrix",
+    "pandas_scalar_norm",
+    "pandas_udaf_value_stats",
+    "payment_method_lookup",
+    "payment_method_totals",
+    "pivot_status_revenue",
+    "ppm_pixel_stats",
+    "price_band_range_join",
+    "product_purchase_counts",
+    "product_purchase_counts_approx",
+    "projection_pushdown",
+    "regexp_extract_ids",
+    "repeat_buyers_intersect",
+    "retention_candidates",
+    "rolling_7d_revenue",
+    "rollup_revenue",
+    "simhash_hamming_pairs",
+    "simhash_signatures",
+    "star_schema_revenue",
+    "stratified_sample",
+    "string_functions_showcase",
+    "text_quality",
+    "tfidf_top_terms",
 )
 
 
