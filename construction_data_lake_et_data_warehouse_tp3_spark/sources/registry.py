@@ -75,17 +75,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))")
             )
     if name in FACT_TABLES:
-        # file-size heuristic (no plan materialization): a source smaller
-        # than one scan split can't parallelize on its own
-        import os
-
-        try:
-            small = os.path.getsize(f"{sf_dir}/{name}.parquet") < 64 * 1024 * 1024
-        except OSError:
-            small = False
-        if small:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+        # ROW-GROUP heuristic (no plan materialization — one footer
+        # read): Spark splits a parquet file by bytes, but a task only
+        # reads row groups whose midpoint falls in its split, so the
+        # scan's real parallelism ceiling is the ROW-GROUP count, not
+        # the byte count. The old <64 MB file-size guard missed exactly
+        # the case that mattered: the 584 MB 5M-doc third-decade tier is
+        # "big" by bytes but carries 5 row groups — the minhash fold ran
+        # 5-wide on a 32-core box, a 6.4× parallelism cliff that was a
+        # dominant term of the r11 slope3 blowup (SCALING.md r12). On a
+        # real 100 TB multi-file layout row groups vastly outnumber the
+        # parallelism and this branch never fires.
+        if _scan_row_groups(f"{sf_dir}/{name}.parquet") < (
+            para := spark.sparkContext.defaultParallelism
+        ):
+            df = df.repartition(para)
     return df
+
+
+def _scan_row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` (file or directory) from
+    footer metadata only; returns a large sentinel when unreadable so
+    the caller skips the repartition rather than guessing."""
+    import glob as _glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return 1 << 30
 
 
 #: Synthetic partsupp hash constants (shared by the Spark builder and the

@@ -152,6 +152,17 @@ def test_second_decade_is_subdecade_linear():
 #: committed artifact must carry tier1000x/slope3 and the third decade
 #: must be sub-decade-linear — if the flattening evidence ever degrades,
 #: the allowance above loses its justification and this fails first.
+#: r12 additions (VERDICT r11 asks #1/#2): the two xxhash64 deployment
+#: twins measured slope3 44.1 / 26.2 at r11 — wall grew 26-44× across
+#: 10× the docs at exactly the tier the twins exist for. Two measured
+#: causes, both fixed in r12: (a) _qualifying_buckets materialized every
+#: bucket's full member array before the cap filter (now a window count
+#: on the same exchange screens buckets FIRST), and (b) the 584 MB
+#: third-decade parquet carries 5 row groups, so the old <64 MB
+#: file-size guard skipped the repartition and the minhash fold ran
+#: 5-wide on a 32-core box (now a row-group-count heuristic). Gated so
+#: a regression in either fails the suite instead of hiding in the
+#: artifact.
 THREE_DECADE = ("edit_distance_pairs_capped",)
 
 
@@ -228,7 +239,9 @@ def test_slopes_do_not_regress_round_over_round():
         # base scale) is physically impossible for these pipelines and
         # means the baseline capture was favorably noisy — comparing
         # against it raw would false-alarm the next honest measurement
-        for key in ("slope", "slope2"):
+        # slope3 included (ADVICE r11): a gated query's third decade
+        # regressing 1.75x+ must flag even while its absolute gate holds
+        for key in ("slope", "slope2", "slope3"):
             if (q, rounds[-1], key) in GROWTH_EXEMPT:
                 continue
             if key not in prev[q] or key not in cur[q]:

@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTS = os.path.join(REPO, "tests")
 
-#: measured per-file wall costs (s) from `pytest --durations=0`, r6 host.
+#: measured per-file wall costs (s) from `pytest --durations=0`, r12 host.
 #: Only the RELATIVE sizes matter for bucketing; stale entries degrade
 #: balance, never correctness.
 COSTS = {
@@ -41,9 +41,9 @@ COSTS = {
     "test_manifest_stream.py": 45,
     "test_cms_stream.py": 50,
     "test_sample_stream.py": 25,
-    "test_empty_input.py": 20,
+    "test_empty_input.py": 14,
     "test_singleton_input.py": 35,
-    "test_zero_vector_input.py": 25,
+    "test_zero_vector_input.py": 12,
     "test_empty_text_input.py": 40,
     "test_oracle_parity.py": 37,
     "test_lake_transaction.py": 36,
@@ -51,24 +51,24 @@ COSTS = {
     "test_r5h_ops.py": 60,
     "test_jdbc_sink.py": 24,
     "test_warehouse.py": 35,
-    "test_property_r5e.py": 40,
+    "test_property_r5e.py": 21,
     "test_stateful_sessions.py": 12,
-    "test_stream_join.py": 30,
+    "test_stream_join.py": 18,
     "test_ann_stream.py": 8,
     "test_r4_late_ops.py": 38,
     "test_index_stream.py": 17,
     "test_streaming.py": 15,
     "test_dedup_stream.py": 19,
-    "test_r5e_ops.py": 14,
+    "test_r5e_ops.py": 45,
     "test_scd2_stream.py": 14,
     "test_multimodal_plans.py": 12,
     "test_cli.py": 60,
     "test_ann_index.py": 22,
     "test_oracle_types.py": 16,
-    "test_graph.py": 20,
+    "test_graph.py": 12,
     "test_incremental_sync.py": 10,
     "test_sketch_stream.py": 10,
-    "test_plan_lint.py": 23,
+    "test_plan_lint.py": 35,
     "test_rollup_stream.py": 9,
     "test_sketches.py": 13,
     "test_rate_stream_live.py": 8,
@@ -76,11 +76,16 @@ COSTS = {
     "test_curation.py": 14,
     "test_curation_stream.py": 7,
     "test_quality.py": 7,
-    "test_r5f_ops.py": 15,
+    "test_r5f_ops.py": 7,
     "test_timetravel_schema.py": 7,
     "test_retrieval.py": 7,
     "test_property_money.py": 6,
     "test_zorder_layout.py": 6,
+    "test_bucketing_e2e.py": 8,
+    "test_ppjoin_guard.py": 15,
+    "test_dedup_recall.py": 23,
+    "test_dirty_stream_parity.py": 30,
+    "test_dirty_parity.py": 31,
 }
 DEFAULT_COST = 5
 

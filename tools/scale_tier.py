@@ -391,9 +391,17 @@ def main() -> int:
         default="",
         help="documents-only queries also measured at the 1000x tier "
         "(third decade, hours-scale; default OFF — pass e.g. "
-        f"{','.join(TIER1000_QUERIES)}). Measured warm + one pass "
-        "(the r9 third-decade methodology): at a >10-minute wall the "
-        "question is the DECADE slope, where run noise is second-order",
+        f"{','.join(TIER1000_QUERIES)}). Measured warm + min-of-N "
+        "(--tier1000-passes) since r12; the r9-r11 rows were warm + "
+        "one pass",
+    )
+    ap.add_argument(
+        "--tier1000-passes",
+        type=int,
+        default=2,
+        help="measured passes after the 1000x warmup (min is reported); "
+        "smaller default than --passes because these walls are "
+        "minutes-scale and the question is the DECADE slope",
     )
     ap.add_argument(
         "--out",
@@ -463,10 +471,10 @@ def main() -> int:
             jrdd.unpersist(True)
         spark.sparkContext._jvm.System.gc()
 
-    def measure(name: str, sf_dir: str) -> float:
+    def measure(name: str, sf_dir: str, passes: int | None = None) -> float:
         reset_session_state()
         times = []
-        for i in range(args.passes + 1):  # 1 warmup + N measured
+        for i in range((passes or args.passes) + 1):  # 1 warmup + N measured
             t0 = time.monotonic()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
@@ -504,14 +512,11 @@ def main() -> int:
         if name not in results or "tier100x_sec" not in results[name]:
             print(f"skipping 1000x for {name}: needs its 100x row first", file=sys.stderr)
             continue
-        reset_session_state()
-        t0 = time.monotonic()
-        queries[name](spark, args.tier1000_dir).write.format("noop").mode("overwrite").save()
-        warm = time.monotonic() - t0
-        print(f"# 1000x warmup {name}: {warm:.1f}s", file=sys.stderr)
-        t0 = time.monotonic()
-        queries[name](spark, args.tier1000_dir).write.format("noop").mode("overwrite").save()
-        vast = time.monotonic() - t0
+        # warmup + min-of-N like every other tier (ADVICE r11: the
+        # single-pass r9 methodology made the slope3 rows feeding gate
+        # decisions the noisiest numbers in the artifact); N is its own
+        # knob because these walls are minutes-scale
+        vast = measure(name, args.tier1000_dir, passes=args.tier1000_passes)
         results[name]["tier1000x_sec"] = round(vast, 3)
         results[name]["slope3"] = round(vast / results[name]["tier100x_sec"], 2)
         print(json.dumps({"query": name, **results[name]}), flush=True)
