@@ -45,10 +45,15 @@ DEFAULT_RATE = 10000
 MIN_QUALITY = 0.35
 
 
-def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> DataFrame:
-    """Connected components over an undirected pair list
-    `(doc_a, doc_b)` → `(doc_id, cluster_id, cluster_size, is_canonical)`
-    where cluster_id is the smallest reachable doc_id.
+def _cluster_labels(
+    pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS
+) -> DataFrame:
+    """Connected-component LABELS over an undirected pair list
+    `(doc_a, doc_b)` → `(doc_id, cluster_id)` where cluster_id is the
+    smallest reachable doc_id — the loop body of :func:`cluster_edges`,
+    split out (r12) so consumers that only key on the labels (the
+    leakage-safe splits throw their coin on cluster_id alone) skip the
+    cluster-size aggregation + decoration join cluster_edges adds.
 
     ``max_iters=None`` loops until no label moves (exact on any diameter)
     — safe only when the caller knows the graph is bounded, e.g. the
@@ -90,30 +95,46 @@ def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> Dat
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # r12 loop shape (guide §2.4 — remove per-round shuffles outright):
+    # SELF-LOOP rows fold "min of my neighbours' labels" and "my own
+    # label" into ONE join + ONE aggregation — the r≤11 loop joined
+    # nbr_min back onto `cur` a second time (2 more exchanges) and then
+    # ran a THIRD join just to count moved labels. The self row also
+    # carries each node's previous label through the aggregation
+    # (min over the doc_b == doc_a rows — exactly one per node), so the
+    # convergence check is a shuffle-free filter over the checkpointed
+    # round result: per round 5 exchanges + 3 joins become 3 exchanges
+    # + 1 join (when labels outgrow the broadcast threshold; below it
+    # the round is broadcast-join + one exchange). Same labels, same
+    # rounds, same convergence semantics as the r≤11 loop; a
+    # pre-partitioned + checkpointed adjacency was tried and rejected —
+    # localCheckpoint under AQE surfaces as UnknownPartitioning, so the
+    # repartition bought nothing downstream and the checkpoint added an
+    # init job for data every round can anyway read map-side from the
+    # persisted pair cache + the round-0 label checkpoint (the same
+    # reasoning that keeps `edges` itself lazy).
+    adj = edges.union(
+        labels.select(F.col("node").alias("doc_a"), F.col("node").alias("doc_b"))
+    )
+
     def _propagate(cur):
-        nbr_min = (
-            edges.join(
+        nxt = (
+            adj.join(
                 cur.select(F.col("node").alias("doc_b"), F.col("lbl").alias("nbl")),
                 "doc_b",
             )
             .groupBy("doc_a")
-            .agg(F.min("nbl").alias("nbr_lbl"))
-        )
-        nxt = (
-            cur.join(nbr_min, cur.node == nbr_min.doc_a, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            .agg(
+                F.min("nbl").alias("lbl"),
+                F.min(
+                    F.when(F.col("doc_b") == F.col("doc_a"), F.col("nbl"))
+                ).alias("prev_lbl"),
             )
+            .select(F.col("doc_a").alias("node"), "lbl", "prev_lbl")
             .localCheckpoint(eager=True)
         )
-        moved = (
-            nxt.alias("n")
-            .join(cur.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        return nxt, moved
+        moved = nxt.where(F.col("lbl") != F.col("prev_lbl")).count()
+        return nxt.select("node", "lbl"), moved
 
     rounds, changed = 0, 1
     while changed and (max_iters is None or rounds < max_iters):
@@ -139,12 +160,26 @@ def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> Dat
     # A caller-persisted frame stays cached — their cache, their release.
     if not caller_cached:
         pairs.unpersist()
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "lbl").select(
-        F.col("node").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def cluster_edges(pairs: DataFrame, max_iters: int | None = MAX_CC_ITERS) -> DataFrame:
+    """Connected components over an undirected pair list
+    `(doc_a, doc_b)` → `(doc_id, cluster_id, cluster_size, is_canonical)`
+    where cluster_id is the smallest reachable doc_id: the
+    :func:`_cluster_labels` propagation plus the cluster-size count and
+    the canonical (survivor) flag. The size decoration is one
+    aggregation + one join over the O(dup docs) label frame — consumers
+    that ignore it (the leakage splits) call the label loop directly."""
+    labels = _cluster_labels(pairs, max_iters)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
         "cluster_size",
-        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
@@ -314,7 +349,13 @@ def leakage_safe_split(
     the xxhash64 CC labels through the identical split)."""
     docs = load_table(spark, sf_dir, "documents")
     if labels is None:
-        labels = dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+        # labels only — the split never reads cluster_size/is_canonical,
+        # so it takes the propagation loop directly (r12) instead of
+        # paying dup_clusters' size aggregation + decoration join for
+        # columns Catalyst cannot prune through the inner join
+        labels = _cluster_labels(
+            minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b")
+        )
     else:
         labels = labels.select("doc_id", "cluster_id")
     coin = F.expr(
@@ -349,10 +390,14 @@ def leakage_safe_split_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     within one-pair tolerance (tests/test_dedup_recall.py). The md5 form
     keeps the registry slot (DuckDB oracles md5); this twin carries the
     strict second-decade gate in tests/test_scale_slopes.py."""
+    from .pipelines import minhash_verified_dups_fast
+
     return leakage_safe_split(
         spark,
         sf_dir,
-        labels=dup_clusters_fast(spark, sf_dir).select("doc_id", "cluster_id"),
+        labels=_cluster_labels(
+            minhash_verified_dups_fast(spark, sf_dir).select("doc_a", "doc_b")
+        ),
     )
 
 

@@ -65,34 +65,40 @@ def minhash_verified_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verify_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     """The exact-Jaccard verify shared by the md5 and xxhash64 pipelines.
 
-    REJECTED rewrite (r10, measured): semi-joining the shingle explode
-    to the candidate-pair docs before the intersection joins is
-    result-identical and cuts the 100× verify from 37.5 to ~22 s — but
-    the shingle frame is consumed THREE times (both intersection sides
-    + the size aggregation), so the prefilter replicates the banded-
-    minhash lineage into every consumer (5 minhash folds in the
-    executed plan, ReusedExchange: 0 — AQE's per-subtree planning plus
-    column pruning make the subtrees non-identical) and DOUBLES the
-    sf0.1/10× wall (11.6 → 21.5 s at 10×). A driver-checkpointed member
-    frame would fix the replication but moves eager work into plan
-    construction for every registry call; at the scale where the
-    prefilter pays, the right posture is the xxhash twin (dup_clusters_
-    fast, slope2 6.41) whose candidates are 4× cheaper to begin with."""
-    sh = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    r12 shape (the _ppjoin_verify idiom): WORD_SHINGLES is already
+    array_distinct, so the intersection is computed per candidate pair
+    with `array_intersect` over the per-doc shingle ARRAYS — two joins
+    keyed on the candidate ids. The r8–r11 shape exploded the corpus
+    shingle set into a row STREAM and joined it against itself on
+    (doc_b, s): both corpus-sized explodes shuffled in full (the second
+    keyed on (doc_b, s) — id×shingle rows), then two more joins
+    attached the size aggregation. Now the only corpus-sized exchanges
+    carry one array row per doc, and when the candidate side is small
+    it broadcasts, leaving the corpus scan shuffle-free (guide §2.3:
+    shuffle keys and metadata, not payload streams). n_common =
+    |set_a ∩ set_b| and the sizes are the same integers the stream
+    shape counted, so jaccard and the oracle hash are unchanged.
+
+    REJECTED rewrite (r10, measured; superseded but kept as history):
+    semi-joining the shingle EXPLODE to the candidate-pair docs before
+    the stream intersection joins cut the 100× verify 37.5 → ~22 s but
+    replicated the banded-minhash lineage into every consumer (5
+    minhash folds, ReusedExchange: 0) and DOUBLED the sf0.1/10× wall —
+    the array form gets the same candidate-bounded verify without any
+    prefilter of the corpus side."""
+    sets_df = docs.select("doc_id", F.expr(WORD_SHINGLES).alias("ts"))
+    ta = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(ts_a, ts_b))").alias("n_common"),
+            F.expr("size(ts_a)").alias("size_a"),
+            F.expr("size(ts_b)").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
