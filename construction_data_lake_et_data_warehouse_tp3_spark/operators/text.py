@@ -473,13 +473,19 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quotient, rounded to integer micro-nats (the lm_surprisal
     discipline), so ranking and hashes are bit-stable.
 
-    Plan: per-doc distinct tokens explode map-side; the pair frame comes
-    from a doc_id-keyed self-join (pair expansion is |doc|² BOUNDED by
-    doc length, never corpus²); the support floor collapses it to the
-    frequent-pair frame BEFORE the unigram joins, which broadcast (the
-    unigram frame is vocabulary-sized, ≪ corpus); top-N compiles to
-    TakeOrderedAndProject.  Integer headroom: c_ab·N ≤ N² — at N > 3·10^9
-    docs promote the product to DECIMAL(38,0)/HUGEINT before the ln."""
+    Plan (r12): per-doc PAIRS expand MAP-SIDE from the sorted distinct
+    token array — array_sort's binary string order is the same order
+    `tok_a < tok_b` compared, so the expansion emits exactly the pairs
+    the r≤11 doc_id self-join produced, without the self-join's
+    doc_id-keyed exchange of the whole token stream (guide §2.4; the
+    pair stream now hits its ONE exchange at the (tok_a, tok_b)
+    aggregation, with map-side partial counts). Pair expansion stays
+    |doc|² bounded by doc length, never corpus²; the support floor
+    collapses it to the frequent-pair frame BEFORE the unigram joins,
+    which broadcast (the unigram frame is vocabulary-sized, ≪ corpus);
+    top-N compiles to TakeOrderedAndProject.  Integer headroom:
+    c_ab·N ≤ N² — at N > 3·10^9 docs promote the product to
+    DECIMAL(38,0)/HUGEINT before the ln."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -487,12 +493,16 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = docs.agg(F.count("*").alias("n_docs"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    a = toks.select("doc_id", F.col("tok").alias("tok_a"))
-    b = toks.select("doc_id", F.col("tok").alias("tok_b"))
+    pair_expr = (
+        f"flatten(transform(sequence(1, size(dt) - 1), "
+        f"i -> transform(slice(dt, i + 1, size(dt) - i), "
+        f"b -> struct(element_at(dt, i) AS tok_a, b AS tok_b))))"
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("tok_a") < F.col("tok_b"))
-        .groupBy("tok_a", "tok_b")
+        docs.select(F.expr(f"array_sort(array_distinct({TOKENS}))").alias("dt"))
+        .where(F.size("dt") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("c_ab"))
         .where(F.col("c_ab") >= PMI_MIN_COOC)
     )
