@@ -89,9 +89,24 @@ def _verify_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     sets_df = docs.select("doc_id", F.expr(WORD_SHINGLES).alias("ts"))
     ta = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    # LENGTH prefilter (r12, the PPJoin size-guard idea applied here):
+    # n_common ≤ min(m_a, m_b), and the emitted predicate is
+    # round(J, 4) ≥ 0.35 ⟺ J ≥ 0.34995 ⟺ i ≥ 0.34995/1.34995·(m_a+m_b),
+    # so any surviving pair MUST satisfy
+    # min(m_a, m_b) ≥ 0.2592318…·(m_a+m_b). The integer guard below uses
+    # 2592/10000 (strictly looser, so it can never drop a row the
+    # rounded threshold keeps) and runs BEFORE array_intersect — on the
+    # 5M-doc closed-vocab tier most capped-bucket candidates are
+    # length-mismatched (uniform 10–100-word docs collide freely in LSH
+    # buckets), so the expensive intersect is skipped for them. Output
+    # rows are bit-identical; only never-qualifying pairs skip compute.
     return (
         candidates.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .where(
+            F.expr("10000 * least(size(ts_a), size(ts_b))")
+            >= F.expr("2592 * (size(ts_a) + size(ts_b))")
+        )
         .select(
             "doc_a",
             "doc_b",
