@@ -160,10 +160,23 @@ def test_second_decade_is_subdecade_linear():
 #: on the same exchange screens buckets FIRST), and (b) the 584 MB
 #: third-decade parquet carries 5 row groups, so the old <64 MB
 #: file-size guard skipped the repartition and the minhash fold ran
-#: 5-wide on a 32-core box (now a row-group-count heuristic). Gated so
-#: a regression in either fails the suite instead of hiding in the
-#: artifact.
-THREE_DECADE = ("edit_distance_pairs_capped",)
+#: 5-wide on a 32-core box (now a row-group-count heuristic). A third
+#: cause landed for dup_clusters_fast, whose post-fix probe still read
+#: 10.24: (c) the verify stage ran array_intersect on every surviving
+#: candidate pair, and on the 5M-doc closed-vocab tier most
+#: capped-bucket candidates are length-mismatched — a PPJoin-style
+#: integer length guard (min ≥ 0.2592·(m_a+m_b), strictly looser than
+#: the rounded τ=0.35 predicate, pipelines._verify_candidates) skips
+#: the intersect for pairs that can never qualify. Re-measured
+#: min-of-2 warm: minhash_lsh_candidates_fast slope3 8.86,
+#: dup_clusters_fast slope3 9.63 (SCALE_r12.json). Gated so a
+#: regression in any of the three fails the suite instead of hiding in
+#: the artifact.
+THREE_DECADE = (
+    "edit_distance_pairs_capped",
+    "minhash_lsh_candidates_fast",
+    "dup_clusters_fast",
+)
 
 
 def test_third_decade_proves_cap_flattening():
