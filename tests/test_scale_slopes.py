@@ -178,6 +178,17 @@ THREE_DECADE = (
     "dup_clusters_fast",
 )
 
+#: per-query slope3 bounds outside the strict <10 line (ADVICE r12):
+#: dup_clusters_fast entered the gate at 9.63 — 3.7% headroom — from a
+#: warm min-of-2 on the r12 host, which measured 1.6–2.2× noisier than
+#: the r11 capture on UNTOUCHED code (OPTIMIZATION_r12.md methodology
+#: note); the r12 re-measures of the same tier moved ±10% between
+#: passes. 11.0 is that measured noise band over the 9.63 basis, NOT a
+#: license for growth: the round-over-round growth gate below still
+#: flags a real >1.75× slope3 regression, and the strict line stays the
+#: documented target.
+SLOPE3_ALLOWANCES = {"dup_clusters_fast": 11.0}
+
 
 def test_third_decade_proves_cap_flattening():
     arts = _artifacts()
@@ -189,7 +200,7 @@ def test_third_decade_proves_cap_flattening():
         row = newest.get(q, {})
         if "slope3" not in row:
             flagged.append(f"{q}: no third-decade row (tier1000x/slope3)")
-        elif row["slope3"] > SECOND_DECADE_LIMIT:
+        elif row["slope3"] > SLOPE3_ALLOWANCES.get(q, SECOND_DECADE_LIMIT):
             flagged.append(
                 f"{q}: slope3 {row['slope3']}x — the cap did NOT flatten "
                 "across the third decade; its transitional-regime "
@@ -233,11 +244,23 @@ def test_probe_slope2_allowances_hold():
 #:   honestly measuring 13.45 s there once each pass rebuilds). The
 #:   r10 slope 4.36 is the honest number, consistent with
 #:   dup_clusters' own 4.43.
+#: - leakage_safe_split_fast r12→r13 (pre-registered per ADVICE r12):
+#:   the r12 sf0.1 base caught a 9.54 s contention window — its 10×
+#:   wall is 8.16 s, LOWER than the base, which is physically
+#:   impossible for this pipeline — so the committed r12 slope 0.85 is
+#:   contamination, admitted in OPTIMIZATION_r12.md's own footnote. An
+#:   honest r13 decade-1 slope of ~3.1 (r11 measured 3.09 on the same
+#:   code family) exceeds 1.75× of max(0.85, 1.0) through no plan
+#:   change; the exemption covers ONLY the decade-1 key and expires
+#:   with the r13 diff.
 #: Keyed by (query, round, slope-key) — per slope KEY, not per query
 #: (ADVICE r10): the r9 contamination audit justifies exempting only the
 #: decade-1 baseline; a blanket per-query exemption would also waive a
 #: genuine second-decade regression if the query ever carried slope2.
-GROWTH_EXEMPT = {("leakage_safe_split", 10, "slope")}
+GROWTH_EXEMPT = {
+    ("leakage_safe_split", 10, "slope"),
+    ("leakage_safe_split_fast", 13, "slope"),
+}
 
 
 def test_slopes_do_not_regress_round_over_round():
