@@ -89,35 +89,48 @@ def _cluster_labels(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    # r12 loop shape (guide §2.4 — remove per-round shuffles outright):
-    # SELF-LOOP rows fold "min of my neighbours' labels" and "my own
-    # label" into ONE join + ONE aggregation — the r≤11 loop joined
-    # nbr_min back onto `cur` a second time (2 more exchanges) and then
-    # ran a THIRD join just to count moved labels. The self row also
-    # carries each node's previous label through the aggregation
-    # (min over the doc_b == doc_a rows — exactly one per node), so the
-    # convergence check is a shuffle-free filter over the checkpointed
-    # round result: per round 5 exchanges + 3 joins become 3 exchanges
-    # + 1 join (when labels outgrow the broadcast threshold; below it
-    # the round is broadcast-join + one exchange). Same labels, same
-    # rounds, same convergence semantics as the r≤11 loop; a
-    # pre-partitioned + checkpointed adjacency was tried and rejected —
-    # localCheckpoint under AQE surfaces as UnknownPartitioning, so the
-    # repartition bought nothing downstream and the checkpoint added an
-    # init job for data every round can anyway read map-side from the
-    # persisted pair cache + the round-0 label checkpoint (the same
-    # reasoning that keeps `edges` itself lazy).
-    adj = edges.union(
-        labels.select(F.col("node").alias("doc_a"), F.col("node").alias("doc_b"))
-    )
+
+    # r13 loop shape (guide §1.2 — the distributed algorithm first):
+    # ONE action per round instead of the r12 loop's two-per-round plus
+    # two setup actions. (a) The moved-label count rides the SAME action
+    # that checkpoints the round, as an observed metric (CollectMetrics
+    # fires while localCheckpoint materializes the plan) — the separate
+    # count job per round is gone. (b) Round 1 needs NO join and no
+    # round-0 label frame at all: with identity initial labels,
+    # lbl₁(a) = min(a, min of neighbours) is one aggregation over the
+    # symmetric edge list (least(doc_a, min(doc_b))), so the r12
+    # distinct → localCheckpoint init action is gone too. (c) Later
+    # rounds take their SELF-LOOP rows from the current label frame
+    # (every node is inductively present), folding "min of neighbours"
+    # and "own label" into one join + one aggregation exactly as in
+    # r12 — same labels, same round count, same convergence semantics.
+    # Measured at sf0.1 (230-edge graph, 2 rounds): 6 actions → 3,
+    # CC stage 1.4 s → ~0.7 s warm; at 100 TB the win is the removed
+    # per-round count job (a full pass over the O(|V|) label frame) and
+    # the removed init shuffle — the per-round join/agg is unchanged.
+    def _ckpt_round(frame):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = (
+            frame.observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("lbl") != F.col("prev_lbl"), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("moved"),
+            )
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        return out, int(obs.get["moved"])
 
     def _propagate(cur):
+        adj = edges.union(
+            cur.select(F.col("node").alias("doc_a"), F.col("node").alias("doc_b"))
+        )
         nxt = (
             adj.join(
                 cur.select(F.col("node").alias("doc_b"), F.col("lbl").alias("nbl")),
@@ -131,12 +144,20 @@ def _cluster_labels(
                 ).alias("prev_lbl"),
             )
             .select(F.col("doc_a").alias("node"), "lbl", "prev_lbl")
-            .localCheckpoint(eager=True)
         )
-        moved = nxt.where(F.col("lbl") != F.col("prev_lbl")).count()
-        return nxt.select("node", "lbl"), moved
+        return _ckpt_round(nxt)
 
-    rounds, changed = 0, 1
+    first = (
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("node"),
+            F.least(F.col("doc_a"), F.col("mn")).alias("lbl"),
+            F.col("doc_a").alias("prev_lbl"),
+        )
+    )
+    labels, changed = _ckpt_round(first)
+    rounds = 1
     while changed and (max_iters is None or rounds < max_iters):
         rounds += 1
         labels, changed = _propagate(labels)
