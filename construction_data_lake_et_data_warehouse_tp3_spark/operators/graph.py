@@ -75,34 +75,37 @@ def pagerank_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_graph.test_pagerank_iterated_plan_depth_constant). Lazy lineage
     # replay here would re-derive the self-join every iteration and grow
     # the plan; do not "optimize" the eager=True away.
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    nodes = edges.select(F.col("src").alias("pid")).distinct()
-    n_total = nodes.agg(F.count("*").alias("n"))
-    # every constant derived by integer division, broadcast as 1 row
-    consts = n_total.select(
-        "n",
-        (F.lit(SCALE) / F.col("n")).cast("bigint").alias("r0"),
-    ).withColumn(
-        "base", (F.lit(100 - DAMP_NUM) * F.col("r0") / F.lit(DAMP_DEN)).cast("bigint")
+    #
+    # r13 (guide §2.4): the checkpointed edge frame CARRIES out_deg, so
+    # each iteration is ONE join + one aggregation + the rank update —
+    # the r≤12 loop re-aggregated degrees (a full O(|E|) pass) and
+    # re-derived the node distinct and the consts broadcast from the
+    # checkpoint EVERY iteration (each checkpointed round is its own
+    # plan, so nothing is reused across rounds). nodes checkpoints once;
+    # r0/base collapse to literals from one bounded count (the same
+    # integer formulas the unrolled oracle replays — same values, same
+    # hash). Output is bit-identical (exact-equality A/B at sf0.01).
+    ewd_base = _edges(spark, sf_dir)
+    deg = ewd_base.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edges = ewd_base.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("pid")).distinct().localCheckpoint(eager=True)
     )
-    ranks = nodes.crossJoin(F.broadcast(consts)).select(
-        "pid", F.col("r0").alias("r_int")
-    )
+    n = nodes.count()
+    r0 = int(SCALE / n)
+    base = int((100 - DAMP_NUM) * r0 / DAMP_DEN)
+    ranks = nodes.select("pid", F.lit(r0).cast("bigint").alias("r_int"))
     for _ in range(N_ITERS):
-        contrib = (
-            ranks.join(edges, ranks.pid == edges.src)
-            .join(deg, "src")
-            .select("dst", (F.col("r_int") / F.col("out_deg")).cast("bigint").alias("c"))
+        contrib = ranks.join(edges, ranks.pid == edges.src).select(
+            "dst", (F.col("r_int") / F.col("out_deg")).cast("bigint").alias("c")
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(summed, nodes.pid == summed.dst, "left")
-            .crossJoin(F.broadcast(consts))
             .select(
                 "pid",
                 (
-                    F.col("base")
+                    F.lit(base).cast("bigint")
                     + (F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(DAMP_DEN)).cast(
                         "bigint"
                     )
@@ -357,8 +360,20 @@ def kcore_products(
             alive_nodes.select(F.col("node").alias("src")), "src", "left_semi"
         ).join(alive_nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
 
-    alive = induced_degree(canon).select("node")
-    for _ in range(rounds):
+    # round 1 peels DIRECTLY off the full-graph degrees: alive₀ is every
+    # node, so pruning against it is two no-op semi-joins the r≤12 loop
+    # still paid for (r13; exact-equality A/B at sf0.01, −16% wall).
+    if rounds < 1:  # degenerate call: unpeeled full-graph degrees
+        return induced_degree(canon).select(
+            F.col("node").alias("part_id"), F.col("degree").alias("core_degree")
+        )
+    alive = (
+        induced_degree(canon)
+        .where(F.col("degree") >= k)
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds - 1):
         alive = (
             induced_degree(prune(canon, alive))
             .where(F.col("degree") >= k)
