@@ -393,12 +393,24 @@ def _ppjoin_ordered(docs: DataFrame) -> DataFrame:
     # dirty-input parity sweep) - excluded identically on BOTH engines
     docs = docs.where(F.expr("text rlike '\\\\S'"))
     ex = docs.select("doc_id", F.explode(F.expr(WORD_SHINGLES)).alias("s"))
-    cnt = ex.groupBy("s").agg(F.count("*").alias("cnt"))
-    return ex.join(cnt, "s").groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(cnt, s))), p -> p.s)"
-        ).alias("os"),
-        F.count("*").alias("m"),
+    # global shingle frequency as a WINDOW over the same (s) exchange the
+    # old agg+join-back needed anyway (r13 — the _qualifying_buckets
+    # idiom): the count aggregation and the join disappear from the
+    # plan, leaving exchange(s) → window → exchange(doc_id). Measured
+    # 1.27 → 0.80 s min-of-5 at sf0.1, output bit-equal; WindowExec
+    # buffers one shingle group at a time in a spillable row buffer, so
+    # a hot shingle costs bounded memory at 100 TB exactly like the LSH
+    # bucket screen.
+    w = Window.partitionBy("s")
+    return (
+        ex.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cnt, s))), p -> p.s)"
+            ).alias("os"),
+            F.count("*").alias("m"),
+        )
     )
 
 
