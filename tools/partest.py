@@ -32,64 +32,64 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTS = os.path.join(REPO, "tests")
 
-#: measured per-file wall costs (s) from `pytest --durations=0`, r12 host.
+#: measured per-file wall costs (s) from `pytest --durations=0`, r13 host.
 #: Only the RELATIVE sizes matter for bucketing; stale entries degrade
 #: balance, never correctness.
 COSTS = {
-    "test_statistics_invariants.py": 83,
-    "test_cluster_stream.py": 141,
+    "test_statistics_invariants.py": 52,
+    "test_cluster_stream.py": 225,
     "test_manifest_stream.py": 45,
-    "test_cms_stream.py": 106,
+    "test_cms_stream.py": 27,
     "test_sample_stream.py": 25,
     "test_empty_input.py": 14,
-    "test_singleton_input.py": 127,
+    "test_singleton_input.py": 32,
     "test_zero_vector_input.py": 12,
     "test_empty_text_input.py": 124,
-    "test_oracle_parity.py": 141,
-    "test_lake_transaction.py": 84,
+    "test_oracle_parity.py": 215,
+    "test_lake_transaction.py": 39,
     "test_late_dim_stream.py": 43,
     "test_r5h_ops.py": 122,
-    "test_jdbc_sink.py": 60,
-    "test_warehouse.py": 56,
+    "test_jdbc_sink.py": 25,
+    "test_warehouse.py": 32,
     "test_property_r5e.py": 87,
-    "test_stateful_sessions.py": 27,
+    "test_stateful_sessions.py": 14,
     "test_stream_join.py": 18,
     "test_ann_stream.py": 8,
-    "test_r4_late_ops.py": 38,
+    "test_r4_late_ops.py": 23,
     "test_index_stream.py": 64,
-    "test_streaming.py": 55,
-    "test_dedup_stream.py": 88,
-    "test_r5e_ops.py": 84,
-    "test_scd2_stream.py": 41,
+    "test_streaming.py": 35,
+    "test_dedup_stream.py": 23,
+    "test_r5e_ops.py": 16,
+    "test_scd2_stream.py": 14,
     "test_multimodal_plans.py": 12,
-    "test_cli.py": 146,
-    "test_ann_index.py": 144,
-    "test_oracle_types.py": 42,
-    "test_graph.py": 32,
-    "test_incremental_sync.py": 28,
+    "test_cli.py": 100,
+    "test_ann_index.py": 73,
+    "test_oracle_types.py": 11,
+    "test_graph.py": 12,
+    "test_incremental_sync.py": 10,
     "test_sketch_stream.py": 10,
-    "test_plan_lint.py": 54,
+    "test_plan_lint.py": 30,
     "test_rollup_stream.py": 9,
     "test_sketches.py": 9,
     "test_rate_stream_live.py": 8,
     "test_clustering.py": 14,
-    "test_curation.py": 14,
+    "test_curation.py": 30,
     "test_curation_stream.py": 11,
-    "test_quality.py": 24,
-    "test_r5f_ops.py": 20,
+    "test_quality.py": 7,
+    "test_r5f_ops.py": 7,
     "test_timetravel_schema.py": 7,
     "test_retrieval.py": 7,
-    "test_property_money.py": 17,
+    "test_property_money.py": 6,
     "test_zorder_layout.py": 6,
     "test_bucketing_e2e.py": 3,
     "test_ppjoin_guard.py": 15,
-    "test_dedup_recall.py": 49,
-    "test_dirty_stream_parity.py": 147,
-    "test_dirty_parity.py": 219,
+    "test_dedup_recall.py": 15,
+    "test_dirty_stream_parity.py": 69,
+    "test_dirty_parity.py": 75,
     "test_r5_plans.py": 19,
-    "test_skew_maintenance.py": 12,
-    "test_lake.py": 10,
-    "test_similarity_bucketed.py": 8,
+    "test_skew_maintenance.py": 7,
+    "test_lake.py": 3,
+    "test_similarity_bucketed.py": 2,
 }
 DEFAULT_COST = 5
 
